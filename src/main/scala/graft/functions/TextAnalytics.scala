@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for large-scale document pipelines:
+  * tokenization, token stats, quality scoring, n-gram language ID, and
+  * document fingerprinting. Everything here is built from codegen'd
+  * `org.apache.spark.sql.functions` (split / filter / transform /
+  * aggregate higher-order functions) — no UDFs — so the expressions stay
+  * inside whole-stage codegen and scale linearly over a 100 TB documents
+  * table with zero shuffles (all per-row).
+  */
+object TextAnalytics {
+
+  /** Whitespace tokens, empty strings dropped. Single-space split keeps
+    * semantics identical across engines (the oracle uses the same rule).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Characters excluding spaces — the numerator for mean token length. */
+  def charsNoSpace(text: Column): Column =
+    length(regexp_replace(text, " ", ""))
+
+  /** Count of tokens belonging to a fixed vocabulary. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column = {
+    val vs = vocab.map(lit(_))
+    size(filter(tokens(text), t => vs.map(t === _).reduce(_ || _)))
+  }
+
+  /** Heuristic quality score in [0,1]: half from length saturation
+    * (tokens/100 capped at 1), half from lexical diversity
+    * (distinct/total tokens). Computed in scaled integer arithmetic
+    * (x10000) so the value is engine-exact — float rounding at a
+    * half-boundary would otherwise diverge between engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("long")
+    val d = distinctTokenCount(text).cast("long")
+    val lengthPart = least(n, lit(100L)) * lit(50L)
+    val diversityPart =
+      when(n > 0, ((d * 5000L) / n).cast("long")).otherwise(lit(0L))
+    (lengthPart + diversityPart) / lit(10000.0)
+  }
+
+  /** Stopword-vote language ID. Each candidate language has a tiny
+    * marker vocabulary; the language with the most token hits wins, ties
+    * broken by the fixed order of `markers` (first wins), unknown when
+    * no marker hits at all. Mirrors classic n-gram/profile LID collapsed
+    * to a deterministic, SQL-expressible core.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val hits = markers.map { case (lang, vocab) => lang -> vocabHits(text, vocab) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = hits.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, h)) => acc.when(h === best, lit(lang))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set. Two documents with the same bag of words (any order,
+    * any duplication) collide — the cheap first stage of near-dup
+    * detection before MinHash.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Contiguous n-gram shingles over the token array (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array()))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive ancestor closure over a DAG / forest.
+  *
+  * The reference computes ancestors three ways: DFS over `is_a`/`part_of`
+  * edges in Perl (`ontologies/obo2json.pl:97-114`), parent-pointer walks
+  * (`trees/taxonomy.js:13-28`), and indent-stack paths
+  * (`ontologies/parseInterpro.js:22-35`) — all single-threaded, whole
+  * graph in one heap. Here the closure is a distributed fixpoint of
+  * self-joins with *path doubling*: after k rounds the paths table holds
+  * every ancestor within distance 2^k, so a depth-d hierarchy needs
+  * ceil(log2(d)) joins instead of d. Each round is a shuffle hash join +
+  * distinct; `localCheckpoint` truncates lineage so the plan doesn't grow
+  * exponentially. At 100 TB this is the standard closure-table build:
+  * shuffle on node id, no driver-side graph.
+  */
+object Closure {
+
+  /** `edges` must have columns (`child`, `parent`). Returns the closure
+    * as (`node`, `ancestor`) with `ancestor` strictly above `node`
+    * (self-pairs excluded). Cycles would not terminate — callers supply
+    * acyclic data, as in the reference's ontologies.
+    */
+  def transitiveClosure(edges: DataFrame): DataFrame = {
+    var paths = edges
+      .select(col("child").as("node"), col("parent").as("ancestor"))
+      .distinct()
+      .localCheckpoint()
+    var prev = -1L
+    var cnt = paths.count()
+    while (cnt != prev) {
+      val doubled = paths
+        .as("a")
+        .join(paths.as("b"), col("a.ancestor") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.ancestor").as("ancestor"))
+      paths = paths.union(doubled).distinct().localCheckpoint()
+      prev = cnt
+      cnt = paths.count()
+    }
+    paths
+  }
+
+  /** Closure-table rollup (reference: `num_genes` summed up taxonomy
+    * ancestors, `trees/speciesTree.js:193-219`,
+    * `ontologies/filter_taxonomy2.js:100-116`): once ancestors are
+    * materialized, "aggregate a measure over every descendant incl.
+    * self" is a plain explode + groupBy — no recursion at query time.
+    *
+    * `facts` has (`node`, measure columns); returns one row per node
+    * with `agg` applied over the node's subtree (descendants + itself).
+    */
+  def subtreeSum(
+      closure: DataFrame,
+      facts: DataFrame,
+      measure: String,
+      out: String): DataFrame = {
+    val selfPairs =
+      facts.select(col("node"), col("node").as("ancestor"))
+    val pairs = closure.select("node", "ancestor").union(selfPairs)
+    pairs
+      .join(facts, "node")
+      .groupBy(col("ancestor").as("node"))
+      .agg(sum(col(measure)).as(out))
+  }
+}

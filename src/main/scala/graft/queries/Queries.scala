@@ -1,0 +1,634 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextAnalytics
+import graft.ops.{Closure, Dedup, RangeJoin, Similarity}
+
+/** The engine's declared query catalog: one entry per implemented
+  * operator family from SURVEY.md §2 plus the training-data-pipeline
+  * operators (dedup / similarity / text analysis). Each query has an
+  * equivalent DuckDB oracle in `oracle` unless the operator's hashing is
+  * engine-specific (MinHash/SimHash/LSH — those get rows-only checks).
+  *
+  * Numeric-parity rules used throughout (the driver hash-compares
+  * values): aggregated doubles are `round(_, 2..4)`; counts/ranks are
+  * cast to BIGINT on whichever side is narrower; timestamps are compared
+  * as epoch-microsecond longs; every argmax/top-k has a deterministic
+  * tie-break key.
+  */
+object Queries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Shared constants
+  private val TenMinUs = 600000000L // 10 minutes in microseconds
+
+  /** Per-language marker vocabularies for the stopword-vote language ID
+    * (top relative-frequency tokens per language in the corpus; the
+    * heuristic core of n-gram LID, SQL-expressible for the oracle).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("order", "window", "table"),
+    "de" -> Seq("customer", "hash", "big"),
+    "es" -> Seq("agg", "slow", "merge"),
+    "fr" -> Seq("query", "scan", "data"),
+    "zh" -> Seq("join", "the", "fast"))
+
+  // ---------------------------------------------------------------------
+  // Relational core (SURVEY §2.2 filters, §2.4 aggregations)
+  // ---------------------------------------------------------------------
+
+  /** A4/A1: grouped aggregation with a pushed-down filter (pricing
+    * summary a la TPC-H Q1). Reference analog: per-db xref grouping
+    * `search/dump_genes.js:380-391` + SQL COUNT/SUM
+    * `maps/load_maps_and_taxonomy.js:259-279`.
+    */
+  val q01PricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** P4: conjunctive predicate filter + scalar aggregate (TPC-H Q6
+    * shape). All predicates reach the parquet scan as PushedFilters.
+    */
+  val q02FilterPushdown: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** J6/J18-pattern: fact table joined through two broadcast dims
+    * (customer->nation->region), then grouped. nation/region are tiny —
+    * explicitly broadcast, so the only shuffle is the orders-customer
+    * join + final aggregation.
+    */
+  val q03RegionRevenue: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** J14/J20: left-semi join ("emit only if key in LUT",
+    * `search/merge_into_mongo_docs.js:18-23`).
+    */
+  val q04SemiJoin: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(
+        Tables.customer(s, d).filter(col("c_acctbal") > 9000),
+        col("n_nationkey") === col("c_nationkey"),
+        "left_semi")
+      .select("n_nationkey", "n_name")
+
+  /** Anti-join: customers that never ordered, tallied per nation. */
+  val q05AntiJoin: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_idle_customers"))
+
+  /** J13: self theta-join deduping unordered pairs with a `<` predicate
+    * (`search/dump_homologs.js:45`).
+    */
+  val q06ThetaSelfJoin: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+    val a = sup.select(col("s_nationkey").as("nationkey"), col("s_suppkey").as("k1"))
+    val b = sup.select(col("s_nationkey").as("nationkey"), col("s_suppkey").as("k2"))
+    a.join(b, Seq("nationkey"))
+      .where(col("k1") < col("k2"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Window / ranking (SURVEY §2.5)
+  // ---------------------------------------------------------------------
+
+  /** W1/W4: row_number ranking per partition with deterministic order
+    * (`search/dump_genes.js:176,189`).
+    */
+  val q07WindowTopk: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal").as("acctbal"))
+  }
+
+  /** W2/A11: argmax / first-match pick (canonical-transcript selection
+    * `search/decorate.js:48-80`, first-non-dash description
+    * `search/fix_sorghum_v2.js:68-76`) — earliest order per customer.
+    */
+  val q08FirstOrder: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("first_orderkey"),
+        col("o_orderpriority").as("first_priority"))
+  }
+
+  /** lead/lag over event time: mean inter-event gap per user. Epoch
+    * micros keep the arithmetic exact and engine-neutral.
+    */
+  val q09EventGaps: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(col("gap")).as("n_gaps"),
+        round(sum("gap") / lit(1000000.0) / count(col("gap")), 2).as("avg_gap_sec"))
+  }
+
+  /** Sessionization: a >30-minute silence starts a new session; sessions
+    * counted per user. The session-id assignment (cumulative sum over
+    * the new-session flag) is the batch equivalent of streaming session
+    * windows (SURVEY §2.10).
+    */
+  val q10Sessionize: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        sum("is_new").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Interval joins (SURVEY §2.3 J11/J12)
+  // ---------------------------------------------------------------------
+
+  /** J11: keyed interval containment — purchases inside a 10-minute
+    * window after an error by the same user (gene-in-QTL shape,
+    * `search/qtl_adder.js:41-68`: equi keys (map, region) + range).
+    */
+  val q11IntervalJoinKeyed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val windows = ev.filter(col("event_type") === "error").select(
+      col("user_id"),
+      unix_micros(col("ts")).as("w_start"),
+      (unix_micros(col("ts")) + TenMinUs).as("w_end"))
+    val points = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"),
+      col("event_id"),
+      unix_micros(col("ts")).as("p_ts"))
+    RangeJoin
+      .pointInIntervalKeyed(points, "p_ts", windows, "w_start", "w_end", Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** J12: keyless interval containment via the binned range join —
+    * distinct purchases falling in ANY error window corpus-wide
+    * (synteny-block shape, `search/dump_homologs.js:206-243`). The bin
+    * equi-key turns the would-be nested-loop into a hash join.
+    */
+  val q12IntervalJoinGlobal: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val windows = ev.filter(col("event_type") === "error").select(
+      unix_micros(col("ts")).as("w_start"),
+      (unix_micros(col("ts")) + TenMinUs).as("w_end"))
+    val points = ev.filter(col("event_type") === "purchase").select(
+      col("event_id"),
+      unix_micros(col("ts")).as("p_ts"))
+    RangeJoin
+      .pointInInterval(points, "p_ts", windows, "w_start", "w_end", binWidth = TenMinUs)
+      .select("event_id")
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // Hierarchies (SURVEY §2.8 T9/T10, §2.4 A8)
+  // ---------------------------------------------------------------------
+
+  private def partEdges(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") >= 1)
+      .select(
+        col("p_partkey").as("child"),
+        floor(col("p_partkey") / 2).cast("long").as("parent"))
+
+  /** T9/T10: transitive ancestor closure by distributed fixpoint with
+    * path doubling (`ontologies/obo2json.pl:97-114`). Hierarchy derived
+    * from part keys (parent = k/2), ~log2(N) deep.
+    */
+  val q13Closure: Q = (s, d) =>
+    Closure
+      .transitiveClosure(partEdges(s, d))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_ancestors"))
+
+  /** A8: closure-table rollup — a measure summed over every node's
+    * subtree (`trees/speciesTree.js:193-219`). Explode + groupBy, no
+    * recursion at query time.
+    */
+  val q14SubtreeRollup: Q = (s, d) => {
+    val closure = Closure.transitiveClosure(partEdges(s, d))
+    val facts = Tables.part(s, d)
+      .select(col("p_partkey").as("node"), col("p_retailprice"))
+    Closure
+      .subtreeSum(closure, facts, "p_retailprice", "subtree_value")
+      .select(col("node"), round(col("subtree_value"), 2).as("subtree_value"))
+  }
+
+  /** A3/T1: group-and-collect with in-group ordering (flat rows ->
+    * per-key ordered list, `trees/genetree.js:36-73`) — emitted as a
+    * joined string so the comparison is representation-stable.
+    */
+  val q15CollectSorted: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("custkeys"),
+        count(lit(1)).as("n_customers"))
+
+  /** §2.7 set ops: EXCEPT over distinct key sets (most-specific
+    * annotation filter `search/ancestor_adder.js:66-68` at table grain).
+    */
+  val q16SetExcept: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9900)
+      .select(col("c_nationkey").as("nationkey"))
+      .distinct()
+      .except(
+        Tables.supplier(s, d)
+          .filter(col("s_acctbal") > 9000)
+          .select(col("s_nationkey").as("nationkey"))
+          .distinct())
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline: dedup / text analysis / similarity
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup by content hash (hash-groupBy). */
+  val q17DedupExact: Q = (s, d) =>
+    Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+
+  /** Token counting + per-doc token stats — pure codegen'd higher-order
+    * functions, no UDFs.
+    */
+  val q18TokenStats: Q = (s, d) => {
+    val t = col("text")
+    // mean_token_len truncated to 2 decimals via scaled-integer division:
+    // round() on a double tie (e.g. 189/40 = 4.725) is engine-dependent
+    // (HALF_UP on shortest-repr vs float multiply-round), truncation is not.
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalytics.tokenCount(t).cast("long").as("n_tokens"),
+      TextAnalytics.distinctTokenCount(t).cast("long").as("n_distinct_tokens"),
+      (floor(
+        TextAnalytics.charsNoSpace(t).cast("long") * lit(100L)
+          / TextAnalytics.tokenCount(t)).cast("long") / lit(100.0))
+        .as("mean_token_len"))
+  }
+
+  /** Heuristic document quality score (length saturation + lexical
+    * diversity).
+    */
+  val q19QualityScore: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalytics.qualityScore(col("text")).as("quality"))
+
+  /** Stopword-vote language ID + accuracy flag vs the labeled lang. */
+  val q20LangId: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalytics.langId(col("text"), langMarkers).as("lang_pred"),
+      (TextAnalytics.langId(col("text"), langMarkers) === col("lang"))
+        .as("is_correct"))
+
+  /** Brute-force cosine top-k neighbors for a bounded query set —
+    * the exact baseline for ANN (queries broadcast; corpus streamed).
+    */
+  val q21KnnCosine: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .cosineTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+  }
+
+  /** n-gram Jaccard near-dup pairs, blocked by language (the exact
+    * verifier MinHash approximates; threshold picks out the planted
+    * near-duplicates).
+    */
+  val q22NgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d), "text", "doc_id",
+      blockCol = "lang", shingleN = 2, threshold = 0.5)
+
+  /** Order-insensitive document fingerprint (md5 over sorted distinct
+    * token set) — rolling-hash-style cheap near-dup stage.
+    */
+  val q23Fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalytics.fingerprint(col("text")).as("fp"))
+
+  /** A5: melt/pivot to wide — per-user conditional-aggregation pivot
+    * over event types (`atlas/parseBaseline.js:27-41` shape).
+    */
+  val q24PivotEvents: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    e.groupBy("user_id")
+      .agg(
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+        round(sum(when(col("event_type") === "purchase", col("value"))), 2)
+          .as("purchase_value"))
+  }
+
+  /** §2.6: global sort + limit (deterministic export order,
+    * `prep_urgi_tsv.js:17`) — planned as TakeOrderedAndProject, so no
+    * full global sort materializes.
+    */
+  val q25TopPriced: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(100)
+
+  // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
+
+  /** MinHash+LSH near-dup candidates, verified by exact Jaccard.
+    * xxhash64-based — not oracle-expressible, validated by unit tests +
+    * cross-check against q22's exact pairs.
+    */
+  val q26MinHashLsh: Q = (s, d) =>
+    Dedup.minHashLsh(
+      Tables.documents(s, d), "text", "doc_id",
+      shingleN = 2, bands = 8, rowsPerBand = 4, threshold = 0.5)
+
+  /** SimHash 64-bit fingerprints per document. */
+  val q27SimHash: Q = (s, d) =>
+    Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
+
+  /** SRP-LSH approximate nearest neighbors (bucketed candidates + exact
+    * re-rank); recall is validated in tests against q21's exact top-k.
+    */
+  val q28LshAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshCosineTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, dim = 64, bitsPerTable = 6, numTables = 6)
+  }
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_pushdown" -> q02FilterPushdown,
+    "q03_region_revenue" -> q03RegionRevenue,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_anti_join" -> q05AntiJoin,
+    "q06_theta_self_join" -> q06ThetaSelfJoin,
+    "q07_window_topk" -> q07WindowTopk,
+    "q08_first_order" -> q08FirstOrder,
+    "q09_event_gaps" -> q09EventGaps,
+    "q10_sessionize" -> q10Sessionize,
+    "q11_interval_join_keyed" -> q11IntervalJoinKeyed,
+    "q12_interval_join_global" -> q12IntervalJoinGlobal,
+    "q13_closure" -> q13Closure,
+    "q14_subtree_rollup" -> q14SubtreeRollup,
+    "q15_collect_sorted" -> q15CollectSorted,
+    "q16_set_except" -> q16SetExcept,
+    "q17_dedup_exact" -> q17DedupExact,
+    "q18_token_stats" -> q18TokenStats,
+    "q19_quality_score" -> q19QualityScore,
+    "q20_lang_id" -> q20LangId,
+    "q21_knn_cosine" -> q21KnnCosine,
+    "q22_ngram_jaccard" -> q22NgramJaccard,
+    "q23_fingerprint" -> q23Fingerprint,
+    "q24_pivot_events" -> q24PivotEvents,
+    "q25_top_priced" -> q25TopPriced,
+    "q26_minhash_lsh" -> q26MinHashLsh,
+    "q27_simhash" -> q27SimHash,
+    "q28_lsh_ann" -> q28LshAnn)
+
+  /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
+  private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private val langIdSql: String = {
+    val cnts = langMarkers.map { case (lang, vocab) =>
+      val pred = vocab.map(w => s"x = '$w'").mkString(" or ")
+      s"len(list_filter($toks, x -> $pred)) AS c_$lang"
+    }
+    val names = langMarkers.map { case (l, _) => s"c_$l" }
+    val best = s"greatest(${names.mkString(", ")})"
+    val chain = langMarkers
+      .map { case (l, _) => s"WHEN c_$l = $best THEN '$l'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+       CASE WHEN $best = 0 THEN 'und' $chain ELSE 'und' END AS lang_pred
+       FROM (SELECT doc_id, ${cnts.mkString(", ")} FROM documents)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q03_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q04_semi_join" ->
+      """SELECT n_nationkey, n_name FROM nation n
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)""",
+    "q05_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_idle_customers
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_nationkey""",
+    "q06_theta_self_join" ->
+      """SELECT s1.s_nationkey AS nationkey, count(*) AS n_pairs
+         FROM supplier s1
+         JOIN supplier s2
+           ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+         GROUP BY s1.s_nationkey""",
+    "q07_window_topk" ->
+      """SELECT c_nationkey, rn, c_custkey, acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3""",
+    "q08_first_order" ->
+      """SELECT o_custkey, first_orderkey, first_priority FROM (
+           SELECT o_custkey, o_orderkey AS first_orderkey,
+                  o_orderpriority AS first_priority,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn = 1""",
+    "q09_event_gaps" ->
+      """SELECT user_id, count(gap) AS n_gaps,
+           round(sum(gap) / 1000000.0 / count(gap), 2) AS avg_gap_sec
+         FROM (SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events)
+         GROUP BY user_id""",
+    "q10_sessionize" ->
+      """SELECT user_id, sum(is_new)::BIGINT AS n_sessions, count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS is_new
+               FROM (SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                     FROM events))
+         GROUP BY user_id""",
+    "q11_interval_join_keyed" ->
+      """SELECT p.user_id, count(*) AS n_hits
+         FROM events p JOIN events w
+           ON p.user_id = w.user_id
+          AND p.event_type = 'purchase' AND w.event_type = 'error'
+          AND epoch_us(p.ts) >= epoch_us(w.ts)
+          AND epoch_us(p.ts) <= epoch_us(w.ts) + 600000000
+         GROUP BY p.user_id""",
+    "q12_interval_join_global" ->
+      """SELECT DISTINCT p.event_id
+         FROM events p
+         WHERE p.event_type = 'purchase'
+           AND EXISTS (SELECT 1 FROM events w
+                       WHERE w.event_type = 'error'
+                         AND epoch_us(p.ts) >= epoch_us(w.ts)
+                         AND epoch_us(p.ts) <= epoch_us(w.ts) + 600000000)""",
+    "q13_closure" ->
+      """WITH RECURSIVE anc(node, ancestor) AS (
+           SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 1
+           UNION
+           SELECT a.node, e.p_partkey // 2
+           FROM anc a JOIN part e ON a.ancestor = e.p_partkey
+           WHERE e.p_partkey >= 1)
+         SELECT node, count(*) AS n_ancestors FROM anc GROUP BY node""",
+    "q14_subtree_rollup" ->
+      """WITH RECURSIVE anc(node, ancestor) AS (
+           SELECT p_partkey, p_partkey // 2 FROM part WHERE p_partkey >= 1
+           UNION
+           SELECT a.node, e.p_partkey // 2
+           FROM anc a JOIN part e ON a.ancestor = e.p_partkey
+           WHERE e.p_partkey >= 1),
+         pairs AS (
+           SELECT node, ancestor FROM anc
+           UNION ALL
+           SELECT p_partkey, p_partkey FROM part)
+         SELECT pr.ancestor AS node, round(sum(p.p_retailprice), 2) AS subtree_value
+         FROM pairs pr JOIN part p ON pr.node = p.p_partkey
+         GROUP BY pr.ancestor""",
+    "q15_collect_sorted" ->
+      """SELECT c_nationkey,
+           array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys,
+           count(*) AS n_customers
+         FROM customer GROUP BY c_nationkey""",
+    "q16_set_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+         EXCEPT
+         SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000""",
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "q18_token_stats" ->
+      s"""SELECT doc_id,
+           len($toks)::BIGINT AS n_tokens,
+           len(list_distinct($toks))::BIGINT AS n_distinct_tokens,
+           (length(replace(text, ' ', ''))::BIGINT * 100 // len($toks)) / 100.0
+             AS mean_token_len
+         FROM documents""",
+    "q19_quality_score" ->
+      s"""SELECT doc_id,
+           (least(n, 100) * 50 +
+            CASE WHEN n > 0 THEN (d * 5000) // n ELSE 0 END) / 10000.0 AS quality
+         FROM (SELECT doc_id,
+                 len($toks)::BIGINT AS n,
+                 len(list_distinct($toks))::BIGINT AS d
+               FROM documents)""",
+    "q20_lang_id" ->
+      s"""SELECT p.doc_id, p.lang_pred, (p.lang_pred = d.lang) AS is_correct
+         FROM ($langIdSql) p JOIN documents d ON p.doc_id = d.doc_id""",
+    "q21_knn_cosine" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 5""",
+    "q22_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(l) - 1),
+                                          i -> l[i] || ' ' || l[i + 1])) AS g
+           FROM (SELECT doc_id, lang, $toks AS l FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.g, b.g))::DOUBLE /
+                 len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+               len(list_distinct(list_concat(a.g, b.g))) >= 0.5""",
+    "q23_fingerprint" ->
+      s"""SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+         FROM documents""",
+    "q24_pivot_events" ->
+      """SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+             AS purchase_value
+         FROM events GROUP BY user_id""",
+    "q25_top_priced" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 100""")
+}
