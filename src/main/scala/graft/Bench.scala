@@ -41,6 +41,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/shuffle machinery on synthetic data so the
+    // first measured query doesn't absorb one-time session startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(100).groupBy(org.apache.spark.sql.functions.col("id") % 7)
+      .count().collect()
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

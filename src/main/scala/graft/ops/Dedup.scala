@@ -23,17 +23,18 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** k-permutation MinHash signature over n-token shingles. Each
-    * "permutation" i is xxhash64 seeded by i (mixed in as a literal
-    * column); the signature element is the min hash over the shingle
-    * set. Pure column expressions — evaluated row-local, no shuffle.
+  /** k-permutation MinHash signature over a *materialized* shingle-array
+    * column. Each "permutation" i is xxhash64 seeded by i (mixed in as a
+    * literal column); the signature element is the min hash over the
+    * shingle set. Pure column expressions — evaluated row-local, no
+    * shuffle. Callers must pass a column reference (not the shingle
+    * expression itself): Catalyst inlines column expressions into every
+    * of the k transforms, blowing up codegen k-fold otherwise.
     */
-  def minHashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = TextAnalytics.shingles(text, shingleN)
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
     }: _*)
-  }
 
   /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands
     * of `rowsPerBand` hashes; docs sharing any (band, band-hash) bucket
@@ -54,29 +55,37 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      TextAnalytics.shingles(col(textCol), shingleN).as("sh"),
-      minHashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    // Materialize shingles in their own projection so the signature's k
+    // transforms reference one computed array instead of k inlined copies.
+    val shingled = docs
+      .select(col(idCol).as("id"), TextAnalytics.shingles(col(textCol), shingleN).as("sh"))
+    val sigs = shingled
+      .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig"))
 
+    // Bucket rows are narrow (bucket key + id): the shuffled self-join
+    // never carries shingle arrays — at corpus scale that is the
+    // difference between shuffling ids and shuffling the corpus.
     val buckets = sigs.select(
       col("id"),
-      col("sh"),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
 
-    val a = buckets.select(col("bb").as("bb"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("bb").as("bb"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = buckets.select(col("bb").as("bb"), col("id").as("id_a"))
+    val b = buckets.select(col("bb").as("bb"), col("id").as("id_b"))
     val candidates = a
       .join(b, Seq("bb"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
 
+    // Verify candidates with exact Jaccard: re-join the shingle table
+    // (small vs the pair space) on each side of the pair.
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -89,11 +98,17 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** All-pairs n-gram Jaccard within a blocking key (reference-style
-    * "per (map, region) interval set" blocking, here e.g. per language):
-    * the self-join is equi on the block key so Catalyst hash-joins and
-    * the quadratic blow-up is bounded per block — the practical shape
-    * for "compare within shard" near-dup sweeps.
+  /** Exact n-gram Jaccard similarity join within a blocking key
+    * (reference-style "per (map, region) interval set" blocking, here
+    * e.g. per language), accelerated by PREFIX FILTERING (PPJoin):
+    * under any total order on shingles, two sets with Jaccard >= t must
+    * share at least one element among the first `|S| - ceil(t*|S|) + 1`
+    * of their sorted shingles. Candidates therefore come from an
+    * equi-join on (block, prefix-shingle) — never the per-block cross
+    * product — followed by a size-ratio prune (`t*|A| <= |B| <= |A|/t`)
+    * and the exact Jaccard verification. This is the standard exact
+    * set-similarity-join plan at corpus scale: every shuffle is keyed
+    * (prefix token, then id), nothing quadratic materializes.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -105,11 +120,36 @@ object Dedup {
     val sh = docs.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
-      TextAnalytics.shingles(col(textCol), shingleN).as("sh"))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
+      sort_array(TextAnalytics.shingles(col(textCol), shingleN)).as("sh"))
+    // Prefix length L = |S| - ceil(t*|S|) + 1, under ascending GLOBAL
+    // FREQUENCY order (rarest shingles first) — the PPJoin ordering: any
+    // common total order is correct, but frequency order makes prefixes
+    // collide least, which is what bounds candidates when the vocabulary
+    // is small. Pair rows stay narrow: (block, shingle, id, size).
+    val exploded = sh.select(
+      col("block"), col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+    val tokFreq = exploded.groupBy("block", "tok").agg(count(lit(1)).as("freq"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("block", "id").orderBy(col("freq"), col("tok"))
+    val prefixes = exploded
+      .join(tokFreq, Seq("block", "tok"))
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select("block", "id", "sz", "tok")
+    val candidates = prefixes
+      .select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(
+        prefixes.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("block", "tok"))
+      .where(
+        col("id_a") < col("id_b") &&
+          col("sz_b") * threshold <= col("sz_a") &&
+          col("sz_a") * threshold <= col("sz_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
