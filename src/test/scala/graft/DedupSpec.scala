@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(21)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+
+  private def randomDoc(n: Int): String =
+    Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  /** Corpus with planted near-duplicate pairs: doc 2i+1 mutates doc 2i
+    * lightly for i < 10; the rest are independent.
+    */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val planted = (0 until 10).flatMap { i =>
+      val base = randomDoc(60).split(" ")
+      val mutated = base.updated(5, "MUT" + i).updated(30, "TAT" + i)
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, mutated.mkString(" ")))
+    }
+    val noise = (100 until 200).map(i => (i.toLong, randomDoc(60)))
+    planted ++ noise
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("exact ngram Jaccard join finds exactly the planted pairs") {
+    val docs = corpus.toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val got = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", "lang", shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(want.subsetOf(got), s"missed planted pairs: ${want -- got}")
+    // noise docs of a 20-word vocab may collide by chance; planted pairs dominate
+    assert(got.size <= want.size + 5, s"too many spurious pairs: $got")
+  }
+
+  test("minhash LSH recovers the exact join's pairs (recall 1.0 here)") {
+    val docs = corpus.toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", "lang", shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup
+      .minHashLsh(docs, "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 4,
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies candidates with the same exact Jaccard -> no false
+    // positives; with 8 bands recall on >=0.5 pairs is ~1 at this size.
+    assert(lsh.subsetOf(exact))
+    assert((exact -- lsh).isEmpty, s"LSH missed: ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs collide, near-dups are close, determinism") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "entirely different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+    val fp2 = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(fp == fp2)
+  }
+
+  test("simHashPairs: pairs within the hamming radius, none beyond") {
+    val fps = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL),
+      (2L, 0x0F0F0F0F0F0F0F0EL), // hamming 1 from doc 1
+      (3L, 0x7000000000000000L))
+      .toDF("id", "simhash")
+    val got = Dedup.simHashPairs(fps, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(5)
+  private val dim = 16
+
+  private def randVec(): Array[Float] = Array.fill(dim)(rng.nextGaussian().toFloat)
+
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    (0L until 200L).map(i => (i, randVec()))
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na > 0 && nb > 0) dot / (na / 1.0 * nb) else 0.0
+  }
+
+  test("cosine column matches local computation") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(
+      round(Similarity.cosine(col("a").cast("array<double>"),
+        col("b").cast("array<double>")), 6)).as[Double].collect()
+    assert(got.toSeq == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("cosineTopK matches brute-force local oracle") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity
+      .cosineTopK(df, df.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val byId = vecs.toMap
+    for (q <- 0L until 5L) {
+      val want = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cosineLocal(byId(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3).map(_._1)
+      assert(got(q) == want, s"query $q")
+    }
+  }
+
+  test("LSH ANN returns verified-cosine ranks with decent recall") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .cosineTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity
+      .lshCosineTopK(df, queries, "vec_id", "embedding",
+        k = 5, dim = dim, bitsPerTable = 4, numTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 10L).map { q =>
+      (exact(q) intersect ann.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }.sum / 10
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("srp bucket is deterministic across invocations") {
+    val df = vecs.take(20).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(dim, 6)
+    def run() = df.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding").cast("array<double>"), planes))
+      .as[(Long, Long)].collect().toMap
+    assert(run() == run())
+  }
+}
