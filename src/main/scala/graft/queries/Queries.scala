@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalytics
-import graft.ops.{Closure, Dedup, RangeJoin, Similarity}
+import graft.ops.{Closure, Dedup, RangeJoin, Similarity, TreeAlgebra}
 
 /** The engine's declared query catalog: one entry per implemented
   * operator family from SURVEY.md §2 plus the training-data-pipeline
@@ -373,6 +373,121 @@ object Queries {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .limit(100)
 
+  /** T1-T6: typed tree algebra — part keys form a binary heap (parent =
+    * k/2); nodes at depth >= 3 group into the 8 subtrees rooted at ids
+    * 8..15, and each subtree folds in `mapGroups`: adjacency assembly,
+    * iterative depth walk, representative argmax (score = retailprice,
+    * ties to lowest id). The Spark restatement of
+    * `trees/genetree.js:75-246`.
+    */
+  val q29TreeStats: Q = (s, d) => {
+    import s.implicits._
+    val nodes = Tables.part(s, d)
+      .filter(col("p_partkey") >= 8)
+      .select(
+        TreeAlgebra.heapSubtreeRoot(col("p_partkey"), 3).as("treeId"),
+        col("p_partkey").as("id"),
+        when(col("p_partkey").between(8, 15), lit(-1L))
+          .otherwise(floor(col("p_partkey") / 2).cast("long")).as("parent"),
+        col("p_retailprice").as("score"))
+      .as[TreeAlgebra.TreeNode]
+    TreeAlgebra.treeStats(nodes).toDF()
+  }
+
+  /** T13/T14: interval sweep-merge (gaps-and-islands) — every event
+    * opens a 10-minute window; overlapping windows per user merge into
+    * maximal spans (`search/domain_architect.js:120-165`,
+    * `trees/add_domains_to_tree.js:63-85`). Pure window functions: the
+    * running-max-end pass is the distributed form of the reference's
+    * sorted linear sweep.
+    */
+  val q30IntervalMerge: Q = (s, d) => {
+    val byStart = Window.partitionBy("user_id").orderBy("w_start", "w_end")
+    val running = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val island = Window.partitionBy("user_id").orderBy("w_start", "w_end")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + TenMinUs).as("w_end"))
+      .withColumn("prev_max", max("w_end").over(running))
+      .withColumn(
+        "is_new",
+        when(col("prev_max").isNull || col("w_start") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("is_new").over(island))
+      .groupBy("user_id", "island")
+      .agg(min("w_start").as("s0"), max("w_end").as("e0"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        (sum(col("e0") - col("s0")) / lit(1000000L)).cast("long").as("covered_sec"))
+  }
+
+  /** T17: uniform-width binning (genomic-bin arithmetic,
+    * `search/bin_adder.js:13-58`): events into 1-hour buckets per type.
+    * Integer `div` keeps the bucket id exact in both engines.
+    */
+  val q31HourBins: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        expr("unix_micros(ts) div 3600000000").as("bucket"),
+        col("event_type"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+
+  /** SQL ROLLUP over region -> nation (grouping-set aggregation; beyond
+    * the reference's closure-table rollup A8). Null grouping levels are
+    * coalesced to a sentinel so row ordering stays engine-neutral.
+    */
+  val q32Rollup: Q = (s, d) => {
+    // SQL path: the DataFrame rollup + post-coalesce trips Spark's
+    // ambiguous-column detection (the Expand node re-emits the grouping
+    // attributes); the SQL analyzer resolves GROUP BY ROLLUP cleanly.
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"), col("o_totalprice"))
+      .createOrReplaceTempView("q32_base")
+    s.sql(
+      """SELECT coalesce(rname, '(all)') AS r_name,
+        |       coalesce(nname, '(all)') AS n_name,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(1) AS n_orders
+        |FROM q32_base GROUP BY ROLLUP(rname, nname)""".stripMargin)
+  }
+
+  /** A5: dynamic-key pivot serialized canonically — per user, sorted
+    * "event_type:count" entries (the MapType shape of
+    * `atlas/parseBaseline.js:27-41`, flattened for engine-neutral
+    * comparison).
+    */
+  val q33TypeCountMap: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), concat(col("event_type"), lit(":"), col("n")).as("entry"))
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_list(col("entry")))).as("type_counts"))
+
+  /** J1/J5/T1/S14: document assembly digest — lineitems fold into their
+    * order doc in (linenumber, partkey) order (`search/dump_genes.js:
+    * 283-308`; partkey tie-break because the synthetic data repeats
+    * linenumbers within an order); the canonical serialization is
+    * digested so the nested doc compares engine-neutrally.
+    */
+  val q34DocAssembly: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+            x => x.getField("l_partkey").cast("string")))).as("items_digest"))
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** MinHash+LSH near-dup candidates, verified by exact Jaccard.
@@ -426,6 +541,12 @@ object Queries {
     "q23_fingerprint" -> q23Fingerprint,
     "q24_pivot_events" -> q24PivotEvents,
     "q25_top_priced" -> q25TopPriced,
+    "q29_tree_stats" -> q29TreeStats,
+    "q30_interval_merge" -> q30IntervalMerge,
+    "q31_hour_bins" -> q31HourBins,
+    "q32_rollup" -> q32Rollup,
+    "q33_type_count_map" -> q33TypeCountMap,
+    "q34_doc_assembly" -> q34DocAssembly,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn)
@@ -630,5 +751,65 @@ object Queries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
          FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-         LIMIT 100""")
+         LIMIT 100""",
+    "q29_tree_stats" ->
+      """WITH RECURSIVE walk(node, cur, d) AS (
+           SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 8
+           UNION ALL
+           SELECT node, cur // 2, d + 1 FROM walk WHERE cur >= 16),
+         m AS (SELECT node, cur AS tree_id, d AS depth
+               FROM walk WHERE cur BETWEEN 8 AND 15),
+         s AS (SELECT m.tree_id, m.node, m.depth, p.p_retailprice,
+                 row_number() OVER (PARTITION BY m.tree_id
+                   ORDER BY p.p_retailprice DESC, m.node) AS rn
+               FROM m JOIN part p ON m.node = p.p_partkey)
+         SELECT g.tree_id, g.n_nodes, g.max_depth, r.rep_id, r.rep_score
+         FROM (SELECT tree_id, count(*) AS n_nodes, max(depth)::BIGINT AS max_depth
+               FROM s GROUP BY tree_id) g
+         JOIN (SELECT tree_id, node AS rep_id, p_retailprice AS rep_score
+               FROM s WHERE rn = 1) r USING (tree_id)""",
+    "q30_interval_merge" ->
+      """SELECT user_id, count(*) AS n_spans,
+           (sum(e0 - s0) // 1000000)::BIGINT AS covered_sec
+         FROM (
+           SELECT user_id, island, min(w_start) AS s0, max(w_end) AS e0
+           FROM (
+             SELECT user_id, w_start, w_end,
+               sum(CASE WHEN prev_max IS NULL OR w_start > prev_max
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY w_start, w_end
+                       ROWS UNBOUNDED PRECEDING) AS island
+             FROM (
+               SELECT user_id, w_start, w_end,
+                 max(w_end) OVER (PARTITION BY user_id
+                   ORDER BY w_start, w_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM (SELECT user_id, epoch_us(ts) AS w_start,
+                       epoch_us(ts) + 600000000 AS w_end FROM events)))
+           GROUP BY user_id, island)
+         GROUP BY user_id""",
+    "q31_hour_bins" ->
+      """SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+           count(*) AS n_events
+         FROM events GROUP BY 1, 2""",
+    "q32_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+           coalesce(n_name, '(all)') AS n_name,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q33_type_count_map" ->
+      """SELECT user_id,
+           array_to_string(list(entry ORDER BY entry), ',') AS type_counts
+         FROM (SELECT user_id, event_type || ':' || count(*)::VARCHAR AS entry
+               FROM events GROUP BY user_id, event_type)
+         GROUP BY user_id""",
+    "q34_doc_assembly" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+           md5(string_agg(l_partkey::VARCHAR, ','
+                          ORDER BY l_linenumber, l_partkey)) AS items_digest
+         FROM lineitem GROUP BY l_orderkey""")
 }
