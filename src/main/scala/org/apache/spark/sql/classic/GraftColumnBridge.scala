@@ -1,0 +1,26 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's package-private Column <-> Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); Spark 4 removed the
+  * public `Column(expr)`/`col.expr` surface that custom Catalyst
+  * expressions need to expose themselves as user-facing Columns.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into an ALREADY-RUNNING session's registry —
+    * the live-session counterpart of `SparkSessionExtensions
+    * .injectFunction` (which only applies at session build time).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+      .registerFunction(name, info, builder)
+}
