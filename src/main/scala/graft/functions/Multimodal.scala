@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media travels as an opaque `binary` column plus typed
+  * metadata; decode / frame-sample / feature-extract run per partition
+  * in fixed-size batches — the Scala/Tungsten analog of `mapInPandas`
+  * (same contract: executors see bounded batches, never a whole
+  * partition in memory, and the output schema is declared up front).
+  *
+  * DECODE IS A STUB: real image/audio codecs are not available in this
+  * environment, so [[decodeStub]] derives a deterministic fake raster
+  * from the bytes. The Spark-side plumbing — binary columns, batch
+  * iteration, schema, partitioning — is real and is what these tests
+  * pin down; swap [[decodeStub]] for a JNI/codec call in production.
+  */
+object Multimodal {
+
+  /** A media row: opaque bytes + declared format. */
+  case class MediaRow(media_id: Long, content: Array[Byte], format: String)
+
+  /** Decoded raster stand-in: dimensions + one luminance byte per
+    * "pixel" of a fixed 8x8 thumbnail.
+    */
+  case class Decoded(media_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** Per-media feature vector (what an embedding model would emit). */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, features: Array[Float])
+
+  /** Sampled "frame" of a media blob. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB decoder — deterministic fake: width/height from the byte
+    * length, 8x8 "thumbnail" from strided byte averages. Replace with a
+    * real codec (libjpeg/ffmpeg) outside this container.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): Decoded = {
+    val w = 1 + (bytes.length % 64)
+    val h = 1 + (bytes.length % 48)
+    val thumb = Array.tabulate[Byte](64) { i =>
+      if (bytes.isEmpty) 0
+      else {
+        val start = (i * bytes.length) / 64
+        val end = math.max(start + 1, ((i + 1) * bytes.length) / 64)
+        var s = 0
+        var j = start
+        while (j < end) { s += bytes(j) & 0xff; j += 1 }
+        (s / (end - start)).toByte
+      }
+    }
+    Decoded(id, w, h, thumb)
+  }
+
+  /** Deterministic fake embedding: `dim` floats from a rolling 64-bit
+    * hash over the thumbnail — stands in for a vision encoder.
+    */
+  def featuresFromThumb(thumb: Array[Byte], dim: Int): Array[Float] = {
+    var h = 1125899906842597L
+    Array.tabulate(dim) { d =>
+      var acc = h + d * 0x9E3779B97F4A7C15L
+      thumb.foreach { b => acc = acc * 31 + (b & 0xff) }
+      h = acc
+      ((acc >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+  }
+
+  /** Batched partition map: decode + embed, `batchSize` rows at a time.
+    * `grouped` bounds executor memory exactly like Arrow batch size does
+    * for `mapInPandas`; partition count is preserved (pure narrow op, no
+    * shuffle — scales to any corpus by adding partitions).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      dim: Int = 16,
+      batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary: a real impl would decode the whole batch in
+        // one vectorized/JNI call here.
+        batch.map { m =>
+          val d = decodeStub(m.media_id, m.content)
+          MediaFeatures(m.media_id, m.content.length.toLong,
+            featuresFromThumb(d.thumb, dim))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: fixed-width byte windows every `stride` frames
+    * (video keyframe-sampling shape: one row in, 0..n rows out).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      frameBytes: Int,
+      stride: Int,
+      batchSize: Int = 256): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          val nFrames = m.content.length / frameBytes
+          (0 until nFrames by stride).map { f =>
+            Frame(m.media_id, f,
+              java.util.Arrays.copyOfRange(m.content, f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }
+    }
+  }
+
+  /** Column-level metadata extraction (no decode): byte length and
+    * leading-bytes "magic" — the cheap scan-time projection that
+    * partition-prunes a 100 TB media table before any decode runs.
+    */
+  def mediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.select(
+      col("*"),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      hex(expr(s"substring($binCol, 1, 4)")).as("magic"))
+}

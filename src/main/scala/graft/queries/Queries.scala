@@ -488,7 +488,35 @@ object Queries {
             sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
             x => x.getField("l_partkey").cast("string")))).as("items_digest"))
 
+  /** Multimodal: scan-time metadata over an opaque binary column (byte
+    * length + leading-bytes magic) — the projection that prunes a media
+    * table before any decode. The binary column derives from text here
+    * (no real media in the testdata); the plumbing is the point.
+    */
+  val q35MediaMeta: Q = (s, d) =>
+    graft.functions.Multimodal
+      .mediaMeta(
+        Tables.documents(s, d).select(
+          col("doc_id"), col("text").cast("binary").as("content")),
+        "content")
+      .select("doc_id", "n_bytes", "magic")
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
+
+  /** Multimodal feature extraction: batched mapPartitions decode-stub +
+    * deterministic fake embedding (rows-only: the hash-derived features
+    * are engine-specific; batch/partition invariance is unit-tested).
+    */
+  val q36MediaFeatures: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      lit("txt").as("format")).as[graft.functions.Multimodal.MediaRow]
+    graft.functions.Multimodal.extractFeatures(media, dim = 8)
+      .toDF()
+      .select(col("media_id"), col("n_bytes"), col("features"))
+  }
 
   /** MinHash+LSH near-dup candidates, verified by exact Jaccard.
     * xxhash64-based — not oracle-expressible, validated by unit tests +
@@ -547,6 +575,8 @@ object Queries {
     "q32_rollup" -> q32Rollup,
     "q33_type_count_map" -> q33TypeCountMap,
     "q34_doc_assembly" -> q34DocAssembly,
+    "q35_media_meta" -> q35MediaMeta,
+    "q36_media_features" -> q36MediaFeatures,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn)
@@ -811,5 +841,11 @@ object Queries {
       """SELECT l_orderkey, count(*) AS n_items,
            md5(string_agg(l_partkey::VARCHAR, ','
                           ORDER BY l_linenumber, l_partkey)) AS items_digest
-         FROM lineitem GROUP BY l_orderkey""")
+         FROM lineitem GROUP BY l_orderkey""",
+    "q35_media_meta" ->
+      // char-slice-then-encode equals the byte slice because the corpus
+      // is ASCII; DuckDB has no BLOB substring
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+           hex(encode(substring(text, 1, 4))) AS magic
+         FROM documents""")
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Multimodal
+import graft.functions.Multimodal.MediaRow
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(3)
+  private lazy val media: Seq[MediaRow] = (0L until 50L).map { i =>
+    val bytes = Array.fill[Byte](64 + rng.nextInt(512))(rng.nextInt().toByte)
+    MediaRow(i, bytes, if (i % 2 == 0) "img" else "aud")
+  }
+
+  test("feature extraction is deterministic and batch-size invariant") {
+    val ds = media.toDS()
+    val a = Multimodal.extractFeatures(ds, dim = 8, batchSize = 7)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val b = Multimodal.extractFeatures(ds.repartition(5), dim = 8, batchSize = 256)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a == b, "features must not depend on batching or partitioning")
+    assert(a.values.forall(_.length == 8))
+  }
+
+  test("feature extraction reports byte counts and keeps all rows") {
+    val got = Multimodal.extractFeatures(media.toDS(), dim = 4)
+      .collect().map(f => f.media_id -> f.n_bytes).toMap
+    assert(got == media.map(m => m.media_id -> m.content.length.toLong).toMap)
+  }
+
+  test("frame sampling: window count, stride, and byte fidelity") {
+    val bytes = Array.tabulate[Byte](100)(_.toByte)
+    val ds = Seq(MediaRow(1L, bytes, "vid")).toDS()
+    val frames = Multimodal.sampleFrames(ds, frameBytes = 10, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.head.frame_bytes.toSeq == (0 until 10).map(_.toByte))
+    assert(frames(1).frame_bytes.toSeq == (20 until 30).map(_.toByte))
+  }
+
+  test("frame sampling drops the ragged tail and empty media") {
+    val ds = Seq(
+      MediaRow(1L, Array.tabulate[Byte](25)(_.toByte), "vid"), // 2 full frames
+      MediaRow(2L, Array.empty[Byte], "vid"))
+      .toDS()
+    val frames = Multimodal.sampleFrames(ds, frameBytes = 10, stride = 1).collect()
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(1L))
+    assert(frames.length == 2)
+  }
+
+  test("mediaMeta extracts byte length and magic without decoding") {
+    val df = Seq((1L, "PNGx-rest-of-bytes"), (2L, "JPEGdata"))
+      .toDF("media_id", "txt")
+      .withColumn("content", col("txt").cast("binary"))
+    val rows = Multimodal.mediaMeta(df, "content")
+      .select("media_id", "n_bytes", "magic")
+      .as[(Long, Long, String)].collect()
+    assert(rows.toSet == Set(
+      (1L, 18L, "504E4778"),  // P N G x
+      (2L, 8L, "4A504547"))) // J P E G
+  }
+}
