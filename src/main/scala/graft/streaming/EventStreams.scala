@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream. The reference
+  * is pure batch (SURVEY §2.10) — its Node object-stream pipelines are
+  * bounded dataflow — but the engine exposes the streaming forms of its
+  * stateful shapes so the same semantics run incrementally: windowed
+  * counts with watermarked late-data handling, and session windows via
+  * `flatMapGroupsWithState` (the streaming restatement of the batch
+  * gaps-and-islands sessionization in q10/q30; SURVEY §7 notes A3/J9
+  * become flatMapGroupsWithState if gene updates ever stream).
+  *
+  * Scale notes: state is keyed by user_id — partitioned across
+  * executors by the shuffle on the grouping key; the watermark bounds
+  * state size (sessions/windows older than the watermark are evicted),
+  * which is what keeps unbounded streams at bounded memory.
+  */
+object EventStreams {
+
+  case class Event(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+
+  case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Internal per-user session state (public: encoder codegen needs a
+    * visible constructor).
+    */
+  case class SessionState(nEvents: Long, startUs: Long, lastUs: Long)
+
+  /** Tumbling-window counts per event type with a watermark: the
+    * incremental form of q31's hour binning. `append` mode — a window
+    * emits once, when the watermark passes its end.
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"))
+
+  /** Session windows per user: a session closes after `gapSec` of
+    * silence (event-time). Emits one row per completed session. State
+    * per user is O(1) (count + bounds), evicted on timeout — the
+    * streaming equivalent of the batch sessionization in
+    * [[graft.queries.Queries.q10Sessionize]].
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.nEvents, s.startUs, s.lastUs))
+      } else {
+        // events within a micro-batch are not ordered: sort this batch
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = math.max(s.lastUs, us)))
+            case Some(s) =>
+              closed += SessionOut(userId, s.nEvents, s.startUs, s.lastUs)
+              cur = Some(SessionState(1L, us, us))
+            case None =>
+              cur = Some(SessionState(1L, us, us))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

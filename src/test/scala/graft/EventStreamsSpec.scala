@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, id: Long, tpe: String, sec: Long): Event =
+    Event(user, id, tpe, new Timestamp(sec * 1000L))
+
+  test("windowedTypeCounts: tumbling counts emitted after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wtc").outputMode("append").start()
+    try {
+      // two events in hour 0, one in hour 1; then advance watermark far
+      input.addData(ev(1, 1, "click", 100), ev(2, 2, "click", 200), ev(1, 3, "view", 3700))
+      q.processAllAvailable()
+      input.addData(ev(9, 99, "click", 100000)) // watermark jumps past both windows
+      q.processAllAvailable()
+      val got = spark.table("wtc")
+        .select("window_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got.contains((new Timestamp(0L), "click", 2L)))
+      assert(got.contains((new Timestamp(3600L * 1000L), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions close on gap, match batch gaps-and-islands") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // base offset keeps event times clear of the initial watermark (0)
+      // user 1: events at +0s, +60s (one session), then +10000s (new)
+      // user 2: single event
+      val b = 100000L
+      input.addData(ev(1, 1, "a", b + 0), ev(1, 2, "a", b + 60), ev(2, 10, "a", b + 30))
+      q.processAllAvailable()
+      input.addData(ev(1, 3, "a", b + 10000))
+      q.processAllAvailable()
+      // flush: event far in the future moves the watermark, timing out all
+      input.addData(ev(99, 999, "a", 10000000))
+      q.processAllAvailable()
+      input.addData(ev(99, 1000, "a", 10000001))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select("user_id", "n_events", "start_us", "end_us")
+        .as[(Long, Long, Long, Long)].collect()
+        .filter(_._1 != 99L).toSet
+      val bu = 100000L * 1000000L
+      assert(got == Set(
+        (1L, 2L, bu, bu + 60000000L),
+        (1L, 1L, bu + 10000000000L, bu + 10000000000L),
+        (2L, 1L, bu + 30000000L, bu + 30000000L)))
+    } finally q.stop()
+  }
+}
