@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.DocMerge
+
+class DocMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deepMerge: arrays concat-distinct, scalars right-wins, missing LUT rows pass through") {
+    val docs = Seq(
+      (1L, Seq("a", "b"), "old-name", 10L),
+      (2L, Seq("x"), "keep-me", 20L))
+      .toDF("id", "synonyms", "name", "rank")
+    val lut = Seq(
+      (1L, Seq("b", "c"), "new-name"))
+      .toDF("id", "synonyms", "name")
+    val got = DocMerge.deepMerge(docs, lut, "id")
+      .orderBy("id")
+      .as[(Long, Seq[String], String, Long)].collect()
+    assert(got(0) == ((1L, Seq("a", "b", "c"), "new-name", 10L)))
+    assert(got(1) == ((2L, Seq("x"), "keep-me", 20L)))
+  }
+
+  test("deepMerge: nested structs merge field-wise") {
+    val docs = Seq((1L, ("r1", 100L, "d1"))).toDF("id", "loc")
+      .select(col("id"), col("loc").cast("struct<region:string,start:bigint,desc:string>"))
+    val lut = Seq((1L, (null.asInstanceOf[String], 999L))).toDF("id", "loc")
+      .select(col("id"), col("loc").cast("struct<region:string,start:bigint>"))
+    val got = DocMerge.deepMerge(docs, lut, "id").select("loc.*")
+      .as[(String, Long, String)].head()
+    assert(got == (("r1", 999L, "d1"))) // start overridden, region kept, desc untouched
+  }
+
+  test("deepMerge: right-only columns are appended") {
+    val docs = Seq((1L, "n")).toDF("id", "name")
+    val lut = Seq((1L, 3.14)).toDF("id", "score")
+    val got = DocMerge.deepMerge(docs, lut, "id").columns.toSeq
+    assert(got == Seq("id", "name", "score"))
+  }
+
+  test("pruneEmpty: empty strings, arrays, and all-null structs collapse to null") {
+    val df = Seq(
+      ("", Seq.empty[String], ("", Seq.empty[String])),
+      ("x", Seq("a", ""), ("y", Seq("z"))))
+      .toDF("s", "arr", "st")
+    val got = DocMerge.pruneEmpty(df).collect()
+    assert(got(0) == Row(null, null, null))
+    assert(got(1) == Row("x", Seq("a"), Row("y", Seq("z"))))
+  }
+
+  test("toCanonicalJson drops pruned fields from the serialized doc") {
+    val df = Seq(("g1", "", Seq.empty[String], 5L)).toDF("id", "desc", "syn", "n")
+    val json = DocMerge.toCanonicalJson(df).as[String].head()
+    assert(json == """{"id":"g1","n":5}""")
+  }
+}
