@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev tool: dump the formatted physical plan of each catalog query for
+  * the scale audit (pushdown reached the scan? joins broadcast where
+  * intended? codegen spans wide?). Usage: runMain graft.tools.ExplainAll
+  * <sfDir> [queryName...]
+  */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n================ $name ================")
+        try println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}
