@@ -29,7 +29,14 @@ object Bench {
     "q24_pivot_events",
     "q25_top_priced",
     "q26_minhash_lsh",
-    "q28_lsh_ann")
+    "q28_lsh_ann",
+    "q29_tree_stats",
+    "q30_interval_merge",
+    "q31_hour_bins",
+    "q32_rollup",
+    "q34_doc_assembly",
+    "q35_media_meta",
+    "q36_media_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,7 +57,11 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release accumulated broadcast/codegen state so later queries
+        // aren't taxed by earlier ones' GC debt
+        System.gc()
+        name -> dt
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact Jaccard over two SORTED string arrays as a native Catalyst
+  * expression: a single merge walk — no per-row hash sets (what
+  * `array_intersect` + `array_union` build) — with an early exit once
+  * the remaining elements cannot reach `threshold`. This is the verify
+  * kernel of the exact similarity join: at corpus scale it runs once
+  * per candidate pair, so its constant factor is the stage's cost.
+  *
+  * Returns the exact Jaccard when it is >= threshold, else -1.0
+  * (callers filter `>= threshold`; the early exit makes "below
+  * threshold" cheap without computing the exact low value).
+  */
+object SetSimilarity {
+
+  def jaccardSortedGE(a: ArrayData, b: ArrayData, threshold: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return if (threshold <= 1.0) 1.0 else -1.0
+    if (na == 0 || nb == 0) return -1.0
+    // jaccard >= t  <=>  inter >= t/(1+t) * (na+nb)
+    val needed = math.ceil(threshold / (1.0 + threshold) * (na + nb) - 1e-9)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < needed) return -1.0
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val jac = inter.toDouble / (na + nb - inter)
+    if (jac >= threshold) jac else -1.0
+  }
+
+  case class JaccardSortedGE(left: Expression, right: Expression, threshold: Double)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      jaccardSortedGE(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SetSimilarity.jaccardSortedGE($a, $b, $threshold)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** `a` and `b` MUST be sorted ascending (e.g. via `sort_array`). */
+  def jaccardSorted(a: Column, b: Column, threshold: Double): Column =
+    GraftColumnBridge.column(JaccardSortedGE(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), threshold))
+}

@@ -58,7 +58,8 @@ object Dedup {
     // Materialize shingles in their own projection so the signature's k
     // transforms reference one computed array instead of k inlined copies.
     val shingled = docs
-      .select(col(idCol).as("id"), TextAnalytics.shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"),
+        sort_array(TextAnalytics.shingles(col(textCol), shingleN)).as("sh"))
     val sigs = shingled
       .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig"))
 
@@ -86,7 +87,8 @@ object Dedup {
     candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -135,22 +137,36 @@ object Dedup {
       .join(tokFreq, Seq("block", "tok"))
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select("block", "id", "sz", "tok")
+      .select("block", "id", "sz", "tok", "rn")
+    // Positional filter (PPJoin): jaccard >= t implies overlap >=
+    // ceil(t/(1+t) * (|A|+|B|)), and a pair's overlap is bounded by
+    // 1 + min(|A|-posA, |B|-posB) at its earliest matching prefix token.
+    // Aggregating the max bound per pair both dedups candidates and
+    // prunes most spurious ones before the array-intersect verify.
     val candidates = prefixes
-      .select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .select(col("block"), col("tok"),
+        col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(
-        prefixes.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b")),
+        prefixes.select(col("block"), col("tok"),
+          col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b")),
         Seq("block", "tok"))
       .where(
         col("id_a") < col("id_b") &&
           col("sz_b") * threshold <= col("sz_a") &&
           col("sz_a") * threshold <= col("sz_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(max(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")))
+        .as("overlap_ub"))
+      .where(col("overlap_ub") >=
+        ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
       .select("id_a", "id_b")
-      .distinct()
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // native merge-walk verify on the sorted arrays (early-exit
+      // below threshold) — the per-candidate hot kernel
+      .withColumn("jaccard",
+        graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
