@@ -72,14 +72,22 @@ object TextAnalytics {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Contiguous n-gram shingles over the token array (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Contiguous n-gram shingles over a MATERIALIZED token-array column
+    * (distinct). Pass a column reference, not the `tokens(text)`
+    * expression: higher-order-function lambdas re-evaluate their
+    * argument expression per element, so an inlined tokenizer would be
+    * re-run once per shingle position (O(doc_len^2) tokenization).
+    */
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array()))
-  }
+
+  /** Convenience form over raw text — ONLY for one-shot/small inputs;
+    * pipelines must materialize `tokens` first (see [[shinglesOf]]).
+    */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 }

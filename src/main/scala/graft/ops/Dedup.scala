@@ -58,8 +58,9 @@ object Dedup {
     // Materialize shingles in their own projection so the signature's k
     // transforms reference one computed array instead of k inlined copies.
     val shingled = docs
-      .select(col(idCol).as("id"),
-        sort_array(TextAnalytics.shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        sort_array(TextAnalytics.shinglesOf(col("toks"), shingleN)).as("sh"))
     val sigs = shingled
       .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig"))
 
@@ -119,10 +120,13 @@ object Dedup {
       blockCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
-    val sh = docs.select(
-      col(blockCol).as("block"),
-      col(idCol).as("id"),
-      sort_array(TextAnalytics.shingles(col(textCol), shingleN)).as("sh"))
+    val sh = docs
+      .select(
+        col(blockCol).as("block"),
+        col(idCol).as("id"),
+        TextAnalytics.tokens(col(textCol)).as("toks"))
+      .select(col("block"), col("id"),
+        sort_array(TextAnalytics.shinglesOf(col("toks"), shingleN)).as("sh"))
     // Prefix length L = |S| - ceil(t*|S|) + 1, under ascending GLOBAL
     // FREQUENCY order (rarest shingles first) — the PPJoin ordering: any
     // common total order is correct, but frequency order makes prefixes
