@@ -501,6 +501,29 @@ object Queries {
         "content")
       .select("doc_id", "n_bytes", "magic")
 
+  /** Distinct aggregation: per-type distinct user counts + total — the
+    * two-phase (partial dedup, final count) distinct-agg plan.
+    */
+  val q37DistinctUsers: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** §2.9 regex ops: numeric id extracted from a formatted name
+    * (`search/ancestor_adder.js:46` id-from-prefixed-string shape) +
+    * rlike filter.
+    */
+  val q38RegexExtract: Q = (s, d) =>
+    Tables.customer(s, d)
+      .where(col("c_name").rlike("^Customer#\\d+$"))
+      .select(
+        col("c_custkey"),
+        nullif(regexp_extract(col("c_name"), "#0*(\\d+)$", 1), lit(""))
+          .cast("long").as("name_id"),
+        upper(substring(col("c_name"), 1, 8)).as("prefix"))
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -577,6 +600,8 @@ object Queries {
     "q34_doc_assembly" -> q34DocAssembly,
     "q35_media_meta" -> q35MediaMeta,
     "q36_media_features" -> q36MediaFeatures,
+    "q37_distinct_users" -> q37DistinctUsers,
+    "q38_regex_extract" -> q38RegexExtract,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn)
@@ -847,5 +872,15 @@ object Queries {
       // is ASCII; DuckDB has no BLOB substring
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
            hex(encode(substring(text, 1, 4))) AS magic
-         FROM documents""")
+         FROM documents""",
+    "q37_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "q38_regex_extract" ->
+      """SELECT c_custkey,
+           nullif(regexp_extract(c_name, '#0*(\d+)$', 1), '')::BIGINT AS name_id,
+           upper(substring(c_name, 1, 8)) AS prefix
+         FROM customer
+         WHERE regexp_matches(c_name, '^Customer#\d+$')""")
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
@@ -60,6 +61,39 @@ class EventStreamsSpec extends SparkSpec {
         (1L, 2L, bu, bu + 60000000L),
         (1L, 1L, bu + 10000000000L, bu + 10000000000L),
         (2L, 1L, bu + 30000000L, bu + 30000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize matches batch q10 on the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: q10's gaps-and-islands session counts per user
+    val batch = graft.queries.Queries.q10Sessionize(spark, dir)
+      .select("user_id", "n_sessions")
+      .as[(Long, Long)].collect().toMap
+
+    val rows = graft.core.Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .as[Event].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sess_real").outputMode("append").start()
+    try {
+      input.addData(rows) // one batch: in-batch sort handles ordering
+      q.processAllAvailable()
+      // flush events advance the watermark far enough to time out all
+      input.addData(ev(999999, 1, "f", maxTs / 1000L + 1000000L))
+      q.processAllAvailable()
+      input.addData(ev(999999, 2, "f", maxTs / 1000L + 1000001L))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_real")
+        .where(col("user_id") =!= 999999L)
+        .groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        s"diff=${(batch.toSet diff streamed.toSet) ++ (streamed.toSet diff batch.toSet)}")
     } finally q.stop()
   }
 }
