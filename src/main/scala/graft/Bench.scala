@@ -36,7 +36,9 @@ object Bench {
     "q32_rollup",
     "q34_doc_assembly",
     "q35_media_meta",
-    "q36_media_features")
+    "q36_media_features",
+    "q37_distinct_users",
+    "q39_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

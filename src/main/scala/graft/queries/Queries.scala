@@ -524,6 +524,35 @@ object Queries {
           .cast("long").as("name_id"),
         upper(substring(col("c_name"), 1, 8)).as("prefix"))
 
+  /** As-of (backward) join: each purchase matched to the latest error
+    * at-or-before it by the same user. Implemented as the union+window
+    * plan — tag both streams, one window pass carrying the last error
+    * timestamp forward — which shuffles each side ONCE on the key
+    * instead of range-joining: the scalable as-of shape (a sort-merge
+    * as-of strategy would be the custom-SparkStrategy upgrade path).
+    */
+  val q39AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val tagged = ev.select(
+      col("user_id"),
+      col("event_id"),
+      col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      when(col("event_type") === "error", unix_micros(col("ts"))).as("err_us"))
+      .where(col("event_type").isin("purchase", "error"))
+    // errors sort before purchases at the same timestamp => inclusive
+    // at-or-before semantics, deterministic regardless of event_id order
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), when(col("event_type") === "error", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_err_us", last("err_us", ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id"),
+        col("us").as("purchase_us"), col("last_err_us"))
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -602,6 +631,7 @@ object Queries {
     "q36_media_features" -> q36MediaFeatures,
     "q37_distinct_users" -> q37DistinctUsers,
     "q38_regex_extract" -> q38RegexExtract,
+    "q39_asof_join" -> q39AsofJoin,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn)
@@ -882,5 +912,15 @@ object Queries {
            nullif(regexp_extract(c_name, '#0*(\d+)$', 1), '')::BIGINT AS name_id,
            upper(substring(c_name, 1, 8)) AS prefix
          FROM customer
-         WHERE regexp_matches(c_name, '^Customer#\d+$')""")
+         WHERE regexp_matches(c_name, '^Customer#\d+$')""",
+    "q39_asof_join" ->
+      // correlated max as the engine-neutral as-of oracle (DuckDB ASOF
+      // JOIN exists but ties at equal timestamps are easier to pin this
+      // way: at-or-before, inclusive)
+      """SELECT p.user_id, p.event_id,
+           epoch_us(p.ts) AS purchase_us,
+           (SELECT max(epoch_us(e.ts)) FROM events e
+             WHERE e.user_id = p.user_id AND e.event_type = 'error'
+               AND epoch_us(e.ts) <= epoch_us(p.ts)) AS last_err_us
+         FROM events p WHERE p.event_type = 'purchase'""")
 }
