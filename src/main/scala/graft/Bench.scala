@@ -38,7 +38,8 @@ object Bench {
     "q35_media_meta",
     "q36_media_features",
     "q37_distinct_users",
-    "q39_asof_join")
+    "q39_asof_join",
+    "q40_interval_join_custom_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

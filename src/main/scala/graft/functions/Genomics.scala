@@ -122,8 +122,10 @@ object Genomics {
   * or on a live session via [[GraftExtensions.registerInto]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastIntervalJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -553,6 +553,30 @@ object Queries {
         col("us").as("purchase_us"), col("last_err_us"))
   }
 
+  /** J12 via the CUSTOM PLANNER PATH: the same global interval
+    * containment as q12, written as the raw range predicate against a
+    * broadcast interval side — planned by
+    * [[graft.plans.BroadcastIntervalJoinStrategy]] as a sorted-array
+    * binary-search probe instead of Catalyst's BroadcastNestedLoopJoin.
+    */
+  val q40IntervalJoinCustomPlan: Q = (s, d) => {
+    if (!s.experimental.extraStrategies.contains(graft.plans.BroadcastIntervalJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.BroadcastIntervalJoinStrategy
+    val ev = Tables.events(s, d)
+    val windows = ev.filter(col("event_type") === "error").select(
+      unix_micros(col("ts")).as("w_start"),
+      (unix_micros(col("ts")) + TenMinUs).as("w_end"))
+    val points = ev.filter(col("event_type") === "purchase").select(
+      col("event_id"),
+      unix_micros(col("ts")).as("p_ts"))
+    points
+      .join(broadcast(windows),
+        col("p_ts") >= col("w_start") && col("p_ts") <= col("w_end"))
+      .select("event_id")
+      .distinct()
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -632,6 +656,7 @@ object Queries {
     "q37_distinct_users" -> q37DistinctUsers,
     "q38_regex_extract" -> q38RegexExtract,
     "q39_asof_join" -> q39AsofJoin,
+    "q40_interval_join_custom_plan" -> q40IntervalJoinCustomPlan,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn)
@@ -922,5 +947,13 @@ object Queries {
            (SELECT max(epoch_us(e.ts)) FROM events e
              WHERE e.user_id = p.user_id AND e.event_type = 'error'
                AND epoch_us(e.ts) <= epoch_us(p.ts)) AS last_err_us
-         FROM events p WHERE p.event_type = 'purchase'""")
+         FROM events p WHERE p.event_type = 'purchase'""",
+    "q40_interval_join_custom_plan" ->
+      """SELECT DISTINCT p.event_id
+         FROM events p
+         WHERE p.event_type = 'purchase'
+           AND EXISTS (SELECT 1 FROM events w
+                       WHERE w.event_type = 'error'
+                         AND epoch_us(p.ts) >= epoch_us(w.ts)
+                         AND epoch_us(p.ts) <= epoch_us(w.ts) + 600000000)""")
 }
