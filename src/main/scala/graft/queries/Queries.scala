@@ -553,6 +553,31 @@ object Queries {
         col("us").as("purchase_us"), col("last_err_us"))
   }
 
+  /** W1 via a typed Aggregator: the same per-nation top-3 as q07, but
+    * with MAP-SIDE partial aggregation — each partition keeps only k
+    * candidates per group, so the shuffle carries O(k) rows per
+    * (partition, group) instead of every customer. Same oracle as the
+    * window plan; at scale this is the plan you want for small k.
+    */
+  val q41TopkAggregator: Q = (s, d) => {
+    import s.implicits._
+    val agg = graft.ops.TopK.topK(3).toColumn
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        col("c_custkey").as("id"), col("c_acctbal").as("score"))
+      .as[(Int, Long, Double)]
+      .map { case (nk, id, sc) => (nk, graft.ops.TopK.Scored(id, sc)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("top"))
+      .flatMap { case (nk, top) =>
+        top.zipWithIndex.map { case (sc, i) =>
+          (nk, (i + 1).toLong, sc.id, sc.score)
+        }
+      }
+      .toDF("c_nationkey", "rn", "c_custkey", "acctbal")
+  }
+
   /** J12 via the CUSTOM PLANNER PATH: the same global interval
     * containment as q12, written as the raw range predicate against a
     * broadcast interval side — planned by
@@ -657,6 +682,7 @@ object Queries {
     "q38_regex_extract" -> q38RegexExtract,
     "q39_asof_join" -> q39AsofJoin,
     "q40_interval_join_custom_plan" -> q40IntervalJoinCustomPlan,
+    "q41_topk_aggregator" -> q41TopkAggregator,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn)
@@ -955,5 +981,12 @@ object Queries {
            AND EXISTS (SELECT 1 FROM events w
                        WHERE w.event_type = 'error'
                          AND epoch_us(p.ts) >= epoch_us(w.ts)
-                         AND epoch_us(p.ts) <= epoch_us(w.ts) + 600000000)""")
+                         AND epoch_us(p.ts) <= epoch_us(w.ts) + 600000000)""",
+    "q41_topk_aggregator" ->
+      """SELECT c_nationkey, rn, c_custkey, acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 3""")
 }
