@@ -72,6 +72,63 @@ object Similarity {
       }
       .reduce(_ bitwiseOR _)
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; each query probes its `nProbe` nearest
+    * centroids and exact-reranks only those cells — the classic
+    * IVF-Flat index expressed relationally: the "inverted lists" are
+    * just the corpus DataFrame keyed by cluster id, so the probe is an
+    * equi-join on cluster id (hash join, never a cross product). Recall
+    * rises with nProbe; cost is |corpus|·nProbe/nLists per query.
+    * Centroids are fit with spark.ml KMeans (fixed seed) on the corpus
+    * (or a sample at scale) and broadcast for assignment.
+    */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+
+    // nearest-centroid assignment / probing as column expressions over
+    // the broadcast centroid literals (L2, matching KMeans objective)
+    def dist2(vec: Column, c: Array[Double]): Column = {
+      val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
+      aggregate(zip_with(vec, cLit, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+    }
+    def centroidRank(vec: Column): Column =
+      sort_array(array(centroids.map { case (i, c) =>
+        struct(dist2(vec, c).as("d"), lit(i).as("cid"))
+      }.toIndexedSeq: _*))
+
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", element_at(centroidRank(col("cv")), 1).getField("cid"))
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(transform(
+          slice(centroidRank(col("qv")), 1, nProbe), s => s.getField("cid"))))
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+
   /** ANN top-k: `numTables` independent SRP bucketings; candidates are
     * corpus rows sharing any (table, bucket) with the query, re-ranked
     * by exact cosine. Shuffle cost is the (table, bucket) equi-join —

@@ -642,6 +642,17 @@ object Queries {
       k = 5, dim = 64, bitsPerTable = 6, numTables = 6)
   }
 
+  /** IVF-Flat ANN (k-means coarse quantizer, nProbe cell probing +
+    * exact re-rank) — the second scale path besides LSH; recall
+    * validated in tests against the exact top-k.
+    */
+  val q42IvfAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfCosineTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 4)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -685,7 +696,8 @@ object Queries {
     "q41_topk_aggregator" -> q41TopkAggregator,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
-    "q28_lsh_ann" -> q28LshAnn)
+    "q28_lsh_ann" -> q28LshAnn,
+    "q42_ivf_ann" -> q42IvfAnn)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"

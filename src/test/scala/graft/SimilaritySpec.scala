@@ -66,6 +66,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF ANN: verified cosine ranks with decent recall, deterministic") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .cosineTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = Similarity
+      .ivfCosineTopK(df, queries, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = run()
+    val recall = (0L until 10L).map { q =>
+      (exact(q) intersect ivf.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }.sum / 10
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(run() == ivf, "fixed seed must reproduce")
+  }
+
   test("srp bucket is deterministic across invocations") {
     val df = vecs.take(20).toDF("vec_id", "embedding")
     val planes = Similarity.hyperplanes(dim, 6)
