@@ -63,4 +63,47 @@ object SetSimilarity {
   def jaccardSorted(a: Column, b: Column, threshold: Double): Column =
     GraftColumnBridge.column(JaccardSortedGE(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), threshold))
+
+  /** Cosine similarity of two double arrays in ONE fused pass (dot and
+    * both norms together) — the ANN rerank kernel. The HOF formulation
+    * (`zip_with` + two `transform`+`aggregate`s) walks the arrays three
+    * times and allocates intermediates; this walks once, allocation-
+    * free. Null/zero-norm/length-mismatch → 0.0 (mismatch compares the
+    * common prefix, like `zip_with`'s null-padding would drop to 0).
+    */
+  def cosineImpl(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+  }
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosineImpl(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SetSimilarity.cosineImpl($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def cosineNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -21,8 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns (row-local, codegen). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two double-array columns — the native fused
+    * single-pass kernel ([[graft.functions.SetSimilarity.CosineSim]]);
+    * the HOF formulation it replaced walked the arrays three times.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.SetSimilarity.cosineNative(a, b)
+
+  /** The HOF formulation, kept as the reference implementation the
+    * native kernel is tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))

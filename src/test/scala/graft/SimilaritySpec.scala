@@ -86,6 +86,17 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == ivf, "fixed seed must reproduce")
   }
 
+  test("native cosine kernel is bit-identical to the HOF formulation") {
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val pairs = df.as("a").crossJoin(df.as("b")).limit(2000)
+    val diffs = pairs.select(
+      (Similarity.cosine(col("a.v"), col("b.v")) -
+        Similarity.cosineHof(col("a.v"), col("b.v"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diffs == 0.0, s"max diff $diffs")
+  }
+
   test("srp bucket is deterministic across invocations") {
     val df = vecs.take(20).toDF("vec_id", "embedding")
     val planes = Similarity.hyperplanes(dim, 6)
