@@ -27,23 +27,44 @@ object DocMerge {
       left: DataFrame,
       right: DataFrame,
       key: String,
-      broadcastRight: Boolean = true): DataFrame = {
+      broadcastRight: Boolean = true,
+      caseInsensitiveFallback: Boolean = false): DataFrame = {
     val r0 = right.columns.foldLeft(right) { (df, c) =>
       if (c == key) df else df.withColumnRenamed(c, s"__r_$c")
     }
     val rr = if (broadcastRight) broadcast(r0) else r0
-    val joined = left.join(rr, Seq(key), "left")
+    val exact = left.join(rr, Seq(key), "left")
+    // reference fallback (`search/doc_merger.js:23-24`): probe the LUT
+    // by exact key, else by the upper-cased key — expressed as a second
+    // left join against the upper-keyed LUT, losers coalesced per column
+    val joined = if (!caseInsensitiveFallback) exact else {
+      val rUp0 = right.columns.foldLeft(right) { (df, c) =>
+        if (c == key) df else df.withColumnRenamed(c, s"__ru_$c")
+      }
+      val rUp = rUp0
+        .withColumn(key, upper(col(key)))
+        .dropDuplicates(key)
+      val rUpB = if (broadcastRight) broadcast(rUp) else rUp
+      exact
+        .withColumn("__upkey", upper(col(key)))
+        .join(rUpB.withColumnRenamed(key, "__upkey"), Seq("__upkey"), "left")
+        .drop("__upkey")
+    }
+    def rightCol(name: String): Column =
+      if (caseInsensitiveFallback)
+        coalesce(col(s"__r_$name"), col(s"__ru_$name"))
+      else col(s"__r_$name")
     val rightSchema = right.schema.filter(_.name != key).map(f => f.name -> f.dataType).toMap
     val merged = left.schema.fields.filter(_.name != key).map { f =>
       rightSchema.get(f.name) match {
         case Some(rt) =>
-          mergeValue(col(f.name), col(s"__r_${f.name}"), f.dataType, rt).as(f.name)
+          mergeValue(col(f.name), rightCol(f.name), f.dataType, rt).as(f.name)
         case None => col(f.name)
       }
     }
     val rightOnly = right.schema.fields
       .filter(f => f.name != key && !left.columns.contains(f.name))
-      .map(f => col(s"__r_${f.name}").as(f.name))
+      .map(f => rightCol(f.name).as(f.name))
     joined.select(col(key) +: (merged ++ rightOnly): _*)
   }
 

@@ -39,6 +39,19 @@ class DocMergeSpec extends SparkSpec {
     assert(got == Seq("id", "name", "score"))
   }
 
+  test("deepMerge: case-insensitive fallback probes the upper-cased key") {
+    val docs = Seq(("gene1", "old"), ("GENE2", "keep"), ("gene3", "x"))
+      .toDF("id", "name")
+    val lut = Seq(("gene1", "exact-hit"), ("GENE3", "upper-hit"))
+      .toDF("id", "name")
+    val got = DocMerge
+      .deepMerge(docs, lut, "id", caseInsensitiveFallback = true)
+      .as[(String, String)].collect().toMap
+    assert(got("gene1") == "exact-hit")   // exact match wins
+    assert(got("GENE2") == "keep")        // no match either way
+    assert(got("gene3") == "upper-hit")   // found via upper(key)
+  }
+
   test("pruneEmpty: empty strings, arrays, and all-null structs collapse to null") {
     val df = Seq(
       ("", Seq.empty[String], ("", Seq.empty[String])),
