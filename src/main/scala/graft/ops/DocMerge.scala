@@ -41,9 +41,16 @@ object DocMerge {
       val rUp0 = right.columns.foldLeft(right) { (df, c) =>
         if (c == key) df else df.withColumnRenamed(c, s"__ru_$c")
       }
+      // when two LUT keys collide case-insensitively, pick the smallest
+      // original key — dropDuplicates would choose partition-order-
+      // dependently, breaking run-to-run determinism
+      val byUpper = org.apache.spark.sql.expressions.Window
+        .partitionBy(upper(col(key))).orderBy(col(key))
       val rUp = rUp0
+        .withColumn("__rn", row_number().over(byUpper))
+        .where(col("__rn") === 1)
+        .drop("__rn")
         .withColumn(key, upper(col(key)))
-        .dropDuplicates(key)
       val rUpB = if (broadcastRight) broadcast(rUp) else rUp
       exact
         .withColumn("__upkey", upper(col(key)))

@@ -52,6 +52,15 @@ class DocMergeSpec extends SparkSpec {
     assert(got("gene3") == "upper-hit")   // found via upper(key)
   }
 
+  test("deepMerge fallback: case-colliding LUT keys resolve deterministically") {
+    val docs = Seq(("GENE9", "old")).toDF("id", "name")
+    val lut = Seq(("gene9", "lower"), ("Gene9", "mixed")).toDF("id", "name")
+    val got = DocMerge
+      .deepMerge(docs, lut, "id", caseInsensitiveFallback = true)
+      .as[(String, String)].collect().toMap
+    assert(got("GENE9") == "mixed") // smallest original key ("Gene9" < "gene9")
+  }
+
   test("pruneEmpty: empty strings, arrays, and all-null structs collapse to null") {
     val df = Seq(
       ("", Seq.empty[String], ("", Seq.empty[String])),
