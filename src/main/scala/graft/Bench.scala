@@ -59,18 +59,28 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // release accumulated broadcast/codegen state so later queries
         // aren't taxed by earlier ones' GC debt
         System.gc()
-        name -> dt
+        (name, dt, ok)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a failed query reports -1.0 (never its time-to-failure) and is
+    // excluded from the total; failures are listed explicitly
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

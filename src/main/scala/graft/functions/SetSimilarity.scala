@@ -24,7 +24,10 @@ object SetSimilarity {
   def jaccardSortedGE(a: ArrayData, b: ArrayData, threshold: Double): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return if (threshold <= 1.0) 1.0 else -1.0
+    // Empty sets (docs shorter than the shingle width) have UNDEFINED
+    // similarity (0/0) — report below-threshold rather than 1.0, so
+    // unrelated sub-shingle-length docs never pair as duplicates. This
+    // matches the SQL oracle, where the NaN ratio fails the >= filter.
     if (na == 0 || nb == 0) return -1.0
     // jaccard >= t  <=>  inter >= t/(1+t) * (na+nb)
     val needed = math.ceil(threshold / (1.0 + threshold) * (na + nb) - 1e-9)
@@ -68,11 +71,13 @@ object SetSimilarity {
     * both norms together) — the ANN rerank kernel. The HOF formulation
     * (`zip_with` + two `transform`+`aggregate`s) walks the arrays three
     * times and allocates intermediates; this walks once, allocation-
-    * free. Null/zero-norm/length-mismatch → 0.0 (mismatch compares the
-    * common prefix, like `zip_with`'s null-padding would drop to 0).
+    * free. Null/zero-norm/length-mismatch → 0.0 (mismatched dimensions
+    * are incomparable; `zip_with`'s null-padding nulls the dot product
+    * the same way — parity is covered by a unit test).
     */
   def cosineImpl(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return 0.0
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

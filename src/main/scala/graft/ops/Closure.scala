@@ -29,16 +29,20 @@ object Closure {
       .select(col("child").as("node"), col("parent").as("ancestor"))
       .distinct()
       .localCheckpoint()
-    var prev = -1L
-    var cnt = paths.count()
-    while (cnt != prev) {
+    var prev = paths.count()
+    var done = false
+    while (!done) {
       val doubled = paths
         .as("a")
         .join(paths.as("b"), col("a.ancestor") === col("b.node"))
         .select(col("a.node").as("node"), col("b.ancestor").as("ancestor"))
-      paths = paths.union(doubled).distinct().localCheckpoint()
-      prev = cnt
-      cnt = paths.count()
+      // LAZY checkpoint + count: the count IS the materializing action,
+      // so a round runs exactly one job (the eager-checkpoint-then-count
+      // form ran two). Convergence = fixpoint of the path-pair count.
+      val next = paths.union(doubled).distinct().localCheckpoint(eager = false)
+      val cnt = next.count()
+      if (cnt == prev) done = true
+      else { paths = next; prev = cnt }
     }
     paths
   }

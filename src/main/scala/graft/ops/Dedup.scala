@@ -61,6 +61,10 @@ object Dedup {
       .select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
       .select(col("id"),
         sort_array(TextAnalytics.shinglesOf(col("toks"), shingleN)).as("sh"))
+      // docs shorter than the shingle width have an empty set: their
+      // similarity is undefined (and their all-null MinHash signatures
+      // would collide into one giant bucket) — exclude them up front
+      .where(size(col("sh")) > 0)
     val sigs = shingled
       .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig"))
 
@@ -127,6 +131,9 @@ object Dedup {
         TextAnalytics.tokens(col(textCol)).as("toks"))
       .select(col("block"), col("id"),
         sort_array(TextAnalytics.shinglesOf(col("toks"), shingleN)).as("sh"))
+      // empty shingle sets (sub-shingle-length docs) have undefined
+      // similarity — the oracle's 0/0 is NaN and fails its filter too
+      .where(size(col("sh")) > 0)
     // Prefix length L = |S| - ceil(t*|S|) + 1, under ascending GLOBAL
     // FREQUENCY order (rarest shingles first) — the PPJoin ordering: any
     // common total order is correct, but frequency order makes prefixes
@@ -198,8 +205,19 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit fingerprint chunks (two
     * near-identical docs differing in <= 3 bits must agree on at least
     * one of the 4 chunks), then verify with exact Hamming distance.
+    *
+    * SKEW GUARD: a popular chunk value (e.g. 0 across short docs) makes
+    * one bucket's pair space quadratic IN ONE TASK. Buckets larger than
+    * `bucketCap` are split into g = ceil(n/cap) salt groups: the probe
+    * side keeps its own salt, the build side fans out to all g salts, so
+    * every (a, b) pair still meets exactly once (at a's salt) while the
+    * worst single task shrinks g-fold. Results are identical to the
+    * unsalted join — this redistributes work, it never drops candidates.
     */
-  def simHashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(
+      fps: DataFrame,
+      maxHamming: Int = 3,
+      bucketCap: Int = 1024): DataFrame = {
     val chunks = fps.select(
       col("id"),
       col("simhash"),
@@ -207,9 +225,18 @@ object Dedup {
         struct(lit(c).as("chunk"),
           col("simhash").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))
       }: _*)).as("ck"))
-    val a = chunks.select(col("ck"), col("id").as("id_a"), col("simhash").as("fp_a"))
-    val b = chunks.select(col("ck"), col("id").as("id_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("ck"))
+    val groups = chunks.groupBy("ck").agg(
+      ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
+    val sized = chunks.join(groups, Seq("ck"))
+    val a = sized.select(
+      col("ck"),
+      pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
+      col("id").as("id_a"), col("simhash").as("fp_a"))
+    val b = sized.select(
+      col("ck"),
+      explode(sequence(lit(0), col("g") - 1)).as("salt"),
+      col("id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("ck", "salt"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))

@@ -31,7 +31,7 @@ object DocMerge {
       caseInsensitiveFallback: Boolean = false): DataFrame = {
     val r0 = right.columns.foldLeft(right) { (df, c) =>
       if (c == key) df else df.withColumnRenamed(c, s"__r_$c")
-    }
+    }.withColumn("__r_hit", lit(true))
     val rr = if (broadcastRight) broadcast(r0) else r0
     val exact = left.join(rr, Seq(key), "left")
     // reference fallback (`search/doc_merger.js:23-24`): probe the LUT
@@ -57,9 +57,14 @@ object DocMerge {
         .join(rUpB.withColumnRenamed(key, "__upkey"), Seq("__upkey"), "left")
         .drop("__upkey")
     }
+    // The fallback is PER ROW, not per column (`search/doc_merger.js:
+    // 23-24`: exact probe, ELSE ci probe): the upper-key row applies only
+    // when the exact join missed entirely — otherwise null fields of the
+    // matched LUT row would backfill from a DIFFERENT LUT entry.
     def rightCol(name: String): Column =
       if (caseInsensitiveFallback)
-        coalesce(col(s"__r_$name"), col(s"__ru_$name"))
+        when(col("__r_hit").isNotNull, col(s"__r_$name"))
+          .otherwise(col(s"__ru_$name"))
       else col(s"__r_$name")
     val rightSchema = right.schema.filter(_.name != key).map(f => f.name -> f.dataType).toMap
     val merged = left.schema.fields.filter(_.name != key).map { f =>

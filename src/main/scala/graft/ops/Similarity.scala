@@ -32,7 +32,12 @@ object Similarity {
     * native kernel is tested against.
     */
   def cosineHof(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    // mismatched lengths: zip_with null-pads the shorter side, nulling
+    // the dot product — coalesce to 0.0 so mismatches score 0 exactly
+    // like the native kernel (parity is unit-tested)
+    val dot = coalesce(
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x),
+      lit(0.0))
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))

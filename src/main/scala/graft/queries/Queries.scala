@@ -241,10 +241,15 @@ object Queries {
   private val closureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def partClosure(s: SparkSession, d: String): DataFrame =
+  private def partClosure(s: SparkSession, d: String): DataFrame = {
+    // Evict entries pinned to stopped sessions: their DataFrames are
+    // unusable, and keeping them would leak both the map entry and the
+    // persisted blocks (which died with the session's executors anyway).
+    closureCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
     closureCache.computeIfAbsent((s, d), { case (s, d) =>
       Closure.transitiveClosure(partEdges(s, d)).persist()
     })
+  }
 
   /** T9/T10: transitive ancestor closure by distributed fixpoint with
     * path doubling (`ontologies/obo2json.pl:97-114`). Hierarchy derived
@@ -619,6 +624,9 @@ object Queries {
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
     * deterministic fake embedding (rows-only: the hash-derived features
     * are engine-specific; batch/partition invariance is unit-tested).
+    * The vector is emitted as an md5 digest plus a rounded L1 norm —
+    * scalar columns the driver harness can sort/hash (a raw float array
+    * column crashed its pandas sort in round 1).
     */
   val q36MediaFeatures: Q = (s, d) => {
     import s.implicits._
@@ -628,7 +636,13 @@ object Queries {
       lit("txt").as("format")).as[graft.functions.Multimodal.MediaRow]
     graft.functions.Multimodal.extractFeatures(media, dim = 8)
       .toDF()
-      .select(col("media_id"), col("n_bytes"), col("features"))
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        md5(concat_ws(",", transform(col("features"), f => f.cast("string"))))
+          .as("features_digest"),
+        round(aggregate(col("features"),
+          lit(0.0), (s, x) => s + abs(x.cast("double"))), 4).as("features_l1"))
   }
 
   /** MinHash+LSH near-dup candidates, verified by exact Jaccard.

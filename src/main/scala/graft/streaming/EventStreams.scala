@@ -67,12 +67,18 @@ object EventStreams {
         state.remove()
         Iterator.single(SessionOut(userId, s.nEvents, s.startUs, s.lastUs))
       } else {
+        // full microsecond precision: getTime truncates to millis and
+        // would diverge from the batch q10's unix_micros on sub-ms times
+        def micros(t: Timestamp): Long = {
+          val i = t.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
         // events within a micro-batch are not ordered: sort this batch
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         var cur = state.getOption
         val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          val us = micros(e.ts)
           cur match {
             case Some(s) if us - s.lastUs <= gapUs =>
               cur = Some(s.copy(nEvents = s.nEvents + 1, lastUs = math.max(s.lastUs, us)))

@@ -45,6 +45,23 @@ class DedupSpec extends SparkSpec {
     assert(got.size <= want.size + 5, s"too many spurious pairs: $got")
   }
 
+  test("sub-shingle-length docs (empty shingle sets) never pair as duplicates") {
+    // one-word docs produce zero 2-gram shingles: their similarity is
+    // undefined, so neither the exact join nor LSH may report them
+    val docs = (corpus ++ Seq((500L, "single"), (501L, "word"), (502L, "")))
+      .toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", "lang", shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup
+      .minHashLsh(docs, "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 4,
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (exact ++ lsh).foreach { case (a, b) =>
+      assert(a < 500L && b < 500L, s"short doc paired: ($a, $b)")
+    }
+  }
+
   test("minhash LSH recovers the exact join's pairs (recall 1.0 here)") {
     val docs = corpus.toDF("doc_id", "text").withColumn("lang", lit("xx"))
     val exact = Dedup
@@ -74,6 +91,27 @@ class DedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
     val fp2 = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     assert(fp == fp2)
+  }
+
+  test("simHashPairs skew guard: planted hot chunk, salted pairs == unsalted pairs") {
+    // 300 fingerprints all sharing chunk-0 value 0 (a planted hot
+    // bucket) + a few true near-dup pairs; the salted plan (tiny cap ->
+    // many salt groups) must return exactly the unsalted plan's result
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 300).map { i =>
+      val high = rnd.nextLong() & 0xFFFFFFFFFFFF0000L // chunk 0 == 0 for all
+      (i.toLong, high)
+    }
+    val withDups = base ++ Seq(
+      (1000L, base(0)._2 ^ 0x10000L), // hamming 1 from id 0
+      (1001L, base(1)._2 ^ 0x30000L)) // hamming 2 from id 1
+    val fps = withDups.toDF("id", "simhash")
+    def run(cap: Int) = Dedup.simHashPairs(fps, maxHamming = 3, bucketCap = cap)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val unsalted = run(1000000)
+    val salted = run(16)
+    assert(salted == unsalted, s"salting changed results: ${salted diff unsalted} / ${unsalted diff salted}")
+    assert(unsalted.contains((0L, 1000L, 1)))
   }
 
   test("simHashPairs: pairs within the hamming radius, none beyond") {

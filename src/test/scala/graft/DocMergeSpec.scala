@@ -61,6 +61,22 @@ class DocMergeSpec extends SparkSpec {
     assert(got("GENE9") == "mixed") // smallest original key ("Gene9" < "gene9")
   }
 
+  test("deepMerge fallback is per-row: an exact hit's null fields never backfill from the ci row") {
+    // doc "gene1" hits LUT row ("gene1", name=null, score=7); a DIFFERENT
+    // LUT row ("GENE1", "other", 9) matches case-insensitively. The
+    // reference probes exact-key ELSE upper-key (doc_merger.js:23-24):
+    // the exact row wins wholesale, its null name must stay null-merged
+    // (keep the doc's own name), not borrow "other" from GENE1.
+    val docs = Seq(("gene1", "doc-name", 0L)).toDF("id", "name", "score")
+    val lut = Seq(
+      ("gene1", null.asInstanceOf[String], 7L),
+      ("GENE1", "other", 9L)).toDF("id", "name", "score")
+    val got = DocMerge
+      .deepMerge(docs, lut, "id", caseInsensitiveFallback = true)
+      .as[(String, String, Long)].head()
+    assert(got == (("gene1", "doc-name", 7L)), s"got $got")
+  }
+
   test("pruneEmpty: empty strings, arrays, and all-null structs collapse to null") {
     val df = Seq(
       ("", Seq.empty[String], ("", Seq.empty[String])),

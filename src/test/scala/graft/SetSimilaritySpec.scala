@@ -18,9 +18,12 @@ class SetSimilaritySpec extends SparkSpec {
     assert(jac(Seq("a", "b", "c", "d"), Seq("a", "x", "y", "z"), 0.5) == -1.0)
   }
 
-  test("empty arrays") {
-    assert(jac(Nil, Nil, 0.5) == 1.0)
+  test("empty arrays: undefined similarity reports below-threshold") {
+    // 0/0 is undefined — two sub-shingle-length docs must NOT read as
+    // perfect duplicates (the SQL oracle's NaN fails its filter too)
+    assert(jac(Nil, Nil, 0.5) == -1.0)
     assert(jac(Seq("a"), Nil, 0.5) == -1.0)
+    assert(jac(Nil, Seq("a"), 0.5) == -1.0)
   }
 
   test("matches HOF-based exact jaccard on random sorted sets above threshold") {

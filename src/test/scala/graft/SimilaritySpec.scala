@@ -97,6 +97,18 @@ class SimilaritySpec extends SparkSpec {
     assert(diffs == 0.0, s"max diff $diffs")
   }
 
+  test("mismatched-length arrays: native kernel agrees with HOF (both 0.0)") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),
+      (Array(1.0), Array(1.0, 0.0, 0.0, 0.0))).toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosineHof(col("a"), col("b"))).as[(Double, Double)].collect()
+    got.foreach { case (native, hof) =>
+      assert(native == 0.0 && hof == 0.0, s"native=$native hof=$hof")
+    }
+  }
+
   test("srp bucket is deterministic across invocations") {
     val df = vecs.take(20).toDF("vec_id", "embedding")
     val planes = Similarity.hyperplanes(dim, 6)
