@@ -81,15 +81,29 @@ object GeneTreeRep {
   val Curated = -500.0
   val ModelSpeciesBonus = -25.0
 
+  /** Regex-escape a column value so it can be embedded in a pattern:
+    * every non-[A-Za-z0-9_] char gets a leading backslash. Gene ids with
+    * metacharacters (`.`, `+`, `(`) would otherwise mis-match or make
+    * `regexp_replace` throw at runtime.
+    */
+  def regexQuote(c: Column): Column =
+    regexp_replace(c, lit("([^A-Za-z0-9_])"), lit("\\\\$1"))
+
   /** Description cleanup (`trees/genetree.js:147-149`): strip the
     * `[Source:...]` suffix, then any token starting with the gene's own
     * stable id (case-insensitive) — what remains is the information
     * content the quality regexes judge.
+    *
+    * Two intentional deviations from the reference, which passes the id
+    * through a JS string literal where `'\S'` collapses to `'S'` (so its
+    * effective pattern is `<id>S*`) and uses first-occurrence-only
+    * string `.replace`: we implement the evident intent — a real `\S*`
+    * tail — and strip ALL occurrences of the id token.
     */
   def cleanDescription(description: Column, geneId: Column): Column =
     regexp_replace(
       regexp_replace(description, lit("\\s*\\[Source:.*"), lit("")),
-      concat(lit("(?i)"), geneId, lit("\\S*")), lit(""))
+      concat(lit("(?i)"), regexQuote(geneId), lit("\\S*")), lit(""))
 
   /** Leaf representative score (`trees/genetree.js:136-198`), lower is
     * better. Pure codegen'd column expression — the scoring pass is a
@@ -132,7 +146,12 @@ object GeneTreeRep {
         when(description.isNotNull && desc.rlike("^Putative"), -lit(Bad))
           .otherwise(lit(0.0)))
       .otherwise(lit(0.0))
-    val hostedScore = when(!genomeHosted, lit(Bad)).otherwise(lit(0.0))
+    // NULL hosted flag (e.g. from a left join against the hosted-genome
+    // table) means UNKNOWN taxon, which the reference penalizes exactly
+    // like a non-hosted one (`!haveGenome[taxon]` is truthy for
+    // undefined) — coalesce to false so NULL takes the penalty too.
+    val hostedScore =
+      when(!coalesce(genomeHosted, lit(false)), lit(Bad)).otherwise(lit(0.0))
     curScore + descScore + labelScore + modelScore + hostedScore
   }
 
@@ -150,6 +169,10 @@ object GeneTreeRep {
       excludeTaxon: Long = 3702001L): Dataset[LeafAttr] = {
     import nodes.sparkSession.implicits._
     val athRe = athPattern.r
+    // null-safe ath test: internal nodes (and malformed leaves) carry a
+    // null geneId; a rep built from one must never NPE the whole task.
+    def isAth(gene: String): Boolean =
+      gene != null && athRe.findFirstIn(gene).isDefined
     nodes
       .groupByKey(_.treeId)
       .flatMapGroups { (treeId, it) =>
@@ -207,7 +230,7 @@ object GeneTreeRep {
         val ath = mutable.HashMap.empty[Long, Rep]
         val rootRep = bu(root.id)
         fin(root.id) = rootRep
-        if (athRe.findFirstIn(rootRep.gene).isDefined) ath(root.id) = rootRep
+        if (isAth(rootRep.gene)) ath(root.id) = rootRep
         preorder.foreach { node =>
           val nodeRep = fin(node.id)
           val gated = nodeRep.score < cutoff
@@ -218,7 +241,7 @@ object GeneTreeRep {
               else own
             fin(child.id) = rep
             if (gated) {
-              if (athRe.findFirstIn(rep.gene).isDefined) ath(child.id) = rep
+              if (isAth(rep.gene)) ath(child.id) = rep
               else ath.get(node.id).foreach(a => ath(child.id) = a)
             }
           }
@@ -246,15 +269,17 @@ object GeneTreeRep {
           else if (rep.leafId == leaf.id) {
             // self-representative: the model slot carries the closest
             // model-species rep when one exists, else the leaf itself
-            val model = ath.get(leaf.id).map(_.gene).getOrElse(leaf.geneId)
+            // (Option-wrapped: a null geneId must encode as None, not
+            // Some(null), which the Catalyst serializer rejects)
+            val model = ath.get(leaf.id).map(_.gene).orElse(Option(leaf.geneId))
             LeafAttr(treeId, leaf.geneId, root.taxonId, Some(rep.score),
-              Some(model), None, leafDups)
+              model, None, leafDups)
           } else {
             val model = ath.get(leaf.id).collect {
               case a if a.gene != rep.gene => a.gene
             }
             LeafAttr(treeId, leaf.geneId, root.taxonId, Some(rep.score),
-              model, Some(rep.gene), leafDups)
+              model, Option(rep.gene), leafDups)
           }
         }
       }

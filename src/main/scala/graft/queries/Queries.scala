@@ -619,6 +619,86 @@ object Queries {
       .distinct()
   }
 
+  /** T3-prep: reference-fidelity leaf representative scoring
+    * (`trees/genetree.js:136-198`) over gene attributes synthesized
+    * deterministically from the part table — curation flag, description
+    * quality regexes (with the `[Source:...]` strip + own-id scrub),
+    * display-label heuristics, model-species bonus, hosted-genome
+    * penalty. Pure codegen'd projection; the oracle replays the same
+    * CASE/regex cascade in SQL.
+    */
+  val q43GenetreeScore: Q = (s, d) => {
+    import graft.ops.GeneTreeRep
+    val p = Tables.part(s, d).select(col("p_partkey").as("pk"))
+    val gene = when(col("pk") % 3 === 0, concat(lit("AT"), col("pk")))
+      .otherwise(concat(lit("G"), col("pk")))
+    val descr = when(col("pk") % 7 === 1, lit("hypothetical protein kinase"))
+      .when(col("pk") % 7 === 2, lit("expressed protein"))
+      .when(col("pk") % 7 === 3, lit("Zm00001d0 kinase"))
+      .when(col("pk") % 7 === 4, lit("Receptor kinase activity [Source:UniProtKB]"))
+      .when(col("pk") % 7 === 5, gene)
+      .when(col("pk") % 7 === 6, lit("Putative transporter")) // % 7 == 0 → null
+    val label = when(col("pk") % 5 === 1, gene)
+      .when(col("pk") % 5 === 2, lit("POPTRDRAFT_99"))
+      .when(col("pk") % 5 === 3, concat(lit("KIN"), col("pk")))
+      .when(col("pk") % 5 === 4, lit("abc")) // % 5 == 0 → null
+    val taxon = when(col("pk") % 4 === 0, lit(3702L)).otherwise(lit(4577L))
+    val hosted = when(col("pk") % 11 === 0, lit(null).cast("boolean"))
+      .when(col("pk") % 11 < 6, lit(true)).otherwise(lit(false))
+    p.select(
+      gene.as("gene_id"),
+      GeneTreeRep.leafScore(
+        curated = col("pk") % 10 === 0, description = descr,
+        displayLabel = label, geneId = gene,
+        taxonId = taxon, genomeHosted = hosted).as("score"))
+  }
+
+  /** T3/T4/T5: gene-tree representative propagation
+    * ([[graft.ops.GeneTreeRep.leafAttrs]] — `trees/genetree.js:211-233`
+    * bottom-up DP, `search/genetree_adder.js:139-173` top-down 0.8
+    * override + ath tracking + duplication tagging) over a caterpillar
+    * forest derived from the part table: tree k holds the parts with
+    * `p_partkey % 50 = k`, ranked into leaves L_1..L_n hanging off an
+    * internal chain I_1→I_(n-1). All distances/scores are exact binary
+    * quarters so the DuckDB recursive-CTE oracle hash-matches bit-for-
+    * bit. One shuffle (nodes by tree id); each tree folds executor-local.
+    */
+  val q44GenetreeRep: Q = (s, d) => {
+    import s.implicits._
+    import graft.ops.GeneTreeRep
+    val w = Window.partitionBy("treeId").orderBy("pk")
+    val ranked = Tables.part(s, d)
+      .select(col("p_partkey").as("pk"), (col("p_partkey") % 50).cast("long").as("treeId"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("treeId")))
+    val leaves = ranked.select(
+      col("treeId"),
+      (col("r") * 2).cast("long").as("id"),
+      when(col("n") === 1, lit(-1L))
+        .otherwise((least(col("r"), col("n") - 1) * 2 + 1).cast("long")).as("parent"),
+      ((col("pk") % 5) * lit(0.25) + lit(0.25)).as("dist"),
+      when(col("pk") % 17 === 0, lit(3702001L))
+        .when(col("pk") % 5 === 0, lit(3702L))
+        .otherwise(lit(4577L)).as("taxonId"),
+      when(col("pk") % 3 === 0, concat(lit("AT"), col("pk")))
+        .otherwise(concat(lit("G"), col("pk"))).as("geneId"),
+      ((col("pk") % 9) * lit(25.0) - lit(110.0)).as("score"),
+      lit(0.0).as("dupConf"))
+    val internals = ranked.where(col("r") <= col("n") - 1).select(
+      col("treeId"),
+      (col("r") * 2 + 1).cast("long").as("id"),
+      when(col("r") === 1, lit(-1L)).otherwise((col("r") * 2 - 1).cast("long")).as("parent"),
+      ((col("r") % 3) * lit(0.5)).as("dist"),
+      (lit(1000L) + col("r")).as("taxonId"),
+      lit(null).cast("string").as("geneId"),
+      lit(0.0).as("score"),
+      when(col("r") % 4 === 0, lit(0.9)).otherwise(lit(0.2)).as("dupConf"))
+    GeneTreeRep.leafAttrs(leaves.unionByName(internals).as[GeneTreeRep.Node])
+      .toDF()
+      .withColumn("duplications",
+        concat_ws(",", transform(col("duplications"), x => x.cast("string"))))
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -720,6 +800,8 @@ object Queries {
     "q39_asof_join" -> q39AsofJoin,
     "q40_interval_join_custom_plan" -> q40IntervalJoinCustomPlan,
     "q41_topk_aggregator" -> q41TopkAggregator,
+    "q43_genetree_score" -> q43GenetreeScore,
+    "q44_genetree_rep" -> q44GenetreeRep,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1026,5 +1108,136 @@ object Queries {
                   row_number() OVER (PARTITION BY c_nationkey
                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
            FROM customer)
-         WHERE rn <= 3""")
+         WHERE rn <= 3""",
+    "q43_genetree_score" ->
+      """WITH g AS (
+           SELECT p_partkey AS pk,
+             CASE WHEN p_partkey % 3 = 0 THEN 'AT' || p_partkey
+                  ELSE 'G' || p_partkey END AS gene,
+             p_partkey % 10 = 0 AS curated,
+             CASE p_partkey % 7
+               WHEN 1 THEN 'hypothetical protein kinase'
+               WHEN 2 THEN 'expressed protein'
+               WHEN 3 THEN 'Zm00001d0 kinase'
+               WHEN 4 THEN 'Receptor kinase activity [Source:UniProtKB]'
+               WHEN 5 THEN CASE WHEN p_partkey % 3 = 0 THEN 'AT' || p_partkey
+                                ELSE 'G' || p_partkey END
+               WHEN 6 THEN 'Putative transporter'
+             END AS descr,
+             CASE p_partkey % 5
+               WHEN 1 THEN CASE WHEN p_partkey % 3 = 0 THEN 'AT' || p_partkey
+                                ELSE 'G' || p_partkey END
+               WHEN 2 THEN 'POPTRDRAFT_99'
+               WHEN 3 THEN 'KIN' || p_partkey
+               WHEN 4 THEN 'abc'
+             END AS label,
+             CASE WHEN p_partkey % 4 = 0 THEN 3702 ELSE 4577 END AS taxon,
+             CASE WHEN p_partkey % 11 = 0 THEN NULL
+                  WHEN p_partkey % 11 < 6 THEN true ELSE false END AS hosted
+           FROM part),
+         c AS (
+           SELECT *,
+             regexp_replace(regexp_replace(descr, '\s*\[Source:.*', '', 'g'),
+                            '(?i)' || gene || '\S*', '', 'g') AS cdesc
+           FROM g)
+         SELECT gene AS gene_id,
+           (CASE WHEN curated THEN -500.0e0 ELSE 0.0e0 END)
+           + (CASE WHEN descr IS NULL THEN 0.0e0 ELSE -100.0e0 +
+               CASE WHEN regexp_matches(cdesc, '(?i)(projected|unknown|uncharacterized|predicted|hypothetical|putative|cDNA)') THEN 100.0e0
+                    WHEN regexp_matches(cdesc, '(?i)^(expressed)?\s*protein$') THEN 100.0e0
+                    WHEN regexp_matches(cdesc, '^Zm0') THEN 100.0e0
+                    WHEN cdesc = '' THEN 100.0e0
+                    ELSE 0.0e0 END END)
+           + (CASE WHEN label IS NULL THEN 0.0e0 ELSE -50.0e0 +
+               CASE WHEN label = gene THEN 50.0e0
+                    WHEN regexp_matches(label, '^POPTRDRAFT') THEN 50.0e0
+                    ELSE 0.0e0 END END)
+           + (CASE WHEN taxon = 3702 THEN -25.0e0 +
+               CASE WHEN descr IS NOT NULL AND regexp_matches(cdesc, '^Putative')
+                    THEN -100.0e0 ELSE 0.0e0 END
+               ELSE 0.0e0 END)
+           + (CASE WHEN NOT coalesce(hosted, false) THEN 100.0e0 ELSE 0.0e0 END)
+           AS score
+         FROM c""",
+    "q44_genetree_rep" ->
+      """WITH RECURSIVE base AS (
+           SELECT p_partkey AS pk, (p_partkey % 50)::BIGINT AS tree,
+                  row_number() OVER (PARTITION BY p_partkey % 50
+                                     ORDER BY p_partkey) AS r,
+                  count(*) OVER (PARTITION BY p_partkey % 50) AS n
+           FROM part),
+         leaves AS (
+           SELECT tree, r,
+             (pk % 5) * 0.25e0 + 0.25e0 AS dist,
+             CASE WHEN pk % 17 = 0 THEN 3702001
+                  WHEN pk % 5 = 0 THEN 3702 ELSE 4577 END AS taxon,
+             CASE WHEN pk % 3 = 0 THEN 'AT' || pk ELSE 'G' || pk END AS gene,
+             (pk % 9) * 25.0e0 - 110.0e0 AS score,
+             least(r, n - 1) AS pj
+           FROM base),
+         ip AS (
+           SELECT tree, j, sum(idist) OVER (PARTITION BY tree ORDER BY j) AS s
+           FROM (SELECT tree, r AS j, (r % 3) * 0.5e0 AS idist
+                 FROM base WHERE r <= n - 1)),
+         bu AS (
+           SELECT tree, j, c AS bu_score, gene AS bu_gene, r AS bu_r FROM (
+             SELECT l.tree, i.j, l.r, l.gene,
+                    l.score + l.dist + sp.s - i.s AS c,
+                    row_number() OVER (PARTITION BY l.tree, i.j
+                      ORDER BY l.score + l.dist + sp.s - i.s, l.r) AS rn
+             FROM leaves l
+             JOIN ip sp ON sp.tree = l.tree AND sp.j = l.pj
+             JOIN ip i ON i.tree = l.tree AND i.j <= l.pj)
+           WHERE rn = 1),
+         td AS (
+           SELECT tree, j, bu_score AS fin_score, bu_gene AS fin_gene,
+                  bu_r AS fin_r,
+                  CASE WHEN regexp_matches(bu_gene, '^AT') THEN bu_gene END
+                    AS ath_gene
+           FROM bu WHERE j = 1
+           UNION ALL
+           SELECT tree, j, fin_score, fin_gene, fin_r,
+             CASE WHEN gated THEN
+               CASE WHEN regexp_matches(fin_gene, '^AT') THEN fin_gene
+                    ELSE p_ath END
+             END AS ath_gene
+           FROM (
+             SELECT b.tree, b.j,
+               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
+                    THEN t.fin_score ELSE b.bu_score END AS fin_score,
+               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
+                    THEN t.fin_gene ELSE b.bu_gene END AS fin_gene,
+               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
+                    THEN t.fin_r ELSE b.bu_r END AS fin_r,
+               t.fin_score < -60 AS gated, t.ath_gene AS p_ath
+             FROM td t JOIN bu b ON b.tree = t.tree AND b.j = t.j + 1)),
+         lf AS (
+           SELECT l.tree, l.r, l.gene, l.taxon, l.pj,
+             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
+                  THEN t.fin_score ELSE l.score END AS rep_sc,
+             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
+                  THEN t.fin_gene ELSE l.gene END AS rep_gene,
+             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
+                  THEN t.fin_r ELSE l.r END AS rep_r,
+             t.fin_score < -60 AS gated, t.ath_gene AS p_ath
+           FROM leaves l JOIN td t ON t.tree = l.tree AND t.j = l.pj),
+         lf2 AS (
+           SELECT *,
+             CASE WHEN gated THEN
+               CASE WHEN regexp_matches(rep_gene, '^AT') THEN rep_gene
+                    ELSE p_ath END
+             END AS ath_gene,
+             rep_sc >= -60 OR taxon = 3702001 AS norep
+           FROM lf)
+         SELECT tree AS tree_id, gene AS gene_id, 1001::BIGINT AS root_taxon_id,
+           CASE WHEN norep THEN NULL ELSE rep_sc END AS rep_score,
+           CASE WHEN norep THEN NULL
+                WHEN rep_r = r THEN coalesce(ath_gene, gene)
+                WHEN ath_gene IS NOT NULL AND ath_gene <> rep_gene THEN ath_gene
+           END AS model_id,
+           CASE WHEN norep OR rep_r = r THEN NULL ELSE rep_gene END AS closest_id,
+           coalesce(array_to_string(list_transform(generate_series(4, pj::INT, 4),
+                                                   x -> CAST(1000 + x AS VARCHAR)), ','),
+                    '') AS duplications
+         FROM lf2""")
 }
