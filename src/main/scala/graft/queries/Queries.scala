@@ -699,6 +699,59 @@ object Queries {
         concat_ws(",", transform(col("duplications"), x => x.cast("string"))))
   }
 
+  /** Shared feature synthesis for the domain-architecture queries:
+    * lineitems become protein-domain features — gene = order, hierarchy
+    * root = linenumber parity, ipr = partkey (a binary-heap ontology
+    * label), span from suppkey/partkey arithmetic.
+    */
+  private def domainFeatures(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      col("l_orderkey").cast("long").as("geneId"),
+      (col("l_linenumber") % 2).cast("long").as("root"),
+      col("l_partkey").cast("long").as("ipr"),
+      ((col("l_suppkey") % 20) * 10).cast("long").as("start"),
+      ((col("l_suppkey") % 20) * 10 + 5 + (col("l_partkey") % 30) * 5)
+        .cast("long").as("end"))
+      .as[graft.ops.DomainArchitecture.Feature]
+  }
+
+  /** T13 (≥20%-of-shorter rule) + T12 (LCA root assignment): the
+    * reference's domain-architecture sweep
+    * ([[graft.ops.DomainArchitecture.clusters]] —
+    * `search/domain_architect.js:119-203`) over lineitem-derived
+    * features. The oracle replays the order-dependent sweep as a
+    * recursive CTE and the heap LCA in closed bit-arithmetic form.
+    */
+  val q45DomainClusters: Q = (s, d) =>
+    graft.ops.DomainArchitecture.clusters(domainFeatures(s, d)).toDF()
+
+  /** T15 + the reference's per-gene emission
+    * (`domain_architect.js:106-116,200-203`): space-joined cluster
+    * roots in (start, end) order plus the typed feature buckets as a
+    * canonical sorted tally.
+    */
+  val q46DomainRoots: Q = (s, d) => {
+    val cl = graft.ops.DomainArchitecture.clusters(domainFeatures(s, d)).toDF()
+    val roots = cl.groupBy("gene_id")
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("c_start"), col("c_end"), col("root")))),
+          x => x.getField("root").cast("string"))).as("roots"),
+        count(lit(1)).as("n_clusters"))
+    val types = domainFeatures(s, d).toDF()
+      .select(col("geneId").as("gene_id"),
+        element_at(
+          array(lit("domain"), lit("family"), lit("repeat"), lit("site")),
+          (col("ipr") % 4 + 1).cast("int")).as("ftype"))
+      .groupBy("gene_id", "ftype")
+      .agg(count(lit(1)).as("n"))
+      .select(col("gene_id"), concat(col("ftype"), lit(":"), col("n")).as("entry"))
+      .groupBy("gene_id")
+      .agg(concat_ws(",", sort_array(collect_list(col("entry")))).as("type_counts"))
+    roots.join(types, Seq("gene_id"))
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -802,6 +855,8 @@ object Queries {
     "q41_topk_aggregator" -> q41TopkAggregator,
     "q43_genetree_score" -> q43GenetreeScore,
     "q44_genetree_rep" -> q44GenetreeRep,
+    "q45_domain_clusters" -> q45DomainClusters,
+    "q46_domain_roots" -> q46DomainRoots,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -809,6 +864,65 @@ object Queries {
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Shared DuckDB CTE chain replaying the domain-architecture sweep
+    * (`search/domain_architect.js:140-165`): ranked features → recursive
+    * per-(gene,root) sweep carrying (seed, span) state → clusters with
+    * the trailing-seed drop → heap LCA in closed form (align depths by
+    * binary length, then cut at the highest differing bit; the set LCA
+    * is the pair LCA of the lexicographic min/max binary strings).
+    */
+  private val domainSweepSql =
+    """WITH RECURSIVE f AS (
+         SELECT l_orderkey AS gene, l_linenumber % 2 AS root, l_partkey AS ipr,
+                (l_suppkey % 20) * 10 AS s,
+                (l_suppkey % 20) * 10 + 5 + (l_partkey % 30) * 5 AS e
+         FROM lineitem),
+       rf AS (
+         SELECT *, row_number() OVER (PARTITION BY gene, root
+                                      ORDER BY s, e, ipr) AS r,
+                count(*) OVER (PARTITION BY gene, root) AS grp_n
+         FROM f),
+       sweep AS (
+         SELECT gene, root, r, grp_n, r AS seed_r, s AS cs, e AS ce
+         FROM rf WHERE r = 1
+         UNION ALL
+         SELECT gene, root, r, grp_n,
+           CASE WHEN merged THEN seed_r ELSE r END,
+           CASE WHEN merged THEN cs ELSE s END,
+           CASE WHEN merged THEN greatest(ce, e) ELSE e END
+         FROM (
+           SELECT w.gene, w.root, n.r, n.grp_n, w.seed_r, w.cs, w.ce, n.s, n.e,
+             n.s < w.ce AND (n.e < w.ce
+               OR (w.ce - n.s)::DOUBLE / (n.e - n.s) >= 0.2
+               OR (w.ce - n.s)::DOUBLE / (w.ce - w.cs) >= 0.2) AS merged
+           FROM sweep w JOIN rf n
+             ON n.gene = w.gene AND n.root = w.root AND n.r = w.r + 1)),
+       cl AS (
+         SELECT w.gene, w.root, w.seed_r,
+                min(w.cs) AS c_start, max(w.ce) AS c_end,
+                count(*) AS n_members, max(w.grp_n) AS grp_n,
+                min_by(rf.ipr, bin(rf.ipr)) AS vmin,
+                max_by(rf.ipr, bin(rf.ipr)) AS vmax
+         FROM sweep w JOIN rf
+           ON rf.gene = w.gene AND rf.root = w.root AND rf.r = w.r
+         GROUP BY w.gene, w.root, w.seed_r),
+       kept AS (
+         SELECT * FROM (
+           SELECT *, max(seed_r) OVER (PARTITION BY gene, root) AS last_seed
+           FROM cl)
+         WHERE NOT (seed_r = last_seed AND n_members = 1 AND grp_n > 1)),
+       lca AS (
+         SELECT gene, root, c_start, c_end, n_members,
+           CASE WHEN d = 0 THEN a2 ELSE a2 >> length(bin(d)) END AS lca_ipr
+         FROM (
+           SELECT *, xor(a2, b2) AS d FROM (
+             SELECT *,
+               vmin >> (length(bin(vmin))
+                        - least(length(bin(vmin)), length(bin(vmax)))) AS a2,
+               vmax >> (length(bin(vmax))
+                        - least(length(bin(vmin)), length(bin(vmax)))) AS b2
+             FROM kept)))"""
 
   private val langIdSql: String = {
     val cnts = langMarkers.map { case (lang, vocab) =>
@@ -1239,5 +1353,29 @@ object Queries {
            coalesce(array_to_string(list_transform(generate_series(4, pj::INT, 4),
                                                    x -> CAST(1000 + x AS VARCHAR)), ','),
                     '') AS duplications
-         FROM lf2""")
+         FROM lf2""",
+    "q45_domain_clusters" ->
+      s"""$domainSweepSql
+         SELECT gene::BIGINT AS gene_id, root::BIGINT AS root,
+                c_start::BIGINT AS c_start, c_end::BIGINT AS c_end,
+                n_members::BIGINT AS n_members, lca_ipr::BIGINT AS lca_ipr
+         FROM lca""",
+    "q46_domain_roots" ->
+      s"""$domainSweepSql,
+         roots AS (
+           SELECT gene,
+             array_to_string(list(root::VARCHAR ORDER BY c_start, c_end, root),
+                             ' ') AS roots,
+             count(*) AS n_clusters
+           FROM lca GROUP BY gene),
+         types AS (
+           SELECT gene,
+             array_to_string(list(entry ORDER BY entry), ',') AS type_counts
+           FROM (SELECT gene,
+                   ['domain','family','repeat','site'][(ipr % 4) + 1]
+                     || ':' || count(*)::VARCHAR AS entry
+                 FROM f GROUP BY gene, ipr % 4)
+           GROUP BY gene)
+         SELECT r.gene::BIGINT AS gene_id, r.roots, r.n_clusters, t.type_counts
+         FROM roots r JOIN types t ON r.gene = t.gene""")
 }
