@@ -752,6 +752,66 @@ object Queries {
     roots.join(types, Seq("gene_id"))
   }
 
+  /** T21 split-gene rescue ([[graft.ops.SplitGeneRescue]] —
+    * `search/dump_homologs.js:7-12,66-84,176-205`): orders become a
+    * genome layout (custkey-derived fragments, orderkey parity strands,
+    * hashed coordinates); candidate pairs are each gene with its 1st /
+    * 2nd / 4th follower on the strand, with synthetic MSA overlap
+    * percentages. The cogrouped walk + gates decide each pair; the
+    * oracle replays the walk as a first-overshoot scan.
+    */
+  val q47SplitRescue: Q = (s, d) => {
+    import s.implicits._
+    import graft.ops.SplitGeneRescue
+    val g = Tables.orders(s, d).select(
+      (col("o_custkey") % 500).cast("long").as("frag"),
+      (col("o_orderkey") % 2).cast("long").as("strand"),
+      col("o_orderkey").cast("long").as("geneId"),
+      ((col("o_orderkey").cast("long") * 7919) % 10000000).as("start"),
+      ((col("o_orderkey").cast("long") * 7919) % 10000000
+        + 1000 + (col("o_orderkey") % 100) * 3000).cast("long").as("end"))
+    val w = Window.partitionBy("frag", "strand").orderBy("start", "end", "geneId")
+    val pairs = Seq(1, 2, 4).map { k =>
+      g.select(col("frag"), col("strand"), col("geneId"),
+          lead(col("geneId"), k).over(w).as("otherId"))
+        .where(col("otherId").isNotNull)
+        .select(
+          (col("geneId") * 10 + k).cast("long").as("pairId"),
+          col("frag"), col("strand"), col("geneId"),
+          col("otherId").cast("long").as("otherId"),
+          (col("geneId") % 13).cast("double").as("genePpos"),
+          (col("otherId") % 13).cast("double").as("otherPpos"))
+    }.reduce(_ unionByName _)
+    SplitGeneRescue.rescue(
+      g.as[SplitGeneRescue.Gene], pairs.as[SplitGeneRescue.Pair]).toDF()
+  }
+
+  /** T19 foster grafting ([[graft.ops.FosterGraft]] —
+    * `ontologies/filter_taxonomy2.js:141-199`): the part heap is the
+    * taxonomy (parent = k/2, heap-path ancestors); every third part
+    * requests a synthesized genome id (pk·1000 + small tail, hundreds
+    * digit 0) that is absent from the tree and grafts under pk's
+    * parent, rolling its gene count up the lineage.
+    */
+  val q48FosterGraft: Q = (s, d) => {
+    val tax = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("id"),
+      expr("p_partkey div 2").cast("long").as("parent"),
+      expr("reverse(filter(transform(sequence(0, 21), " +
+        "i -> shiftright(cast(p_partkey as bigint), i)), x -> x >= 1))")
+        .as("ancestors"),
+      concat(lit("node_"), col("p_partkey")).as("name"))
+    val desired = Tables.part(s, d).select(
+      when(col("p_partkey") % 3 === 0,
+        col("p_partkey").cast("long") * 1000 + col("p_partkey") % 90)
+        .otherwise(col("p_partkey").cast("long")).as("id"),
+      concat(lit("genome_"), col("p_partkey")).as("display_name"),
+      (col("p_partkey") % 50).cast("long").as("n_genes"))
+    graft.ops.FosterGraft.graft(tax, desired)
+      .withColumn("ancestors",
+        concat_ws(",", transform(col("ancestors"), x => x.cast("string"))))
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -857,6 +917,8 @@ object Queries {
     "q44_genetree_rep" -> q44GenetreeRep,
     "q45_domain_clusters" -> q45DomainClusters,
     "q46_domain_roots" -> q46DomainRoots,
+    "q47_split_rescue" -> q47SplitRescue,
+    "q48_foster_graft" -> q48FosterGraft,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1377,5 +1439,86 @@ object Queries {
                  FROM f GROUP BY gene, ipr % 4)
            GROUP BY gene)
          SELECT r.gene::BIGINT AS gene_id, r.roots, r.n_clusters, t.type_counts
-         FROM roots r JOIN types t ON r.gene = t.gene""")
+         FROM roots r JOIN types t ON r.gene = t.gene""",
+    "q47_split_rescue" ->
+      """WITH g AS (
+           SELECT o_custkey % 500 AS frag, o_orderkey % 2 AS strand,
+                  o_orderkey::BIGINT AS gid,
+                  (o_orderkey::BIGINT * 7919) % 10000000 AS s,
+                  (o_orderkey::BIGINT * 7919) % 10000000
+                    + 1000 + (o_orderkey % 100) * 3000 AS e
+           FROM orders),
+         rg AS (
+           SELECT *, row_number() OVER (PARTITION BY frag, strand
+                                        ORDER BY s, e, gid) AS idx,
+                  count(*) OVER (PARTITION BY frag, strand) AS grp_n
+           FROM g),
+         pairs AS (
+           SELECT a.frag, a.strand, a.gid, a.idx AS gi, a.s AS gs, a.e AS ge,
+                  a.grp_n, b.gid AS oid, b.s AS os, b.e AS oe,
+                  a.gid * 10 + k.k AS pair_id,
+                  (a.gid % 13)::DOUBLE AS gp, (b.gid % 13)::DOUBLE AS op
+           FROM rg a
+           CROSS JOIN (VALUES (1), (2), (4)) k(k)
+           JOIN rg b ON b.frag = a.frag AND b.strand = a.strand
+                    AND b.idx = a.idx + k.k),
+         t AS (
+           SELECT p.*,
+             coalesce((SELECT min(r2.idx) FROM rg r2
+                       WHERE r2.frag = p.frag AND r2.strand = p.strand
+                         AND r2.idx >= p.gi AND r2.e > p.oe),
+                      p.grp_n + 1) - p.gi AS tally
+           FROM pairs p)
+         SELECT pair_id, gid AS gene_id, oid AS other_id,
+                tally::BIGINT AS n_between,
+           CASE WHEN gp < 10 AND op < 10 THEN
+             CASE WHEN gp = 0 AND op = 0
+                  THEN tally <= 3 AND abs(gs - os) <= 1000000
+                  ELSE tally <= 2 AND abs(gs - os) <= 500000
+                       AND abs(ge - oe) <= 500000 END
+           ELSE false END AS rescued
+         FROM t""",
+    "q48_foster_graft" ->
+      """WITH tax AS (
+           SELECT p_partkey::BIGINT AS id, (p_partkey // 2)::BIGINT AS parent,
+             list_reverse(list_filter(list_transform(generate_series(0, 21),
+               i -> p_partkey::BIGINT >> i), x -> x >= 1)) AS ancestors,
+             'node_' || p_partkey AS name
+           FROM part),
+         des AS (
+           SELECT CASE WHEN p_partkey % 3 = 0
+                       THEN p_partkey::BIGINT * 1000 + p_partkey % 90
+                       ELSE p_partkey::BIGINT END AS id,
+                  'genome_' || p_partkey AS display_name,
+                  (p_partkey % 50)::BIGINT AS n_genes
+           FROM part),
+         present AS (
+           SELECT d.id, t.parent AS is_a, t.ancestors, t.name,
+                  false AS fostered, d.n_genes
+           FROM des d JOIN tax t ON d.id = t.id),
+         missing AS (
+           SELECT d.id, d.display_name, d.n_genes,
+                  sib.parent AS fp, fpt.ancestors AS fp_ancestors
+           FROM des d
+           LEFT JOIN tax t ON d.id = t.id
+           JOIN tax sib ON sib.id = d.id // 1000 AND (d.id // 100) % 10 = 0
+           JOIN tax fpt ON fpt.id = sib.parent
+           WHERE t.id IS NULL),
+         fostered AS (
+           SELECT id, fp AS is_a, list_append(fp_ancestors, id) AS ancestors,
+                  display_name AS name, true AS fostered, n_genes
+           FROM missing),
+         adds AS (
+           SELECT uid AS id, sum(n_genes) AS fg
+           FROM (SELECT unnest(fp_ancestors) AS uid, n_genes FROM missing)
+           GROUP BY uid),
+         u AS (
+           SELECT id, is_a, ancestors, name, fostered, n_genes FROM present
+           UNION ALL
+           SELECT id, is_a, ancestors, name, fostered, n_genes FROM fostered)
+         SELECT u.id, u.is_a,
+                coalesce(array_to_string(u.ancestors, ','), '') AS ancestors,
+                u.name, u.fostered,
+                (u.n_genes + coalesce(a.fg, 0))::BIGINT AS num_genes
+         FROM u LEFT JOIN adds a ON u.id = a.id""")
 }
