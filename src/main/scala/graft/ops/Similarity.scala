@@ -86,15 +86,93 @@ object Similarity {
       }
       .reduce(_ bitwiseOR _)
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-    * corpus into `nLists` cells; each query probes its `nProbe` nearest
-    * centroids and exact-reranks only those cells — the classic
-    * IVF-Flat index expressed relationally: the "inverted lists" are
-    * just the corpus DataFrame keyed by cluster id, so the probe is an
-    * equi-join on cluster id (hash join, never a cross product). Recall
-    * rises with nProbe; cost is |corpus|·nProbe/nLists per query.
-    * Centroids are fit with spark.ml KMeans (fixed seed) on the corpus
-    * (or a sample at scale) and broadcast for assignment.
+  /** A built IVF-Flat index: the coarse quantizer (centroid id + L2
+    * centroid per cell) and the cell-assigned corpus, persisted so any
+    * number of probes reuse one build. At cluster scale `assigned`
+    * would be a table partitioned by `cell` — the relational form of
+    * the inverted lists.
+    */
+  final case class IvfIndex(
+      centroids: Array[(Int, Array[Double])],
+      assigned: DataFrame) {
+
+    /** Probe: each query ranks the broadcast centroids (sorting
+      * `nLists` structs on the SMALL query side only), explodes into
+      * its `nProbe` cells, and meets its cells' corpus rows in an
+      * equi-join on cell id (hash join, never a cross product); exact
+      * cosine re-ranks. Cost per query ≈ |corpus|·nProbe/nLists.
+      */
+    def probe(
+        queries: DataFrame,
+        idCol: String,
+        vecCol: String,
+        k: Int,
+        nProbe: Int = 4): DataFrame = {
+      val q = queries.select(
+        col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("cell",
+          explode(transform(
+            slice(sort_array(centroidDists(col("qv"), centroids)), 1, nProbe),
+            s => s.getField("cid"))))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"))
+    }
+
+    def release(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** (distance², centroid id) structs for every cell — the broadcast
+    * centroid literals evaluated against one vector column.
+    */
+  private def centroidDists(
+      vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.map { case (i, c) =>
+      val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
+      struct(
+        aggregate(zip_with(vec, cLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x).as("d"),
+        lit(i).as("cid"))
+    }.toIndexedSeq: _*)
+
+  /** Build the IVF index: fit the coarse quantizer on a SAMPLE of the
+    * corpus (a quantizer needs only the density shape — fitting on
+    * 100 TB would be absurd), then assign every corpus row to its
+    * nearest centroid with a single `array_min` over the (dist, cid)
+    * structs — one O(nLists·dim) pass per row, no per-row sort. The
+    * assigned corpus is persisted: build once, probe many.
+    */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val train = base.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val assigned = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell",
+        array_min(centroidDists(col("cv"), centroids)).getField("cid"))
+      .persist()
+    IvfIndex(centroids, assigned)
+  }
+
+  /** One-call IVF ANN for the catalog: builds (or reuses — indexes are
+    * cached per (table-plan, id, vec, nLists) within the session) and
+    * probes. The lifecycle API is [[ivfBuild]]/[[IvfIndex.probe]].
     */
   def ivfCosineTopK(
       corpus: DataFrame,
@@ -105,43 +183,15 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
-    val centroids: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-
-    // nearest-centroid assignment / probing as column expressions over
-    // the broadcast centroid literals (L2, matching KMeans objective)
-    def dist2(vec: Column, c: Array[Double]): Column = {
-      val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
-      aggregate(zip_with(vec, cLit, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, nLists, seed)
+    val index = ivfCache.synchronized {
+      ivfCache.getOrElseUpdate(key, ivfBuild(corpus, idCol, vecCol, nLists, seed = seed))
     }
-    def centroidRank(vec: Column): Column =
-      sort_array(array(centroids.map { case (i, c) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("cid"))
-      }.toIndexedSeq: _*))
-
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", element_at(centroidRank(col("cv")), 1).getField("cid"))
-    val q = queries.select(
-      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell",
-        explode(transform(
-          slice(centroidRank(col("qv")), 1, nProbe), s => s.getField("cid"))))
-
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    index.probe(queries, idCol, vecCol, k, nProbe)
   }
+
+  private val ivfCache =
+    scala.collection.mutable.HashMap.empty[(Int, String, String, Int, Long), IvfIndex]
 
   /** ANN top-k: `numTables` independent SRP bucketings; candidates are
     * corpus rows sharing any (table, bucket) with the query, re-ranked

@@ -602,9 +602,9 @@ object Queries {
     * binary-search probe instead of Catalyst's BroadcastNestedLoopJoin.
     */
   val q40IntervalJoinCustomPlan: Q = (s, d) => {
-    if (!s.experimental.extraStrategies.contains(graft.plans.BroadcastIntervalJoinStrategy))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ graft.plans.BroadcastIntervalJoinStrategy
+    // the strategy is registered at session setup (graft.GraftExtensions
+    // via spark.sql.extensions); without it this plans as Catalyst's
+    // BroadcastNestedLoopJoin with identical semantics
     val ev = Tables.events(s, d)
     val windows = ev.filter(col("event_type") === "error").select(
       unix_micros(col("ts")).as("w_start"),

@@ -86,6 +86,32 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == ivf, "fixed seed must reproduce")
   }
 
+  test("IVF lifecycle: one build serves many probes; assignment covers the corpus") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.ivfBuild(df, "vec_id", "embedding",
+      nLists = 8, sampleFraction = 0.5, seed = 7L)
+    try {
+      // every corpus row lands in exactly one valid cell
+      assert(index.assigned.count() === vecs.size.toLong)
+      val cells = index.assigned.select("cell").distinct().as[Int].collect().toSet
+      assert(cells.subsetOf(index.centroids.map(_._1).toSet))
+      // the persisted assignment is reused across probes with different params
+      val p1 = index.probe(df.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nProbe = 4).collect()
+      val p2 = index.probe(df.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 2, nProbe = 8).collect()
+      assert(p1.length === 15 && p2.length === 6) // k rows per query
+      // nProbe = nLists probes every cell → exact top-k
+      val full = index.probe(df.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nProbe = 8)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      val exact = Similarity.cosineTopK(df, df.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      assert(full === exact)
+    } finally index.release()
+  }
+
   test("native cosine kernel is bit-identical to the HOF formulation") {
     val df = vecs.toDF("vec_id", "embedding")
       .select(col("embedding").cast("array<double>").as("v"))
