@@ -45,6 +45,7 @@ object Bench {
     "q37_distinct_users",
     "q39_asof_join",
     "q40_interval_join_custom_plan",
+    "q49_asof_custom_plan",
     "q44_genetree_rep",
     "q45_domain_clusters",
     "q47_split_rescue")

@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * stock plan when the extension is absent.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastIntervalJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoin.AsofJoinStrategy)
+  }
 }

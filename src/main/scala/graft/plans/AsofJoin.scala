@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+
+/** Sort-merge BACKWARD AS-OF JOIN as a first-class planner citizen —
+  * the custom-strategy upgrade path declared in q39's docstring. Every
+  * left row pairs with the LATEST right row whose time is at-or-before
+  * its own, on equal keys (the reference's "most recent error before
+  * this purchase" decoration; pandas `merge_asof` semantics,
+  * inclusive).
+  *
+  * Why a custom operator: Catalyst has no as-of node — the stock
+  * options are a range join + per-key argmax (two shuffles of the big
+  * side + an aggregation whose input is the match blow-up) or the
+  * union+window trick (one shuffle of the UNION of both sides, q39).
+  * This node declares `ClusteredDistribution` on the keys and a
+  * (keys, time) sort for BOTH children, so EnsureRequirements plans
+  * exactly one exchange per side (AQE-sized), reuses any existing
+  * co-partitioning, and the merge itself is a single forward pass per
+  * partition — no blow-up, no window buffer, monotone pointers, O(1)
+  * state beyond one retained match row.
+  *
+  * Time columns must be integral (long/int/timestamp-micros) and
+  * non-null; key equality is exact (null keys group like SMJ's
+  * natural ordering).
+  */
+object AsofJoin {
+
+  /** Logical node. `output` = left columns ++ right columns (right side
+    * nullable: unmatched left rows emit nulls).
+    */
+  case class AsofJoinPlan(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      leftTime: Expression,
+      rightTime: Expression)
+    extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object AsofJoinStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
+        AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** The user-facing API: backward as-of join on equal keys.
+    * Right-side column names must not collide with left-side ones
+    * (rename before joining, exactly like any equi-join).
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val dup = left.columns.toSet intersect right.columns.toSet
+    require(dup.isEmpty, s"ambiguous columns across sides: $dup — rename first")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.classic.GraftColumnBridge.ofRows(
+      left.sparkSession,
+      AsofJoinPlan(
+        lPlan, rPlan,
+        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+
+  /** Physical sort-merge as-of. Children arrive hash-clustered on the
+    * keys and sorted by (keys, time) — Spark inserts the exchanges and
+    * sorts; `zipPartitions` then streams both sides once.
+    */
+  case class AsofJoinExec(
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
+      leftTime: Expression,
+      rightTime: Expression,
+      left: SparkPlan,
+      right: SparkPlan)
+    extends BinaryExecNode {
+
+    require(
+      Seq(leftTime, rightTime).forall(t =>
+        t.dataType == LongType || t.dataType == IntegerType ||
+          t.dataType == TimestampType),
+      s"as-of time must be integral, got ${leftTime.dataType}/${rightTime.dataType}")
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+    override def outputOrdering: Seq[SortOrder] =
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      val keyTypes = leftKeys.map(_.dataType)
+      val nRight = right.output.size
+      left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+        val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+        val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+        val lTimeBound = BindReferences.bindReference(leftTime, left.output)
+        val rTimeBound = BindReferences.bindReference(rightTime, right.output)
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        def timeOf(e: Expression, row: InternalRow): Long =
+          e.eval(row).asInstanceOf[Number].longValue()
+
+        val rBuf = rIt.buffered
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(nRight)
+        // one retained candidate: the latest right row (and its key)
+        // whose time was <= some already-seen left time for its key
+        var matchRow: InternalRow = null
+        var matchKey: UnsafeRow = null
+
+        lIt.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lT = timeOf(lTimeBound, lRow)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) rBuf.next() // right behind on keys: skip ahead
+            else if (c == 0 && timeOf(rTimeBound, rBuf.head) <= lT) {
+              matchRow = rBuf.next().copy()
+              matchKey = rKey.copy()
+            } else advancing = false
+          }
+          val hit = matchRow != null && keyOrd.compare(matchKey, lKey) == 0
+          joined(lRow, if (hit) matchRow else nullRight)
+        }
+      }
+    }
+  }
+}

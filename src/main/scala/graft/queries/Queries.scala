@@ -812,6 +812,25 @@ object Queries {
         concat_ws(",", transform(col("ancestors"), x => x.cast("string"))))
   }
 
+  /** The SAME as-of semantics as q39, via the CUSTOM PLANNER PATH: a
+    * first-class sort-merge as-of node ([[graft.plans.AsofJoin]]) that
+    * declares key clustering + (key, time) ordering, so the plan is one
+    * exchange per side and a single streaming merge — no union, no
+    * window buffer. Same oracle as q39.
+    */
+  val q49AsofCustomPlan: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("purchase_us"))
+    val errors = ev.filter(col("event_type") === "error").select(
+      col("user_id").as("err_user_id"), unix_micros(col("ts")).as("last_err_us"))
+    graft.plans.AsofJoin.backward(
+      purchases, errors,
+      leftKeys = Seq("user_id"), rightKeys = Seq("err_user_id"),
+      leftTime = "purchase_us", rightTime = "last_err_us")
+      .select("user_id", "event_id", "purchase_us", "last_err_us")
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -919,6 +938,7 @@ object Queries {
     "q46_domain_roots" -> q46DomainRoots,
     "q47_split_rescue" -> q47SplitRescue,
     "q48_foster_graft" -> q48FosterGraft,
+    "q49_asof_custom_plan" -> q49AsofCustomPlan,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1520,5 +1540,13 @@ object Queries {
                 coalesce(array_to_string(u.ancestors, ','), '') AS ancestors,
                 u.name, u.fostered,
                 (u.n_genes + coalesce(a.fg, 0))::BIGINT AS num_genes
-         FROM u LEFT JOIN adds a ON u.id = a.id""")
+         FROM u LEFT JOIN adds a ON u.id = a.id""",
+    "q49_asof_custom_plan" ->
+      // identical to q39's oracle: inclusive at-or-before max per user
+      """SELECT p.user_id, p.event_id,
+           epoch_us(p.ts) AS purchase_us,
+           (SELECT max(epoch_us(e.ts)) FROM events e
+             WHERE e.user_id = p.user_id AND e.event_type = 'error'
+               AND epoch_us(e.ts) <= epoch_us(p.ts)) AS last_err_us
+         FROM events p WHERE p.event_type = 'purchase'""")
 }

@@ -12,6 +12,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom LogicalPlan — the `Dataset.ofRows`
+    * entry point custom operators need (package-private in Spark 4).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
   /** Register a function into an ALREADY-RUNNING session's registry —
     * the live-session counterpart of `SparkSessionExtensions
     * .injectFunction` (which only applies at session build time).

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoin
+
+/** The custom sort-merge as-of node: backward-inclusive semantics, null
+  * emission for unmatched rows, tie handling, cross-key isolation, and
+  * the physical plan actually using AsofJoinExec (one exchange per
+  * side, no union/window).
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(
+      left: Seq[(Long, Long, Long)], // (key, id, t)
+      right: Seq[(Long, Long)]) = { // (key, t)
+    val l = left.toDF("k", "id", "t")
+    val r = right.toDF("rk", "rt")
+    AsofJoin.backward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "id", "t", "rt")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSeq.sortBy(r => (r._1, r._2))
+  }
+
+  test("backward as-of: latest at-or-before match, nulls when none") {
+    val got = run(
+      left = Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 9L), (2L, 4L, 100L)),
+      right = Seq((1L, 10L), (1L, 60L), (1L, 100L), (3L, 5L)))
+    assert(got === Seq(
+      (1L, 1L, Some(100L)), // inclusive: rt == t matches
+      (1L, 2L, Some(10L)),
+      (1L, 3L, None), // earliest error after this purchase
+      (2L, 4L, None))) // key has no right rows
+  }
+
+  test("keys never leak: a match from a previous key is not reused") {
+    val got = run(
+      left = Seq((1L, 1L, 100L), (2L, 2L, 100L)),
+      right = Seq((1L, 50L)))
+    assert(got === Seq((1L, 1L, Some(50L)), (2L, 2L, None)))
+  }
+
+  test("plan contains AsofJoinExec and matches the union+window query on real data") {
+    val d = "/root/testdata/sf0.001"
+    val custom = graft.queries.Queries.all("q49_asof_custom_plan")(spark, d)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom node missing from plan:\n$plan")
+    val viaWindow = graft.queries.Queries.all("q39_asof_join")(spark, d)
+      .select("user_id", "event_id", "purchase_us", "last_err_us")
+    val a = custom.collect().map(_.toSeq).toSet
+    val b = viaWindow.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("survives many partitions and empty right partitions") {
+    val l = (0L until 200L).map(i => (i % 7, i, i * 10L))
+    val r = (0L until 40L).map(i => (i % 3, i * 37L)) // keys 0..2 only
+    val got = run(l, r)
+    assert(got.size === 200)
+    // spot-check oracle semantics locally
+    for ((k, id, t) <- l) {
+      val want = r.filter(x => x._1 == k && x._2 <= t).map(_._2).maxOption
+      assert(got.find(_._2 == id).get._3 === want, s"row $id")
+    }
+  }
+}
