@@ -143,13 +143,24 @@ case class BroadcastIntervalJoinExec(
             val mid = (a + b) >>> 1
             if (ivs(mid)._1 <= p) { ub = mid; a = mid + 1 } else b = mid - 1
           }
-          val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          var k = ub
-          while (k >= 0 && pmax(k) >= p) {
-            if (ivs(k)._2 >= p) buf += proj(joined(lrow, ivs(k)._3)).copy()
-            k -= 1
+          // stream matches directly off the walk — no per-probe buffer,
+          // no per-row copy (flatMap drains this before advancing lrow;
+          // downstream operators copy if they buffer, per Spark contract)
+          new Iterator[InternalRow] {
+            private var k = ub
+            seek()
+            private def seek(): Unit = {
+              while (k >= 0 && pmax(k) >= p && ivs(k)._2 < p) k -= 1
+              if (k >= 0 && pmax(k) < p) k = -1
+            }
+            override def hasNext: Boolean = k >= 0
+            override def next(): InternalRow = {
+              val r = proj(joined(lrow, ivs(k)._3))
+              k -= 1
+              seek()
+              r
+            }
           }
-          buf.iterator
         }
       }
     }
