@@ -112,6 +112,22 @@ object TextAnalytics {
   /** xxhash64 of every k-gram shingle, in positional order (input to
     * [[winnow]]); `toksCol` must be a materialized token array.
     */
+  /** GPT-2-style pre-tokenizer pattern (the "BPE-ish regex"): common
+    * English contractions, optionally-space-prefixed letter runs, digit
+    * runs, punctuation runs, residual whitespace. ASCII classes only so
+    * Java regex (Spark) and RE2 (oracle) agree; both use leftmost-first
+    * alternation.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** Pre-token pieces of a text under [[BpePattern]] — the unit whose
+    * count approximates BPE token count far better than whitespace
+    * words on code/punctuation-heavy text. Pure codegen'd regex.
+    */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   def shingleHashes(toksCol: Column, k: Int): Column =
     when(size(toksCol) >= k,
       transform(

@@ -243,4 +243,63 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Embedding-cosine near-duplicate pairs, EXACT baseline: every
+    * unordered pair with cosine ≥ threshold, scored by the fused native
+    * kernel. The corpus self-joins through a broadcast nested loop —
+    * intentionally O(n²), the correctness baseline the LSH variant is
+    * recall-tested against (the same exact/scale split as
+    * `Similarity.cosineTopK` vs `lshCosineTopK`). Use
+    * [[embeddingNearDupLsh]] beyond ~10⁵ vectors.
+    */
+  def embeddingNearDupExact(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(
+      col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+    val b = corpus.select(
+      col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH scale path: candidates
+    * meet in any shared (table, SRP-bucket) — a narrow equi-join, the
+    * all-pairs space never materializes — then the exact kernel
+    * verifies against the threshold. Approximate: recall rises with
+    * `numTables`/falls with `bitsPerTable` and is cross-checked against
+    * [[embeddingNearDupExact]] in DedupSpec.
+    */
+  def embeddingNearDupLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bitsPerTable: Int = 6,
+      numTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      t -> Similarity.hyperplanes(dim, bitsPerTable, seed + t)
+    }
+    val v = col(vecCol).cast("array<double>")
+    val bucketed = corpus.select(
+      col(idCol).as("id"),
+      v.as("v"),
+      explode(array(tables.map { case (t, planes) =>
+        struct(lit(t).as("tbl"), Similarity.srpBucket(v, planes).as("bucket"))
+      }: _*)).as("tb"))
+    val a = bucketed.select(col("tb"), col("id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("tb"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("tb"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -831,6 +831,38 @@ object Queries {
       .select("user_id", "event_id", "purchase_us", "last_err_us")
   }
 
+  /** Embedding-cosine near-dup, exact baseline
+    * ([[graft.ops.Dedup.embeddingNearDupExact]]): all pairs at cosine
+    * ≥ 0.35 over the embeddings table, oracle-checked against DuckDB's
+    * brute force. The LSH scale path is q51 (rows-only + recall spec).
+    */
+  val q50EmbeddingNearDup: Q = (s, d) =>
+    Dedup.embeddingNearDupExact(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+
+  /** Embedding-cosine near-dup via SRP-LSH buckets + exact verify —
+    * the shape that survives 10⁹ vectors (narrow (table,bucket)
+    * shuffle, no all-pairs). Engine-specific bucketing → rows-only;
+    * recall vs q50 is pinned in DedupSpec.
+    */
+  val q51EmbeddingNearDupLsh: Q = (s, d) =>
+    Dedup.embeddingNearDupLsh(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.35, dim = 64, bitsPerTable = 4, numTables = 12)
+
+  /** BPE-ish token statistics ([[graft.functions.TextAnalytics
+    * .bpePieces]]): pre-token piece counts under the GPT-2-style regex —
+    * the token-budget estimator a training-data pipeline runs over every
+    * document. Oracle replays the same pattern in RE2.
+    */
+  val q52BpeTokens: Q = (s, d) => {
+    val pieces = graft.functions.TextAnalytics.bpePieces(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      size(filter(pieces, p => p.rlike("^ ?[A-Za-z]+$"))).cast("long").as("n_alpha"))
+  }
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -939,6 +971,9 @@ object Queries {
     "q47_split_rescue" -> q47SplitRescue,
     "q48_foster_graft" -> q48FosterGraft,
     "q49_asof_custom_plan" -> q49AsofCustomPlan,
+    "q50_embedding_neardup" -> q50EmbeddingNearDup,
+    "q51_embedding_neardup_lsh" -> q51EmbeddingNearDupLsh,
+    "q52_bpe_tokens" -> q52BpeTokens,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1548,5 +1583,20 @@ object Queries {
            (SELECT max(epoch_us(e.ts)) FROM events e
              WHERE e.user_id = p.user_id AND e.event_type = 'error'
                AND epoch_us(e.ts) <= epoch_us(p.ts)) AS last_err_us
-         FROM events p WHERE p.event_type = 'purchase'""")
+         FROM events p WHERE p.event_type = 'purchase'""",
+    "q50_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+    "q52_bpe_tokens" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))::BIGINT
+             AS n_pieces,
+           len(list_filter(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'),
+             p -> regexp_matches(p, '^ ?[A-Za-z]+$')))::BIGINT AS n_alpha
+         FROM documents""")
 }

@@ -114,6 +114,34 @@ class DedupSpec extends SparkSpec {
     assert(unsalted.contains((0L, 1000L, 1)))
   }
 
+  test("embedding near-dup: LSH path finds exact-path pairs with decent recall, never false positives") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(df, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold too high for this corpus — test data broken")
+    val lsh = Dedup.embeddingNearDupLsh(df, "vec_id", "embedding", 0.4,
+      dim = dim, bitsPerTable = 4, numTables = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every LSH pair passed the exact verify — it must be a true pair
+    assert((lsh diff exact).isEmpty, s"false positives: ${lsh diff exact}")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("bpe pieces: contractions, space-prefixed runs, digits, punctuation") {
+    import graft.functions.TextAnalytics
+    val got = Seq("it's 42 red-ish apples", "hello   world")
+      .toDF("text")
+      .select(TextAnalytics.bpePieces(col("text")).as("p"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("it", "'s", " 42", " red", "-", "ish", " apples"))
+    // greedy \s+ (no lookahead in the simplified pattern) eats the run
+    assert(got(1) === Seq("hello", "   ", "world"))
+  }
+
   test("simHashPairs: pairs within the hamming radius, none beyond") {
     val fps = Seq(
       (1L, 0x0F0F0F0F0F0F0F0FL),
