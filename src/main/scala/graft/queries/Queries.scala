@@ -770,18 +770,23 @@ object Queries {
       ((col("o_orderkey").cast("long") * 7919) % 10000000).as("start"),
       ((col("o_orderkey").cast("long") * 7919) % 10000000
         + 1000 + (col("o_orderkey") % 100) * 3000).cast("long").as("end"))
+    // all three lead distances in ONE window pass (one shuffle of the
+    // gene table, not three), then explode into pairs
     val w = Window.partitionBy("frag", "strand").orderBy("start", "end", "geneId")
-    val pairs = Seq(1, 2, 4).map { k =>
-      g.select(col("frag"), col("strand"), col("geneId"),
-          lead(col("geneId"), k).over(w).as("otherId"))
-        .where(col("otherId").isNotNull)
-        .select(
-          (col("geneId") * 10 + k).cast("long").as("pairId"),
-          col("frag"), col("strand"), col("geneId"),
-          col("otherId").cast("long").as("otherId"),
-          (col("geneId") % 13).cast("double").as("genePpos"),
-          (col("otherId") % 13).cast("double").as("otherPpos"))
-    }.reduce(_ unionByName _)
+    val pairs = g
+      .select(col("frag") +: col("strand") +: col("geneId") +:
+        Seq(1, 2, 4).map(k => lead(col("geneId"), k).over(w).as(s"o$k")): _*)
+      .select(col("frag"), col("strand"), col("geneId"),
+        explode(array(Seq(1, 2, 4).map { k =>
+          struct(lit(k).as("k"), col(s"o$k").as("otherId"))
+        }: _*)).as("ko"))
+      .where(col("ko.otherId").isNotNull)
+      .select(
+        (col("geneId") * 10 + col("ko.k")).cast("long").as("pairId"),
+        col("frag"), col("strand"), col("geneId"),
+        col("ko.otherId").cast("long").as("otherId"),
+        (col("geneId") % 13).cast("double").as("genePpos"),
+        (col("ko.otherId") % 13).cast("double").as("otherPpos"))
     SplitGeneRescue.rescue(
       g.as[SplitGeneRescue.Gene], pairs.as[SplitGeneRescue.Pair]).toDF()
   }

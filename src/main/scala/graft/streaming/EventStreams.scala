@@ -48,6 +48,32 @@ object EventStreams {
         col("event_type"),
         col("n_events"))
 
+  /** Streaming exact dedup: the incremental form of q17/`Dedup.exact`.
+    * Keyed by content hash; `dropDuplicatesWithinWatermark` keeps one
+    * row per hash and evicts state once the watermark passes — bounded
+    * state on an unbounded stream, the property a 100 TB/day ingest
+    * dedup needs (the batch groupBy holds ALL history; this holds one
+    * watermark's worth).
+    */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-static decorate: the reference's broadcast-LUT enrichment
+    * (`search/decorate.js` stages) applied to a live stream — each
+    * micro-batch broadcast-joins the static dimension; no stream-side
+    * state at all. Rows missing from the LUT pass through with nulls
+    * (left join), matching the reference's optional decorations.
+    */
+  def decorateStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Session windows per user: a session closes after `gapSec` of
     * silence (event-time). Emits one row per completed session. State
     * per user is O(1) (count + bounds), evicted on timeout — the

@@ -33,6 +33,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: one row per content hash within the watermark, state evicted after") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.dedupStream(docs, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      def row(id: Long, text: String, sec: Long) =
+        (id, text, new Timestamp(sec * 1000L))
+      input.addData(row(1, "alpha", 100), row(2, "alpha", 150), row(3, "beta", 160))
+      q.processAllAvailable()
+      // duplicate within the watermark window: suppressed
+      input.addData(row(4, "alpha", 200))
+      q.processAllAvailable()
+      // push the watermark far past the state, then repeat the text:
+      // state was evicted, so the "duplicate" re-emits (documented
+      // within-watermark semantics)
+      input.addData(row(5, "gamma", 100000))
+      q.processAllAvailable()
+      input.addData(row(6, "alpha", 100200))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+      assert(!ids.contains(2L) && !ids.contains(4L))
+      assert(ids.contains(6L)) // state for "alpha" evicted by watermark
+    } finally q.stop()
+  }
+
+  test("decorateStream: stream-static broadcast enrichment, left semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.decorateStream(input.toDF(), dim, "user_id")
+      .select("user_id", "event_id", "tier")
+      .writeStream.format("memory").queryName("deco").outputMode("append").start()
+    try {
+      input.addData(ev(1, 10, "click", 100), ev(3, 11, "view", 200))
+      q.processAllAvailable()
+      val got = spark.table("deco")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(got === Set((1L, 10L, Some("gold")), (3L, 11L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close on gap, match batch gaps-and-islands") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
