@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.{forAll, propBoolean}
-import graft.ops.{Closure, RangeJoin}
+import graft.ops.{Closure, GeneTreeRep, RangeJoin}
 
 /** Property-based checks against brute-force oracles (SURVEY §5.2):
   * random inputs, exhaustive reference computation, exact comparison.
@@ -63,6 +63,117 @@ object GraftProperties extends Properties("graft") {
       Prop(got == want) :| s"got=${got.size} want=${want.size}"
     }
   }
+
+  // Random rooted trees: node i (2..n) hangs under a uniform parent in
+  // 1..i-1; leaves get genes/scores, internals get dup confidences.
+  private val genTree: Gen[Seq[GeneTreeRep.Node]] =
+    Gen.chooseNum(2, 22).flatMap { n =>
+      val parentGens = (2 to n).toList.map(i => Gen.chooseNum(1, i - 1).map(i -> _))
+      for {
+        parents <- Gen.sequence[List[(Int, Int)], (Int, Int)](parentGens)
+        dists <- Gen.listOfN(n, Gen.chooseNum(0, 8).map(_ * 0.25))
+        scores <- Gen.listOfN(n, Gen.oneOf(
+          Gen.chooseNum(-26, 8).map(_ * 5.0), Gen.const(-60.0)))
+        dups <- Gen.listOfN(n, Gen.oneOf(0.0, 0.4, 0.9))
+        ats <- Gen.listOfN(n, Gen.prob(0.3))
+        excl <- Gen.listOfN(n, Gen.prob(0.15))
+      } yield {
+        val hasChild = parents.map(_._2).toSet
+        (1 to n).map { i =>
+          val leaf = !hasChild.contains(i)
+          GeneTreeRep.Node(
+            treeId = 1L,
+            id = i.toLong,
+            parent = if (i == 1) -1L else parents(i - 2)._2.toLong,
+            dist = dists(i - 1),
+            taxonId = if (leaf && excl(i - 1)) 3702001L else 100L + i,
+            geneId = if (!leaf) null
+              else if (ats(i - 1)) s"AT$i" else s"G$i",
+            score = scores(i - 1),
+            dupConf = dups(i - 1))
+        }
+      }
+    }
+
+  /** Independent reference: bu via EXPLICIT min over descendant leaves
+    * (score + path distance, tie = first pre-order leaf) — no climb, no
+    * break — then the documented top-down/ath/dup/emission rules,
+    * recursively. Catches any case where the climb's early break would
+    * diverge from the true minimum.
+    */
+  private def leafAttrsOracle(ns: Seq[GeneTreeRep.Node]): Set[GeneTreeRep.LeafAttr] = {
+    val byId = ns.map(n => n.id -> n).toMap
+    val children = ns.filter(_.parent != -1L).groupBy(_.parent)
+      .view.mapValues(_.sortBy(_.id)).toMap
+    val root = ns.find(_.parent == -1L).get
+    def preorder(n: GeneTreeRep.Node): Seq[GeneTreeRep.Node] =
+      n +: children.getOrElse(n.id, Seq.empty).flatMap(preorder)
+    val pre = preorder(root)
+    val leaves = pre.filter(n => !children.contains(n.id))
+    val leafRank = leaves.zipWithIndex.map { case (l, i) => l.id -> i }.toMap
+    def pathDist(from: Long, to: Long): Double = {
+      var cur = from
+      var d = 0.0
+      while (cur != to) { d += byId(cur).dist; cur = byId(cur).parent }
+      d
+    }
+    def leavesUnder(n: GeneTreeRep.Node): Seq[GeneTreeRep.Node] =
+      if (!children.contains(n.id)) Seq(n)
+      else children(n.id).flatMap(leavesUnder)
+    case class Rep(leafId: Long, gene: String, score: Double)
+    def bu(n: GeneTreeRep.Node): Rep =
+      leavesUnder(n).map(l => (l, l.score + pathDist(l.id, n.id)))
+        .minBy { case (l, s) => (s, leafRank(l.id)) } match {
+        case (l, s) => Rep(l.id, l.geneId, s)
+      }
+    val fin = scala.collection.mutable.HashMap[Long, Rep](root.id -> bu(root))
+    val ath = scala.collection.mutable.HashMap.empty[Long, Rep]
+    def isAth(g: String) = g != null && g.startsWith("AT")
+    if (isAth(fin(root.id).gene)) ath(root.id) = fin(root.id)
+    pre.foreach { node =>
+      val nodeRep = fin(node.id)
+      val gated = nodeRep.score < -60.0
+      children.getOrElse(node.id, Seq.empty).foreach { child =>
+        val own = bu(child)
+        val rep = if (gated && own.score > 0.8 * nodeRep.score) nodeRep else own
+        fin(child.id) = rep
+        if (gated) {
+          if (isAth(rep.gene)) ath(child.id) = rep
+          else ath.get(node.id).foreach(a => ath(child.id) = a)
+        }
+      }
+    }
+    def dupsOf(l: GeneTreeRep.Node): Seq[Long] = {
+      var cur = l.id
+      var acc = List.empty[Long]
+      while (cur != -1L) {
+        val n = byId(cur)
+        if (n.dupConf > 0.5) acc = n.taxonId :: acc
+        cur = n.parent
+      }
+      acc.distinct.sorted
+    }
+    leaves.map { leaf =>
+      val rep = fin(leaf.id)
+      val d = dupsOf(leaf)
+      if (rep.score >= -60.0 || leaf.taxonId == 3702001L)
+        GeneTreeRep.LeafAttr(1L, leaf.geneId, root.taxonId, None, None, None, d)
+      else if (rep.leafId == leaf.id)
+        GeneTreeRep.LeafAttr(1L, leaf.geneId, root.taxonId, Some(rep.score),
+          ath.get(leaf.id).map(_.gene).orElse(Option(leaf.geneId)), None, d)
+      else
+        GeneTreeRep.LeafAttr(1L, leaf.geneId, root.taxonId, Some(rep.score),
+          ath.get(leaf.id).collect { case a if a.gene != rep.gene => a.gene },
+          Option(rep.gene), d)
+    }.toSet
+  }
+
+  property("gene-tree rep propagation == recursive min-over-leaves oracle") =
+    forAll(genTree) { ns =>
+      val got = GeneTreeRep.leafAttrs(ns.toDS()).collect().toSet
+      val want = leafAttrsOracle(ns)
+      Prop(got == want) :| s"got=${got.size} want=${want.size} diff=${(got diff want).take(2)}"
+    }
 
   property("binning partitions the domain: each point matches its own bin exactly once") =
     forAll(genPoints, Gen.oneOf(1L, 7L, 100L)) { (ps, w) =>
