@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair graph — the step that
+  * turns near-duplicate PAIRS (exact Jaccard / MinHash / SimHash /
+  * embedding-cosine) into duplicate CLUSTERS with one canonical
+  * representative per cluster, i.e. the "keep one copy" decision of a
+  * corpus dedup pipeline.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+  * round re-points nodes at the minimum of their closed neighborhood,
+  * provably converging in O(log² n) rounds with per-round cost linear
+  * in the edge count. Every round is two keyed aggregations + a join:
+  * no component ever needs to fit on one machine, unlike
+  * label-propagation-until-diameter (O(diameter) rounds) or
+  * collect-to-driver union-find. Lineage is cut per round with
+  * `localCheckpoint` like [[Closure]]'s fixpoint.
+  *
+  * Returns (id, component) for every node appearing in `pairs`, where
+  * `component` is the minimum node id of the node's component.
+  */
+object Components {
+
+  def components(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    def bidir(e: DataFrame): DataFrame =
+      e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // m(u) = min of the closed neighborhood of u
+    def minNbr(bi: DataFrame): DataFrame =
+      bi.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+
+    // large-star: strictly larger neighbors re-point at m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = bidir(e)
+      bi.join(minNbr(bi), Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: smaller-or-equal neighbors (and u itself) re-point at m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val bi = bidir(e)
+      val m = minNbr(bi)
+      bi.where(col("v") <= col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col(pairs.columns(0)).cast("long").as("u"),
+        col(pairs.columns(1)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val allNodes = bidir(edges).select(col("u").as("id")).distinct().localCheckpoint()
+
+    // converge when a round is a no-op: identical (u, v) edge set.
+    // checksum = (count, xor of row hashes) — order-insensitive, exact
+    // for a distinct edge set, and xor can't overflow under ANSI mode
+    def checksum(e: DataFrame): (Long, Long) =
+      e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .as[(Long, Long)].head()
+
+    var stable = edges.isEmpty
+    var cs = if (stable) (0L, 0L) else checksum(edges)
+    while (!stable) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCs = checksum(next)
+      stable = nextCs == cs
+      edges = next
+      cs = nextCs
+    }
+
+    // fixpoint is a forest of stars (u → root). Roots map to themselves.
+    allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Canonical-per-cluster dedup verdict: every node with its
+    * component representative (the minimum id) and whether it is the
+    * copy to KEEP. The composition point for any pair generator.
+    */
+  def canonicalize(pairs: DataFrame): DataFrame =
+    components(pairs)
+      .select(col("id"), col("component").as("canonical_id"),
+        (col("id") === col("component")).as("keep"))
+}

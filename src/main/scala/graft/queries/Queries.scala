@@ -868,6 +868,20 @@ object Queries {
       size(filter(pieces, p => p.rlike("^ ?[A-Za-z]+$"))).cast("long").as("n_alpha"))
   }
 
+  /** Duplicate CLUSTERS from pairs ([[graft.ops.Components]]): the
+    * exact n-gram Jaccard pairs (q22) collapse into connected
+    * components via alternating large-star/small-star — the
+    * "keep one copy per cluster" decision of a corpus dedup pipeline.
+    * Oracle: recursive reachability over the same pair set.
+    */
+  val q53DedupComponents: Q = (s, d) =>
+    graft.ops.Components.components(
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "text", "doc_id",
+        blockCol = "lang", shingleN = 2, threshold = 0.5)
+        .select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
@@ -979,6 +993,7 @@ object Queries {
     "q50_embedding_neardup" -> q50EmbeddingNearDup,
     "q51_embedding_neardup_lsh" -> q51EmbeddingNearDupLsh,
     "q52_bpe_tokens" -> q52BpeTokens,
+    "q53_dedup_components" -> q53DedupComponents,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1603,5 +1618,27 @@ object Queries {
            len(list_filter(regexp_extract_all(text,
              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'),
              p -> regexp_matches(p, '^ ?[A-Za-z]+$')))::BIGINT AS n_alpha
-         FROM documents""")
+         FROM documents""",
+    "q53_dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(l) - 1),
+                                          i -> l[i] || ' ' || l[i + 1])) AS g
+           FROM (SELECT doc_id, lang, $toks AS l FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE len(a.g) > 0 AND len(b.g) > 0
+             AND len(list_intersect(a.g, b.g))::DOUBLE /
+                 len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+         e AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM e)
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
+         SELECT src AS doc_id, min(node) AS component
+         FROM reach GROUP BY src""")
 }

@@ -74,6 +74,54 @@ object EventStreams {
   def decorateStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  case class EnrichOut(
+      user_id: Long, event_id: Long, purchase_us: Long, last_err_us: Option[Long])
+
+  /** Per-user last-error state (public for encoder codegen). */
+  case class LastErr(us: Long)
+
+  /** Streaming backward as-of enrichment: every purchase is decorated
+    * with the latest error at-or-before it for the same user — the
+    * incremental form of q39/q49 and the online feature-join shape
+    * (decorate each example with the freshest signal seen so far).
+    * State is O(1) per user (one timestamp). Within a micro-batch rows
+    * sort by event time with errors before purchases at equal stamps
+    * (q39's inclusive tie rule); cross-batch correctness assumes
+    * in-order arrival per key — production would add a watermark-sized
+    * reorder buffer, the same trade every streaming as-of makes.
+    */
+  def asofEnrich(events: Dataset[Event]): Dataset[EnrichOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[LastErr]): Iterator[EnrichOut] = {
+      val sorted = rows.toSeq.sortBy(e =>
+        (micros(e.ts), if (e.event_type == "error") 0 else 1, e.event_id))
+      var last = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[EnrichOut]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        e.event_type match {
+          case "error" => last = Some(LastErr(us))
+          case "purchase" =>
+            out += EnrichOut(userId, e.event_id, us, last.map(_.us))
+          case _ => ()
+        }
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Session windows per user: a session closes after `gapSec` of
     * silence (event-time). Emits one row per completed session. State
     * per user is O(1) (count + bounds), evicted on timeout — the

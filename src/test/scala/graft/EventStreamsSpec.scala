@@ -108,6 +108,55 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich: state carries the last error across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_s").outputMode("append").start()
+    try {
+      // batch 1: error then purchase at the same stamp (inclusive tie),
+      // and a purchase with no prior error
+      input.addData(ev(1, 1, "error", 100), ev(1, 2, "purchase", 100),
+        ev(2, 3, "purchase", 50))
+      q.processAllAvailable()
+      // batch 2: state remembers user 1's error; new error supersedes
+      input.addData(ev(1, 4, "purchase", 200),
+        ev(1, 5, "error", 300), ev(1, 6, "purchase", 400))
+      q.processAllAvailable()
+      val got = spark.table("asof_s")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map(r => r._2 -> r._4).toMap
+      assert(got === Map(
+        2L -> Some(100000000L), // tie: error at same micros counts
+        3L -> None,
+        4L -> Some(100000000L), // carried across micro-batches
+        6L -> Some(300000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming asofEnrich matches batch q39 on the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Queries.q39AsofJoin(spark, dir)
+      .select("event_id", "last_err_us")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val rows = graft.core.Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts")
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_real").outputMode("append").start()
+    try {
+      input.addData(rows) // one batch: in-batch sort handles ordering
+      q.processAllAvailable()
+      val streamed = spark.table("asof_real")
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map(r => r._2 -> r._4).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches batch q10 on the real events table") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
