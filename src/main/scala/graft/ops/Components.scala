@@ -67,21 +67,19 @@ object Components {
     val allNodes = bidir(edges).select(col("u").as("id")).distinct().localCheckpoint()
 
     // converge when a round is a no-op: identical (u, v) edge set.
-    // checksum = (count, xor of row hashes) — order-insensitive, exact
-    // for a distinct edge set, and xor can't overflow under ANSI mode
-    def checksum(e: DataFrame): (Long, Long) =
-      e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
-        .as[(Long, Long)].head()
-
+    // EXACT fixpoint test: both sides are distinct sets, so equal
+    // cardinality plus an empty difference proves set equality — no
+    // hash-collision failure mode (a prior xor-of-hashes checksum had a
+    // ~2⁻⁶⁴ early-stop risk). The count gate skips the except job on
+    // every round where the edge count still moves.
     var stable = edges.isEmpty
-    var cs = if (stable) (0L, 0L) else checksum(edges)
+    var curCount = if (stable) 0L else edges.count()
     while (!stable) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextCs = checksum(next)
-      stable = nextCs == cs
+      val nextCount = next.count()
+      stable = nextCount == curCount && next.except(edges).isEmpty
       edges = next
-      cs = nextCs
+      curCount = nextCount
     }
 
     // fixpoint is a forest of stars (u → root). Roots map to themselves.

@@ -173,6 +173,11 @@ object Similarity {
   /** One-call IVF ANN for the catalog: builds (or reuses — indexes are
     * cached per (table-plan, id, vec, nLists) within the session) and
     * probes. The lifecycle API is [[ivfBuild]]/[[IvfIndex.probe]].
+    *
+    * The cache is LRU-bounded at [[IvfCacheCap]] entries; an evicted
+    * index's persisted assignment is released immediately, so a
+    * long-lived session probing many distinct corpora never accumulates
+    * persisted DataFrames (a prior unbounded map leaked them).
     */
   def ivfCosineTopK(
       corpus: DataFrame,
@@ -185,13 +190,33 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, nLists, seed)
     val index = ivfCache.synchronized {
-      ivfCache.getOrElseUpdate(key, ivfBuild(corpus, idCol, vecCol, nLists, seed = seed))
+      val hit = ivfCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = ivfBuild(corpus, idCol, vecCol, nLists, seed = seed)
+        ivfCache.put(key, built)
+        built
+      }
     }
     index.probe(queries, idCol, vecCol, k, nProbe)
   }
 
+  /** Max distinct IVF indexes the one-call wrapper keeps persisted. */
+  val IvfCacheCap = 4
+
+  private type IvfKey = (Int, String, String, Int, Long)
   private val ivfCache =
-    scala.collection.mutable.HashMap.empty[(Int, String, String, Int, Long), IvfIndex]
+    new java.util.LinkedHashMap[IvfKey, IvfIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          eldest: java.util.Map.Entry[IvfKey, IvfIndex]): Boolean = {
+        val evict = size() > IvfCacheCap
+        if (evict) eldest.getValue.release()
+        evict
+      }
+    }
+
+  /** Visible for tests: number of live cached indexes. */
+  private[graft] def ivfCacheSize: Int = ivfCache.synchronized(ivfCache.size())
 
   /** ANN top-k: `numTables` independent SRP bucketings; candidates are
     * corpus rows sharing any (table, bucket) with the query, re-ranked

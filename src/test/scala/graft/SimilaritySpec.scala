@@ -112,6 +112,28 @@ class SimilaritySpec extends SparkSpec {
     } finally index.release()
   }
 
+  test("ivfCosineTopK cache is LRU-bounded and releases evicted indexes") {
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+    // distinct nLists values → distinct cache keys; the first build's
+    // persisted assignment must be unpersisted once the cap overflows
+    val first = Similarity.ivfBuild(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nLists = 3)
+    try {
+      (2 to Similarity.IvfCacheCap + 3).foreach { n =>
+        Similarity.ivfCosineTopK(
+          vecs.toDF("vec_id", "embedding"), queries, "vec_id", "embedding",
+          k = 2, nLists = n, nProbe = n).count()
+      }
+      assert(Similarity.ivfCacheSize <= Similarity.IvfCacheCap)
+      // re-probing an evicted key rebuilds and still answers correctly
+      val again = Similarity.ivfCosineTopK(
+        vecs.toDF("vec_id", "embedding"), queries, "vec_id", "embedding",
+        k = 2, nLists = 2, nProbe = 2)
+      assert(again.count() === 6L)
+      assert(Similarity.ivfCacheSize <= Similarity.IvfCacheCap)
+    } finally first.release()
+  }
+
   test("native cosine kernel is bit-identical to the HOF formulation") {
     val df = vecs.toDF("vec_id", "embedding")
       .select(col("embedding").cast("array<double>").as("v"))
