@@ -244,27 +244,59 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding-cosine near-duplicate pairs, EXACT baseline: every
-    * unordered pair with cosine ≥ threshold, scored by the fused native
-    * kernel. The corpus self-joins through a broadcast nested loop —
-    * intentionally O(n²), the correctness baseline the LSH variant is
-    * recall-tested against (the same exact/scale split as
-    * `Similarity.cosineTopK` vs `lshCosineTopK`). Use
-    * [[embeddingNearDupLsh]] beyond ~10⁵ vectors.
+  /** Embedding-cosine near-duplicate pairs, EXACT: every unordered pair
+    * with cosine ≥ threshold, scored by the fused native kernel.
+    *
+    * Plan: a GRID-BLOCKED self-join (the triangle variant of
+    * 1-Bucket-Theta, Okcan & Riedewald, SIGMOD 2011). Each vector hashes
+    * to one of `numBlocks` blocks; the cell grid is the upper triangle
+    * {(i,j) : i ≤ j}. A vector in block b enters cell (b, j) on the left
+    * for every j ≥ b and cell (i, b) on the right for every i ≤ b, so an
+    * unordered pair with blocks (p, q) meets in EXACTLY the cell
+    * (min(p,q), max(p,q)) — once off-diagonal, in both orientations on
+    * the diagonal (deduped by the id ordering below). The join is a pure
+    * equi-join on the cell key: KEYED shuffles only, no broadcast, and
+    * per-task state is two block slices of O(n/numBlocks) rows — nothing
+    * ever needs the whole corpus on one executor (the previous
+    * formulation broadcast the entire table through a
+    * BroadcastNestedLoopJoin, which dies at 100× scale).
+    *
+    * Exact all-pairs over DENSE vectors is inherently Θ(n²·dim) compute;
+    * this plan spreads it evenly over numBlocks·(numBlocks+1)/2 cells at
+    * a replication cost of numBlocks+1 copies of each row — size
+    * numBlocks so cells ≈ a few waves of cluster cores. APSS-style
+    * prefix filtering cannot prune here: a dense unit vector's prefix
+    * bound Σ|w_i|·maxw_i reaches any t ≪ ‖w‖₁·maxw within a few of its
+    * 64 dims, so every vector would post nearly every dim ([[Apss]]
+    * implements that pruning where it is sound — sparse vectors).
+    * The sub-quadratic scale path is [[embeddingNearDupLsh]].
     */
   def embeddingNearDupExact(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = corpus.select(
-      col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
-    val b = corpus.select(
-      col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      threshold: Double,
+      numBlocks: Int = 8): DataFrame = {
+    val v = corpus.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("blk"))
+    val left = v.select(
+      explode(sequence(col("blk"), lit(numBlocks - 1))).as("cj"),
+      col("blk").as("ci"), col("id").as("id_l"), col("v").as("vl"))
+    val right = v.select(
+      explode(sequence(lit(0), col("blk"))).as("ci"),
+      col("blk").as("cj"), col("id").as("id_r"), col("v").as("vr"))
+    left.join(right, Seq("ci", "cj"))
+      // off-diagonal cells see each pair once (any orientation); the
+      // diagonal sees both orientations plus self-pairs — keep exactly
+      // the id_l < id_r copy there
+      .where(col("ci") < col("cj") || col("id_l") < col("id_r"))
+      .withColumn("sim", Similarity.cosine(col("vl"), col("vr")))
       .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("sim"), 4).as("sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH scale path: candidates

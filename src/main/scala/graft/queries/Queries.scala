@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextAnalytics
-import graft.ops.{Closure, Dedup, RangeJoin, Similarity, TreeAlgebra}
+import graft.ops.{Apss, Closure, Dedup, RangeJoin, Similarity, TreeAlgebra}
 
 /** The engine's declared query catalog: one entry per implemented
   * operator family from SURVEY.md §2 plus the training-data-pipeline
@@ -855,6 +855,19 @@ object Queries {
       Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.35, dim = 64, bitsPerTable = 4, numTables = 12)
 
+  /** APSS exact cosine-threshold self-join with prefix filtering
+    * ([[graft.ops.Apss.cosinePairs]]) over top-8-by-magnitude
+    * sparsified embeddings — the keyed-shuffle exact plan for the
+    * sparse regime (TF-IDF bags, sparsified embeddings), oracle-checked
+    * against DuckDB's brute force over the SAME sparsification.
+    */
+  val q57ApssCosine: Q = (s, d) =>
+    Apss.cosinePairs(
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        Apss.sparsifyTopM(col("embedding"), 8).as("terms")),
+      "vec_id", "terms", threshold = 0.4)
+
   /** BPE-ish token statistics ([[graft.functions.TextAnalytics
     * .bpePieces]]): pre-token piece counts under the GPT-2-style regex —
     * the token-budget estimator a training-data pipeline runs over every
@@ -994,6 +1007,7 @@ object Queries {
     "q51_embedding_neardup_lsh" -> q51EmbeddingNearDupLsh,
     "q52_bpe_tokens" -> q52BpeTokens,
     "q53_dedup_components" -> q53DedupComponents,
+    "q57_apss_cosine" -> q57ApssCosine,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1619,6 +1633,25 @@ object Queries {
              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'),
              p -> regexp_matches(p, '^ ?[A-Za-z]+$')))::BIGINT AS n_alpha
          FROM documents""",
+    "q57_apss_cosine" ->
+      // brute force over the SAME top-8-by-|w| sparsification (1-based
+      // dims, ties to the lower dim), unit-normalized; a pair sharing
+      // no dim has dot 0 < t, so the dim-join enumerates every
+      // qualifying pair
+      """WITH x AS (
+           SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS w
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY abs(embedding[i]) DESC, i) <= 8),
+         n AS (SELECT vec_id, sqrt(sum(w*w)) AS nrm FROM x GROUP BY vec_id),
+         xn AS (SELECT x.vec_id, x.dim, x.w / n.nrm AS wn
+                FROM x JOIN n USING (vec_id)),
+         dots AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.wn * b.wn) AS sim
+           FROM xn a JOIN xn b ON a.dim = b.dim AND a.vec_id < b.vec_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, round(sim, 4) AS sim FROM dots WHERE sim >= 0.4""",
     "q53_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, lang,

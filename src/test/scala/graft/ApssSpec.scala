@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Apss
+
+class ApssSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosLocal(
+      a: Map[Int, Double], b: Map[Int, Double]): Double = {
+    val dot = a.iterator.map { case (d, w) => w * b.getOrElse(d, 0.0) }.sum
+    val na = math.sqrt(a.values.map(w => w * w).sum)
+    val nb = math.sqrt(b.values.map(w => w * w).sum)
+    if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+  }
+
+  /** Random sparse corpus: ~nnz of `dims` dims carry N(0,1) weights. */
+  private def sparseCorpus(
+      seed: Int, n: Int, dims: Int, nnz: Int): Seq[(Long, Seq[(Int, Double)])] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      val ds = rnd.shuffle((1 to dims).toList).take(1 + rnd.nextInt(nnz))
+      (i, ds.sorted.map(d => (d, rnd.nextGaussian())))
+    }
+  }
+
+  private def toDf(corpus: Seq[(Long, Seq[(Int, Double)])]) =
+    corpus.toDF("id", "terms").select(
+      col("id"),
+      col("terms").cast("array<struct<dim:int,w:double>>").as("terms"))
+
+  test("cosinePairs is EXACT vs brute force across seeds and thresholds") {
+    for ((seed, t) <- Seq((1, 0.3), (2, 0.5), (3, 0.7))) {
+      val corpus = sparseCorpus(seed, n = 120, dims = 30, nnz = 8)
+      val maps = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+      val want = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        s = cosLocal(maps(a), maps(b)) if s >= t
+      } yield (a, b)).toSet
+      val got = Apss.cosinePairs(toDf(corpus), "id", "terms", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"seed=$seed t=$t missed=${want diff got} extra=${got diff want}")
+    }
+  }
+
+  test("cosinePairs sims match local computation to 4 decimals") {
+    val corpus = sparseCorpus(7, n = 80, dims = 20, nnz = 6)
+    val maps = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+    val got = Apss.cosinePairs(toDf(corpus), "id", "terms", 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, s) =>
+      assert(math.abs(s - cosLocal(maps(a), maps(b))) < 1e-4, s"($a,$b)")
+    }
+  }
+
+  test("prefix filtering actually prunes: posted index smaller than full index") {
+    // not a correctness property, but the reason the operator exists —
+    // on sparse data the t/2 rule must drop a nontrivial share of
+    // postings (here vs the unfiltered inverted index)
+    val corpus = sparseCorpus(11, n = 200, dims = 40, nnz = 10)
+    val df = toDf(corpus)
+    val full = corpus.map(_._2.size).sum
+    // replicate the operator's internal posting rule to count postings
+    val raw = df.withColumn("nrm",
+      sqrt(aggregate(col("terms"), lit(0.0),
+        (s, x) => s + x.getField("w") * x.getField("w"))))
+    val unit = raw.select(col("id"), explode(col("terms")).as("t"), col("nrm"))
+      .select(col("id"), col("t.dim").as("dim"), (col("t.w") / col("nrm")).as("wn"))
+    val maxw = unit.groupBy("dim").agg(max(abs(col("wn"))).as("maxw"))
+    val posted = unit.join(maxw, Seq("dim"))
+      .withColumn("contrib", abs(col("wn")) * col("maxw"))
+      .withColumn("cum", sum(col("contrib")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("contrib"), col("dim"))))
+      .where(col("cum") >= 0.5 / 2)
+      .count()
+    assert(posted < full, s"no pruning: $posted postings of $full terms")
+  }
+
+  test("zero-norm vectors are excluded, not crashed on") {
+    val df = Seq(
+      (1L, Seq((1, 1.0), (2, 1.0))),
+      (2L, Seq((1, 1.0), (2, 1.0))),
+      (3L, Seq((1, 0.0)))).toDF("id", "terms")
+      .select(col("id"), col("terms").cast("array<struct<dim:int,w:double>>").as("terms"))
+    val got = Apss.cosinePairs(df, "id", "terms", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("sparsifyTopM keeps the m largest |w| dims, 1-based, ties to lower dim") {
+    val df = Seq(
+      Tuple1(Array(0.1f, -0.9f, 0.5f, 0.5f, -0.05f))).toDF("v")
+    val got = df.select(Apss.sparsifyTopM(col("v"), 3).as("t"))
+      .selectExpr("transform(t, x -> x.dim) AS dims").as[Seq[Int]].head()
+    assert(got == Seq(2, 3, 4), got.toString)
+    // m larger than the vector and empty vectors degrade gracefully
+    val small = Seq(Tuple1(Array(0.3f)), Tuple1(Array.empty[Float])).toDF("v")
+      .select(size(Apss.sparsifyTopM(col("v"), 4)).as("n")).as[Int].collect().toSeq
+    assert(small == Seq(1, 0))
+  }
+
+  test("catalog sparsified query shape: pairs over sparsified embeddings are exact for that sparse input") {
+    // mirrors q57: dense → sparsifyTopM → cosinePairs; oracle is the
+    // local brute force over the SAME sparse vectors
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Apss.sparsifyTopM(col("embedding"), 5).as("terms"))
+    val sparse = df.selectExpr("vec_id", "transform(terms, t -> struct(t.dim, t.w)) AS t")
+      .as[(Long, Seq[(Int, Double)])].collect()
+      .map { case (i, ts) => i -> ts.toMap }.toMap
+    val want = (for {
+      a <- sparse.keys; b <- sparse.keys if a < b
+      s = cosLocal(sparse(a), sparse(b)) if s >= 0.4
+    } yield (a, b)).toSet
+    val got = Apss.cosinePairs(df, "vec_id", "terms", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+  }
+}

@@ -131,6 +131,30 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("embedding near-dup exact: grid-blocked join matches brute force, invariant in numBlocks, no broadcast NLJ") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val vecs = (0L until 150L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      s = cosLocal(va, vb) if s >= 0.4
+    } yield (ia, ib)).toSet
+    val df = vecs.toDF("vec_id", "embedding")
+    val plans = Seq(1, 3, 8).map { nb =>
+      val res = Dedup.embeddingNearDupExact(df, "vec_id", "embedding", 0.4, numBlocks = nb)
+      val got = res.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"numBlocks=$nb: ${got diff want} / ${want diff got}")
+      res.queryExecution.executedPlan.toString
+    }
+    // the whole point of the grid: keyed shuffles only, never a
+    // broadcast of the corpus through a nested loop
+    plans.foreach(p => assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500)))
+  }
+
   test("bpe pieces: contractions, space-prefixed runs, digits, punctuation") {
     import graft.functions.TextAnalytics
     val got = Seq("it's 42 red-ish apples", "hello   world")
