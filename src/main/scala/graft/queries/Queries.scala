@@ -898,11 +898,12 @@ object Queries {
   // ---- Engine-hash-specific operators: rows-only checks (no oracle) ----
 
   /** Multimodal feature extraction: batched mapPartitions decode-stub +
-    * deterministic fake embedding (rows-only: the hash-derived features
-    * are engine-specific; batch/partition invariance is unit-tested).
-    * The vector is emitted as an md5 digest plus a rounded L1 norm —
-    * scalar columns the driver harness can sort/hash (a raw float array
-    * column crashed its pandas sort in round 1).
+    * deterministic fake embedding. The float features are emitted as
+    * scaled integers (`floor(f · 2²⁰)` — exact: a float32's 24-bit
+    * mantissa times a power of two loses nothing), digested with md5
+    * plus an integer L1 sum, so the WHOLE bytes→thumb→rolling-hash→
+    * float chain is replayed independently by the DuckDB oracle
+    * (HUGEINT mod-2⁶⁴ arithmetic) — a full oracle gate, not rows-only.
     */
   val q36MediaFeatures: Q = (s, d) => {
     import s.implicits._
@@ -912,13 +913,15 @@ object Queries {
       lit("txt").as("format")).as[graft.functions.Multimodal.MediaRow]
     graft.functions.Multimodal.extractFeatures(media, dim = 8)
       .toDF()
+      .withColumn("scaled",
+        transform(col("features"),
+          f => floor(f.cast("double") * lit(1048576L)).cast("long")))
       .select(
         col("media_id"),
         col("n_bytes"),
-        md5(concat_ws(",", transform(col("features"), f => f.cast("string"))))
+        md5(concat_ws(",", transform(col("scaled"), x => x.cast("string"))))
           .as("features_digest"),
-        round(aggregate(col("features"),
-          lit(0.0), (s, x) => s + abs(x.cast("double"))), 4).as("features_l1"))
+        aggregate(col("scaled"), lit(0L), (s, x) => s + x).as("features_l1"))
   }
 
   /** MinHash+LSH near-dup candidates, verified by exact Jaccard.
@@ -946,13 +949,28 @@ object Queries {
 
   /** IVF-Flat ANN (k-means coarse quantizer, nProbe cell probing +
     * exact re-rank) — the second scale path besides LSH; recall
-    * validated in tests against the exact top-k.
+    * validated in tests against the exact top-k. The partial-probe
+    * result is quantizer-dependent → rows-only; the ORACLE GATE for
+    * the same machinery is [[q55IvfExact]].
     */
   val q42IvfAnn: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfCosineTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, nLists = 16, nProbe = 4)
+  }
+
+  /** IVF probed EXHAUSTIVELY (`nProbe = nLists`): every cell is
+    * scanned, so the index answer is provably identical to brute-force
+    * top-k — which puts the whole build/assign/probe machinery under
+    * q21's DuckDB oracle instead of a rows-only check.
+    */
+  val q55IvfExact: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfCosineTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 16)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -1007,6 +1025,7 @@ object Queries {
     "q51_embedding_neardup_lsh" -> q51EmbeddingNearDupLsh,
     "q52_bpe_tokens" -> q52BpeTokens,
     "q53_dedup_components" -> q53DedupComponents,
+    "q55_ivf_exact" -> q55IvfExact,
     "q57_apss_cosine" -> q57ApssCosine,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
@@ -1090,7 +1109,78 @@ object Queries {
        FROM (SELECT doc_id, ${cnts.mkString(", ")} FROM documents)"""
   }
 
+  private val knnExactOracle =
+    """SELECT query_id, rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 5"""
+
+  /** DuckDB replay of q36's bytes→thumb→rolling-hash→float32 chain:
+    * byte access via hex-string slicing (DuckDB 1.0 has no blob
+    * subscript), the Java wrapping-long hash via HUGEINT mod-2⁶⁴, the
+    * float32 rounding via ::REAL — verified bit-equal to the JVM chain
+    * for every sf0.01 document before being wired here.
+    */
+  private val mediaFeaturesOracle =
+    """WITH b AS (
+         SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS n
+         FROM documents),
+       byt AS (
+         SELECT media_id, n,
+           list_transform(generate_series(1, n),
+             i -> 16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+                   + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1)) AS bs
+         FROM b),
+       thumb AS (
+         SELECT media_id, n,
+           list_transform(generate_series(1, 64), i ->
+             CASE WHEN n = 0 THEN 0 ELSE
+               list_sum(bs[((i-1)*n)//64 + 1 :
+                           greatest(((i-1)*n)//64 + 1, (i*n)//64)])
+               // greatest(1, (i*n)//64 - ((i-1)*n)//64)
+             END) AS th
+         FROM byt),
+       hh AS (
+         SELECT media_id, n,
+           list_transform(th, x -> x::HUGEINT) AS thh,
+           18446744073709551616::HUGEINT AS M,
+           11400714819323198485::HUGEINT AS K
+         FROM thumb),
+       f AS (
+         SELECT media_id, n,
+           list_reduce(list_prepend((1125899906842597::HUGEINT + 0*K) % M, thh), (a,b) -> (a*31+b) % M) AS a0,
+           list_reduce(list_prepend((a0 + 1*K) % M, thh), (a,b) -> (a*31+b) % M) AS a1,
+           list_reduce(list_prepend((a1 + 2*K) % M, thh), (a,b) -> (a*31+b) % M) AS a2,
+           list_reduce(list_prepend((a2 + 3*K) % M, thh), (a,b) -> (a*31+b) % M) AS a3,
+           list_reduce(list_prepend((a3 + 4*K) % M, thh), (a,b) -> (a*31+b) % M) AS a4,
+           list_reduce(list_prepend((a4 + 5*K) % M, thh), (a,b) -> (a*31+b) % M) AS a5,
+           list_reduce(list_prepend((a5 + 6*K) % M, thh), (a,b) -> (a*31+b) % M) AS a6,
+           list_reduce(list_prepend((a6 + 7*K) % M, thh), (a,b) -> (a*31+b) % M) AS a7
+         FROM hh),
+       sc AS (
+         SELECT media_id, n,
+           [floor(((a0 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a1 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a2 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a3 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a4 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a5 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a6 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT,
+            floor(((a7 // 2048)::DOUBLE / 9007199254740992)::REAL::DOUBLE * 1048576)::BIGINT] AS s
+         FROM f)
+       SELECT media_id, n::BIGINT AS n_bytes,
+         md5(array_to_string(s, ',')) AS features_digest,
+         list_sum(s)::BIGINT AS features_l1
+       FROM sc"""
+
   val oracles: Map[String, String] = Map(
+    "q36_media_features" -> mediaFeaturesOracle,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
@@ -1232,16 +1322,10 @@ object Queries {
     "q20_lang_id" ->
       s"""SELECT p.doc_id, p.lang_pred, (p.lang_pred = d.lang) AS is_correct
          FROM ($langIdSql) p JOIN documents d ON p.doc_id = d.doc_id""",
-    "q21_knn_cosine" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  row_number() OVER (PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                                    c.embedding::DOUBLE[]) DESC,
-                             c.vec_id) AS rank
-           FROM embeddings q, embeddings c
-           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
-         WHERE rank <= 5""",
+    "q21_knn_cosine" -> knnExactOracle,
+    // exhaustive probe scans every cell → provably the exact answer,
+    // so the IVF machinery shares the brute-force oracle
+    "q55_ivf_exact" -> knnExactOracle,
     "q22_ngram_jaccard" ->
       s"""WITH sh AS (
            SELECT doc_id, lang,
