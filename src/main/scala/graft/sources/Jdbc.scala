@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - S3 IN-list batch  -> one JDBC partition per id range via
   *    `predicates` (manual partition pruning)
   *
-  * No MySQL exists in this environment, so these are compile-checked
-  * design carriers; the pure predicate/batching logic is unit-tested.
+  * No MySQL exists in this environment; JdbcSpec executes all three
+  * paths end-to-end against embedded Apache Derby (pure-JVM, ships in
+  * Spark's jars) — query pushdown, range slicing, and per-batch
+  * partitioning all run for real, swap the URL for production MySQL.
   */
 object Jdbc {
 
