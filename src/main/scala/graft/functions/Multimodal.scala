@@ -66,6 +66,88 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via `javax.imageio` (JDK-only — PNG, BMP, GIF,
+    * JPEG; no external codec libs needed): true width/height from the
+    * decoded raster and an 8x8 block-averaged luminance thumbnail
+    * (integer BT.601 luma for color images, raw sample for grayscale).
+    * Returns null for bytes no installed reader accepts — callers
+    * dispatch to [[decodeStub]] for formats outside the JDK's codecs.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): Decoded = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = img.getColorModel.getNumComponents == 1
+      val raster = img.getRaster
+      def luma(x: Int, y: Int): Int =
+        if (gray) raster.getSample(x, y, 0)
+        else {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+      // same strided-window averaging as the stub, but over real pixels
+      val thumb = Array.tabulate[Byte](64) { i =>
+        val bx = i % 8; val by = i / 8
+        val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+        val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+        var s = 0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(x, y); n += 1; x += 1 }
+          y += 1
+        }
+        (s / n).toByte
+      }
+      Decoded(id, w, h, thumb)
+    }
+  }
+
+  /** Batched decode over a media Dataset: JDK codecs where they apply,
+    * [[decodeStub]] for anything unreadable — same bounded-batch
+    * `mapPartitions` contract as [[extractFeatures]] (narrow, no
+    * shuffle; scales by adding partitions).
+    */
+  def decodeImages(
+      media: Dataset[MediaRow],
+      batchSize: Int = 256): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val real = decodeImage(m.media_id, m.content)
+          if (real != null) real else decodeStub(m.media_id, m.content)
+        }
+      }
+    }
+  }
+
+  /** Deterministic 8-bit grayscale PNG from a byte payload: pixels are
+    * the first w*h bytes (zero-padded), row-major. PNG is lossless, so
+    * decode returns exactly these pixels — the synthesis side of the
+    * round-trip oracle (the container has no image fixtures; the codec
+    * under test is the JDK's real PNG coder).
+    */
+  def encodeGrayPng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      val v = if (i < bytes.length) bytes(i) & 0xff else 0
+      raster.setSample(i % w, i / w, 0, v)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Batched partition map: decode + embed, `batchSize` rows at a time.
     * `grouped` bounds executor memory exactly like Arrow batch size does
     * for `mapInPandas`; partition count is preserved (pure narrow op, no

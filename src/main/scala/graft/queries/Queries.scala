@@ -924,6 +924,37 @@ object Queries {
         aggregate(col("scaled"), lit(0L), (s, x) => s + x).as("features_l1"))
   }
 
+  /** REAL image decode through the JDK's PNG codec
+    * ([[graft.functions.Multimodal.decodeImages]]): each document's
+    * bytes become an 8x8 grayscale PNG (deterministic synthesis — the
+    * container ships no image fixtures), `javax.imageio` decodes it
+    * back, and the decoded raster is digested. PNG is lossless, so the
+    * DuckDB oracle replays the pixel values straight from the document
+    * bytes — a real codec round-trip under a real oracle gate.
+    */
+  val q56MediaDecode: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      lit("png").as("format")).as[graft.functions.Multimodal.MediaRow]
+    val pngs = media.map(m => graft.functions.Multimodal.MediaRow(
+      m.media_id, graft.functions.Multimodal.encodeGrayPng(m.content, 8, 8), "png"))
+    graft.functions.Multimodal.decodeImages(pngs)
+      // thumb is a BINARY column; surface the pixel values as the
+      // comma-joined unsigned ints the oracle replays
+      .map { dec =>
+        val vals = dec.thumb.map(b => (b & 0xff).toLong)
+        (dec.media_id, dec.width.toLong, dec.height.toLong,
+          vals.mkString(","), vals.sum / 64)
+      }
+      .toDF("media_id", "width", "height", "thumb_csv", "luma_mean")
+      .select(
+        col("media_id"), col("width"), col("height"),
+        md5(col("thumb_csv").cast("binary")).as("thumb_digest"),
+        col("luma_mean"))
+  }
+
   /** MinHash+LSH near-dup candidates, verified by exact Jaccard.
     * xxhash64-based — not oracle-expressible, validated by unit tests +
     * cross-check against q22's exact pairs.
@@ -1026,6 +1057,7 @@ object Queries {
     "q52_bpe_tokens" -> q52BpeTokens,
     "q53_dedup_components" -> q53DedupComponents,
     "q55_ivf_exact" -> q55IvfExact,
+    "q56_media_decode" -> q56MediaDecode,
     "q57_apss_cosine" -> q57ApssCosine,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
@@ -1181,6 +1213,25 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q36_media_features" -> mediaFeaturesOracle,
+    // PNG is lossless: the decoded 8x8 raster must equal the first 64
+    // document bytes zero-padded — replayed here without any codec
+    "q56_media_decode" ->
+      """WITH b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         px AS (
+           SELECT media_id,
+             list_transform(generate_series(1, 64), i ->
+               CASE WHEN i <= n THEN
+                 16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+                  + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1)
+               ELSE 0 END) AS p
+           FROM b)
+         SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
+           md5(array_to_string(p, ',')) AS thumb_digest,
+           (list_sum(p) // 64)::BIGINT AS luma_mean
+         FROM px""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,

@@ -29,6 +29,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got == media.map(m => m.media_id -> m.content.length.toLong).toMap)
   }
 
+  test("real PNG decode: lossless gray round-trip recovers the exact pixels") {
+    val payload = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val png = Multimodal.encodeGrayPng(payload, 8, 8)
+    // a real PNG came out (magic) and the JDK decoded it back
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val d = Multimodal.decodeImage(7L, png)
+    assert(d != null && d.width == 8 && d.height == 8)
+    assert(d.thumb.map(_ & 0xff).toSeq == payload.map(_ & 0xff).toSeq)
+  }
+
+  test("real decode: BMP color image, BT.601 luma, block averaging on larger rasters") {
+    // 16x16 solid color → every 2x2 block averages to the same luma
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(200, 100, 50))
+    g.fillRect(0, 0, 16, 16)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val d = Multimodal.decodeImage(1L, out.toByteArray)
+    assert(d != null && d.width == 16 && d.height == 16)
+    val want = (200 * 299 + 100 * 587 + 50 * 114) / 1000
+    assert(d.thumb.map(_ & 0xff).toSeq == Seq.fill(64)(want))
+  }
+
+  test("decodeImages: JDK codec for readable images, stub fallback for opaque bytes") {
+    val png = Multimodal.encodeGrayPng(Array.tabulate[Byte](64)(_.toByte), 8, 8)
+    val junk = Array.fill[Byte](100)(42)
+    val ds = Seq(MediaRow(1L, png, "png"), MediaRow(2L, junk, "bin")).toDS()
+    val got = Multimodal.decodeImages(ds).collect().map(d => d.media_id -> d).toMap
+    assert(got(1L).width == 8 && got(1L).height == 8)
+    val stub = Multimodal.decodeStub(2L, junk)
+    assert(got(2L).width == stub.width && got(2L).thumb.toSeq == stub.thumb.toSeq)
+  }
+
   test("frame sampling: window count, stride, and byte fidelity") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val ds = Seq(MediaRow(1L, bytes, "vid")).toDS()
