@@ -1056,6 +1056,7 @@ object Queries {
     "q51_embedding_neardup_lsh" -> q51EmbeddingNearDupLsh,
     "q52_bpe_tokens" -> q52BpeTokens,
     "q53_dedup_components" -> q53DedupComponents,
+    "q54_genes_pipeline" -> ((s, d) => graft.pipelines.GenesPipeline.run(s, d)),
     "q55_ivf_exact" -> q55IvfExact,
     "q56_media_decode" -> q56MediaDecode,
     "q57_apss_cosine" -> q57ApssCosine,
@@ -1074,12 +1075,13 @@ object Queries {
     * binary length, then cut at the highest differing bit; the set LCA
     * is the pair LCA of the lexicographic min/max binary strings).
     */
-  private val domainSweepSql =
-    """WITH RECURSIVE f AS (
-         SELECT l_orderkey AS gene, l_linenumber % 2 AS root, l_partkey AS ipr,
-                (l_suppkey % 20) * 10 AS s,
-                (l_suppkey % 20) * 10 + 5 + (l_partkey % 30) * 5 AS e
-         FROM lineitem),
+  /** The domain-architecture sweep CTE chain (f → rf → sweep → cl →
+    * kept → lca) over a caller-supplied feature synthesis — shared by
+    * q45/q46 (orderkey-keyed features) and the q54 pipeline oracle
+    * (partkey-keyed features).
+    */
+  private def domainSweepCtes(featureSql: String) =
+    s"""f AS ($featureSql),
        rf AS (
          SELECT *, row_number() OVER (PARTITION BY gene, root
                                       ORDER BY s, e, ipr) AS r,
@@ -1125,6 +1127,12 @@ object Queries {
                vmax >> (length(bin(vmax))
                         - least(length(bin(vmin)), length(bin(vmax)))) AS b2
              FROM kept)))"""
+
+  private val domainSweepSql = "WITH RECURSIVE " + domainSweepCtes(
+    """SELECT l_orderkey AS gene, l_linenumber % 2 AS root, l_partkey AS ipr,
+                (l_suppkey % 20) * 10 AS s,
+                (l_suppkey % 20) * 10 + 5 + (l_partkey % 30) * 5 AS e
+         FROM lineitem""")
 
   private val langIdSql: String = {
     val cnts = langMarkers.map { case (lang, vocab) =>
@@ -1211,7 +1219,132 @@ object Queries {
          list_sum(s)::BIGINT AS features_l1
        FROM sc"""
 
+  /** q44's tree-representative oracle, split into its CTE chain and
+    * final per-leaf SELECT so the q54 pipeline oracle can compose them
+    * with the domain sweep in one WITH RECURSIVE.
+    */
+  private val treeRepCtes =
+    """base AS (
+           SELECT p_partkey AS pk, (p_partkey % 50)::BIGINT AS tree,
+                  row_number() OVER (PARTITION BY p_partkey % 50
+                                     ORDER BY p_partkey) AS r,
+                  count(*) OVER (PARTITION BY p_partkey % 50) AS n
+           FROM part),
+         leaves AS (
+           SELECT tree, r,
+             (pk % 5) * 0.25e0 + 0.25e0 AS dist,
+             CASE WHEN pk % 17 = 0 THEN 3702001
+                  WHEN pk % 5 = 0 THEN 3702 ELSE 4577 END AS taxon,
+             CASE WHEN pk % 3 = 0 THEN 'AT' || pk ELSE 'G' || pk END AS gene,
+             (pk % 9) * 25.0e0 - 110.0e0 AS score,
+             least(r, n - 1) AS pj
+           FROM base),
+         ip AS (
+           SELECT tree, j, sum(idist) OVER (PARTITION BY tree ORDER BY j) AS s
+           FROM (SELECT tree, r AS j, (r % 3) * 0.5e0 AS idist
+                 FROM base WHERE r <= n - 1)),
+         bu AS (
+           SELECT tree, j, c AS bu_score, gene AS bu_gene, r AS bu_r FROM (
+             SELECT l.tree, i.j, l.r, l.gene,
+                    l.score + l.dist + sp.s - i.s AS c,
+                    row_number() OVER (PARTITION BY l.tree, i.j
+                      ORDER BY l.score + l.dist + sp.s - i.s, l.r) AS rn
+             FROM leaves l
+             JOIN ip sp ON sp.tree = l.tree AND sp.j = l.pj
+             JOIN ip i ON i.tree = l.tree AND i.j <= l.pj)
+           WHERE rn = 1),
+         td AS (
+           SELECT tree, j, bu_score AS fin_score, bu_gene AS fin_gene,
+                  bu_r AS fin_r,
+                  CASE WHEN regexp_matches(bu_gene, '^AT') THEN bu_gene END
+                    AS ath_gene
+           FROM bu WHERE j = 1
+           UNION ALL
+           SELECT tree, j, fin_score, fin_gene, fin_r,
+             CASE WHEN gated THEN
+               CASE WHEN regexp_matches(fin_gene, '^AT') THEN fin_gene
+                    ELSE p_ath END
+             END AS ath_gene
+           FROM (
+             SELECT b.tree, b.j,
+               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
+                    THEN t.fin_score ELSE b.bu_score END AS fin_score,
+               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
+                    THEN t.fin_gene ELSE b.bu_gene END AS fin_gene,
+               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
+                    THEN t.fin_r ELSE b.bu_r END AS fin_r,
+               t.fin_score < -60 AS gated, t.ath_gene AS p_ath
+             FROM td t JOIN bu b ON b.tree = t.tree AND b.j = t.j + 1)),
+         lf AS (
+           SELECT l.tree, l.r, l.gene, l.taxon, l.pj,
+             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
+                  THEN t.fin_score ELSE l.score END AS rep_sc,
+             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
+                  THEN t.fin_gene ELSE l.gene END AS rep_gene,
+             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
+                  THEN t.fin_r ELSE l.r END AS rep_r,
+             t.fin_score < -60 AS gated, t.ath_gene AS p_ath
+           FROM leaves l JOIN td t ON t.tree = l.tree AND t.j = l.pj),
+         lf2 AS (
+           SELECT *,
+             CASE WHEN gated THEN
+               CASE WHEN regexp_matches(rep_gene, '^AT') THEN rep_gene
+                    ELSE p_ath END
+             END AS ath_gene,
+             rep_sc >= -60 OR taxon = 3702001 AS norep
+           FROM lf)"""
+
+  private val treeRepSelect =
+    """SELECT tree AS tree_id, gene AS gene_id, 1001::BIGINT AS root_taxon_id,
+           CASE WHEN norep THEN NULL ELSE rep_sc END AS rep_score,
+           CASE WHEN norep THEN NULL
+                WHEN rep_r = r THEN coalesce(ath_gene, gene)
+                WHEN ath_gene IS NOT NULL AND ath_gene <> rep_gene THEN ath_gene
+           END AS model_id,
+           CASE WHEN norep OR rep_r = r THEN NULL ELSE rep_gene END AS closest_id,
+           coalesce(array_to_string(list_transform(generate_series(4, pj::INT, 4),
+                                                   x -> CAST(1000 + x AS VARCHAR)), ','),
+                    '') AS duplications
+         FROM lf2"""
+
+  /** Oracle for the composed SURVEY §3.1 genes pipeline
+    * ([[graft.pipelines.GenesPipeline.run]]): the q44 tree CTE chain
+    * plus the domain sweep over the PIPELINE's partkey-keyed feature
+    * synthesis, assembled and digested exactly like the Spark side
+    * (all digest fields are non-null, so '||'-concat matches
+    * concat_ws's null-skipping semantics).
+    */
+  private val genesPipelineOracle =
+    s"""WITH RECURSIVE $treeRepCtes,
+       ${domainSweepCtes(
+      """SELECT l_partkey AS gene, l_linenumber % 2 AS root,
+                l_suppkey + 1 AS ipr,
+                (l_orderkey % 40) * 25 AS s,
+                (l_orderkey % 40) * 25 + 10 + (l_suppkey % 30) * 10 AS e
+         FROM lineitem""")},
+       tree AS ($treeRepSelect),
+       dom AS (
+         SELECT CASE WHEN gene % 3 = 0 THEN 'AT' || gene
+                     ELSE 'G' || gene END AS gene_id,
+           array_to_string(list(root::VARCHAR ORDER BY c_start, c_end, root),
+                           ' ') AS domain_roots,
+           count(*)::BIGINT AS n_domain_clusters
+         FROM lca GROUP BY gene)
+       SELECT t.gene_id, t.tree_id, t.rep_score, t.model_id, t.closest_id,
+         t.duplications,
+         coalesce(d.domain_roots, '') AS domain_roots,
+         coalesce(d.n_domain_clusters, 0)::BIGINT AS n_domain_clusters,
+         md5(t.gene_id || '|' || t.tree_id::VARCHAR || '|' ||
+             coalesce(t.rep_score::VARCHAR, '') || '|' ||
+             coalesce(t.model_id, '') || '|' ||
+             coalesce(t.closest_id, '') || '|' ||
+             t.duplications || '|' ||
+             coalesce(d.domain_roots, '') || '|' ||
+             coalesce(d.n_domain_clusters, 0)::VARCHAR) AS doc_digest
+       FROM tree t LEFT JOIN dom d ON d.gene_id = t.gene_id"""
+
   val oracles: Map[String, String] = Map(
+    "q54_genes_pipeline" -> genesPipelineOracle,
     "q36_media_features" -> mediaFeaturesOracle,
     // PNG is lossless: the decoded 8x8 raster must equal the first 64
     // document bytes zero-padded — replayed here without any codec
@@ -1559,87 +1692,7 @@ object Queries {
            + (CASE WHEN NOT coalesce(hosted, false) THEN 100.0e0 ELSE 0.0e0 END)
            AS score
          FROM c""",
-    "q44_genetree_rep" ->
-      """WITH RECURSIVE base AS (
-           SELECT p_partkey AS pk, (p_partkey % 50)::BIGINT AS tree,
-                  row_number() OVER (PARTITION BY p_partkey % 50
-                                     ORDER BY p_partkey) AS r,
-                  count(*) OVER (PARTITION BY p_partkey % 50) AS n
-           FROM part),
-         leaves AS (
-           SELECT tree, r,
-             (pk % 5) * 0.25e0 + 0.25e0 AS dist,
-             CASE WHEN pk % 17 = 0 THEN 3702001
-                  WHEN pk % 5 = 0 THEN 3702 ELSE 4577 END AS taxon,
-             CASE WHEN pk % 3 = 0 THEN 'AT' || pk ELSE 'G' || pk END AS gene,
-             (pk % 9) * 25.0e0 - 110.0e0 AS score,
-             least(r, n - 1) AS pj
-           FROM base),
-         ip AS (
-           SELECT tree, j, sum(idist) OVER (PARTITION BY tree ORDER BY j) AS s
-           FROM (SELECT tree, r AS j, (r % 3) * 0.5e0 AS idist
-                 FROM base WHERE r <= n - 1)),
-         bu AS (
-           SELECT tree, j, c AS bu_score, gene AS bu_gene, r AS bu_r FROM (
-             SELECT l.tree, i.j, l.r, l.gene,
-                    l.score + l.dist + sp.s - i.s AS c,
-                    row_number() OVER (PARTITION BY l.tree, i.j
-                      ORDER BY l.score + l.dist + sp.s - i.s, l.r) AS rn
-             FROM leaves l
-             JOIN ip sp ON sp.tree = l.tree AND sp.j = l.pj
-             JOIN ip i ON i.tree = l.tree AND i.j <= l.pj)
-           WHERE rn = 1),
-         td AS (
-           SELECT tree, j, bu_score AS fin_score, bu_gene AS fin_gene,
-                  bu_r AS fin_r,
-                  CASE WHEN regexp_matches(bu_gene, '^AT') THEN bu_gene END
-                    AS ath_gene
-           FROM bu WHERE j = 1
-           UNION ALL
-           SELECT tree, j, fin_score, fin_gene, fin_r,
-             CASE WHEN gated THEN
-               CASE WHEN regexp_matches(fin_gene, '^AT') THEN fin_gene
-                    ELSE p_ath END
-             END AS ath_gene
-           FROM (
-             SELECT b.tree, b.j,
-               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
-                    THEN t.fin_score ELSE b.bu_score END AS fin_score,
-               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
-                    THEN t.fin_gene ELSE b.bu_gene END AS fin_gene,
-               CASE WHEN t.fin_score < -60 AND b.bu_score > 0.8e0 * t.fin_score
-                    THEN t.fin_r ELSE b.bu_r END AS fin_r,
-               t.fin_score < -60 AS gated, t.ath_gene AS p_ath
-             FROM td t JOIN bu b ON b.tree = t.tree AND b.j = t.j + 1)),
-         lf AS (
-           SELECT l.tree, l.r, l.gene, l.taxon, l.pj,
-             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
-                  THEN t.fin_score ELSE l.score END AS rep_sc,
-             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
-                  THEN t.fin_gene ELSE l.gene END AS rep_gene,
-             CASE WHEN t.fin_score < -60 AND l.score > 0.8e0 * t.fin_score
-                  THEN t.fin_r ELSE l.r END AS rep_r,
-             t.fin_score < -60 AS gated, t.ath_gene AS p_ath
-           FROM leaves l JOIN td t ON t.tree = l.tree AND t.j = l.pj),
-         lf2 AS (
-           SELECT *,
-             CASE WHEN gated THEN
-               CASE WHEN regexp_matches(rep_gene, '^AT') THEN rep_gene
-                    ELSE p_ath END
-             END AS ath_gene,
-             rep_sc >= -60 OR taxon = 3702001 AS norep
-           FROM lf)
-         SELECT tree AS tree_id, gene AS gene_id, 1001::BIGINT AS root_taxon_id,
-           CASE WHEN norep THEN NULL ELSE rep_sc END AS rep_score,
-           CASE WHEN norep THEN NULL
-                WHEN rep_r = r THEN coalesce(ath_gene, gene)
-                WHEN ath_gene IS NOT NULL AND ath_gene <> rep_gene THEN ath_gene
-           END AS model_id,
-           CASE WHEN norep OR rep_r = r THEN NULL ELSE rep_gene END AS closest_id,
-           coalesce(array_to_string(list_transform(generate_series(4, pj::INT, 4),
-                                                   x -> CAST(1000 + x AS VARCHAR)), ','),
-                    '') AS duplications
-         FROM lf2""",
+    "q44_genetree_rep" -> s"WITH RECURSIVE $treeRepCtes $treeRepSelect",
     "q45_domain_clusters" ->
       s"""$domainSweepSql
          SELECT gene::BIGINT AS gene_id, root::BIGINT AS root,
