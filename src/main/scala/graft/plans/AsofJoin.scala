@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -129,11 +129,23 @@ object AsofJoin {
       left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
         val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
         val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
-        val lTimeBound = BindReferences.bindReference(leftTime, left.output)
-        val rTimeBound = BindReferences.bindReference(rightTime, right.output)
         val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-        def timeOf(e: Expression, row: InternalRow): Long =
-          e.eval(row).asInstanceOf[Number].longValue()
+        // primitive time accessors: attribute times bind to a
+        // BoundReference, so the hot merge loop reads getLong/getInt
+        // straight off the row — no per-row Number boxing (the eval
+        // path stays as the fallback for computed time expressions)
+        def timeGetter(e: Expression, schema: Seq[Attribute]): InternalRow => Long =
+          BindReferences.bindReference(e, schema) match {
+            case b: BoundReference
+                if b.dataType == LongType || b.dataType == TimestampType =>
+              row => row.getLong(b.ordinal)
+            case b: BoundReference if b.dataType == IntegerType =>
+              row => row.getInt(b.ordinal).toLong
+            case other =>
+              row => other.eval(row).asInstanceOf[Number].longValue()
+          }
+        val lTimeOf = timeGetter(leftTime, left.output)
+        val rTimeOf = timeGetter(rightTime, right.output)
 
         val rBuf = rIt.buffered
         val joined = new JoinedRow
@@ -145,13 +157,13 @@ object AsofJoin {
 
         lIt.map { lRow =>
           val lKey = lKeyProj(lRow)
-          val lT = timeOf(lTimeBound, lRow)
+          val lT = lTimeOf(lRow)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rKey = rKeyProj(rBuf.head)
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) rBuf.next() // right behind on keys: skip ahead
-            else if (c == 0 && timeOf(rTimeBound, rBuf.head) <= lT) {
+            else if (c == 0 && rTimeOf(rBuf.head) <= lT) {
               matchRow = rBuf.next().copy()
               matchKey = rKey.copy()
             } else advancing = false

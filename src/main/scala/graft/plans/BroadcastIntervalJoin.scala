@@ -19,16 +19,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * prefix-max index, and probes each point by binary search:
   * O(|points| * (log |intervals| + matches)).
   *
-  * Engaged when the right side carries a broadcast hint, i.e.
-  * `points.join(broadcast(intervals), p >= lo && p <= hi)` — exactly
-  * the API shape users already write. Registered through
-  * `GraftExtensions` (injectPlannerStrategy) or
+  * Engaged when the right side carries a broadcast hint —
+  * `points.join(broadcast(intervals), p >= lo && p <= hi)`, exactly
+  * the API shape users already write — or, with NO hints on either
+  * side, when the right side's estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold` (the same size evidence the
+  * stock planner uses to pick BroadcastHashJoin): the raw range
+  * predicate then plans through this node with no user annotation,
+  * and a big interval side falls back cleanly to the stock plan.
+  * Registered through `GraftExtensions` (injectPlannerStrategy) or
   * `spark.experimental.extraStrategies`.
   */
 object BroadcastIntervalJoinStrategy extends SparkStrategy {
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(l, r, Inner, Some(cond), hint) if broadcastRight(hint) =>
+    case Join(l, r, Inner, Some(cond), hint) if engaged(r, hint) =>
       extract(cond, l, r) match {
         case Some((p, lo, hi)) =>
           BroadcastIntervalJoinExec(p, lo, hi, planLater(l), planLater(r)) :: Nil
@@ -37,9 +42,22 @@ object BroadcastIntervalJoinStrategy extends SparkStrategy {
     case _ => Nil
   }
 
+  private def engaged(r: LogicalPlan, hint: JoinHint): Boolean =
+    broadcastRight(hint) ||
+      (hint.leftHint.isEmpty && hint.rightHint.isEmpty && sizeBelowThreshold(r))
+
   private def broadcastRight(hint: JoinHint): Boolean =
     hint.rightHint.exists(_.strategy.contains(
       org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+
+  /** Size-based engagement: estimated right side under the session's
+    * auto-broadcast threshold (disabled when the threshold is <= 0,
+    * mirroring the stock broadcast rules).
+    */
+  private def sizeBelowThreshold(r: LogicalPlan): Boolean = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    thr > 0 && r.stats.sizeInBytes <= thr
+  }
 
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType

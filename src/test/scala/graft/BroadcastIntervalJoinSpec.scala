@@ -33,6 +33,36 @@ class BroadcastIntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("size-based engagement: UNHINTED small interval side plans through the custom node") {
+    withStrategy {
+      val p = points.toDF("pid", "x")
+      val iv = intervals.toDF("iid", "lo", "hi")
+      val unhinted = p.join(iv, col("x") >= col("lo") && col("x") <= col("hi"))
+      val plan = unhinted.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastIntervalJoin"), s"plan:\n$plan")
+      // same rows as the hinted path
+      assert(unhinted.select("pid", "iid").as[(Long, Long)].collect().toSet ==
+        joinDf.select("pid", "iid").as[(Long, Long)].collect().toSet)
+    }
+  }
+
+  test("size-based engagement falls back when the threshold rules it out; hint still engages") {
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      withStrategy {
+        val p = points.toDF("pid", "x")
+        val iv = intervals.toDF("iid", "lo", "hi")
+        val unhinted = p.join(iv, col("x") >= col("lo") && col("x") <= col("hi"))
+        assert(!unhinted.queryExecution.executedPlan.toString
+          .contains("BroadcastIntervalJoin"))
+        // explicit hint overrides the disabled auto threshold
+        assert(joinDf.queryExecution.executedPlan.toString
+          .contains("BroadcastIntervalJoin"))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("custom exec results equal the stock nested-loop plan") {
     val want = joinDf.select("pid", "iid").as[(Long, Long)].collect().toSet
     val got = withStrategy {
