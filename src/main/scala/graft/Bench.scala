@@ -48,7 +48,12 @@ object Bench {
     "q49_asof_custom_plan",
     "q44_genetree_rep",
     "q45_domain_clusters",
-    "q47_split_rescue")
+    "q47_split_rescue",
+    "q50_embedding_neardup",
+    "q53_dedup_components",
+    "q54_genes_pipeline",
+    "q56_media_decode",
+    "q57_apss_cosine")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load
