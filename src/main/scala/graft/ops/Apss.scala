@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** All-Pairs Similarity Search over SPARSE vectors: the exact
@@ -42,49 +41,69 @@ object Apss {
       termsCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    // normalize: cosine over raw weights == dot over unit vectors
-    val raw = vecs.select(col(idCol).as("id"), col(termsCol).as("terms"))
+    // normalize: cosine over raw weights == dot over unit vectors; the
+    // norm is computed IN the projection (one narrow pass, no self-join)
+    val normed = vecs.select(col(idCol).as("id"), col(termsCol).as("terms"))
       .withColumn("nrm",
         sqrt(aggregate(col("terms"), lit(0.0),
           (s, t) => s + t.getField("w").cast("double") * t.getField("w").cast("double"))))
       .where(col("nrm") > 0)
-    val unit = raw.select(
-      col("id"),
-      explode(col("terms")).as("t"))
-      .join(raw.select(col("id"), col("nrm")), Seq("id"))
+      .select(col("id"),
+        transform(col("terms"), t => struct(
+          t.getField("dim").as("dim"),
+          (t.getField("w").cast("double") / col("nrm")).as("wn"))).as("terms"))
+
+    // corpus-wide max |weight| per dim, collapsed to ONE broadcast map
+    // row — so the per-vector posting decision below runs as narrow
+    // array expressions with no window and no per-vector shuffle
+    val maxwMap = normed
+      .select(explode(col("terms")).as("t"))
+      .groupBy(col("t.dim").as("dim")).agg(max(abs(col("t.wn"))).as("maxw"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("maxw")))).as("mw"))
+
+    // greedy drop, per row: ascending by the bound contribution
+    // |wn|·maxw(dim) (ties to the lower dim), drop while the running
+    // sum INCLUDING the current term stays < t/2; POST everything from
+    // the crossing term on. One aggregate over a bounded array.
+    val half = threshold / 2
+    val perVec = normed.join(broadcast(maxwMap))
       .select(
-        col("id"), col("t.dim").as("dim"),
-        (col("t.w").cast("double") / col("nrm")).as("wn"))
+        col("id"),
+        map_from_entries(col("terms")).as("m"),
+        aggregate(
+          array_sort(transform(col("terms"), t => struct(
+            (abs(t.getField("wn")) * element_at(col("mw"), t.getField("dim")))
+              .as("contrib"),
+            t.getField("dim").as("dim")))),
+          struct(lit(0.0).as("cum"),
+            array().cast("array<int>").as("dims")),
+          (acc, x) => {
+            val cum = acc.getField("cum") + x.getField("contrib")
+            struct(
+              cum.as("cum"),
+              when(cum >= half,
+                array_append(acc.getField("dims"), x.getField("dim")))
+                .otherwise(acc.getField("dims")).as("dims"))
+          },
+          acc => acc.getField("dims")).as("posted"))
 
-    // corpus-wide max |weight| per dim — a dim-keyed agg, broadcast back
-    val maxw = unit.groupBy("dim").agg(max(abs(col("wn"))).as("maxw"))
-
-    // greedy drop: per vector, ascending by the bound contribution
-    // |wn|·maxw, drop while the cumulative sum INCLUDING the current
-    // term stays < t/2; post everything from the crossing term on
-    val wDrop = Window.partitionBy("id")
-      .orderBy(col("contrib"), col("dim"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val posted = unit
-      .join(broadcast(maxw), Seq("dim"))
-      .withColumn("contrib", abs(col("wn")) * col("maxw"))
-      .withColumn("cum", sum(col("contrib")).over(wDrop))
-      .where(col("cum") >= threshold / 2)
-      .select("dim", "id")
-
-    // candidate pairs meet on a shared posted dim — dim-keyed shuffle
-    val candidates = posted.select(col("dim"), col("id").as("id_a"))
-      .join(posted.select(col("dim"), col("id").as("id_b")), Seq("dim"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // candidate pairs meet on a shared posted dim — the ONLY wide key
+    // in candidate generation is the dim itself
+    val posted = perVec.select(col("id"), explode(col("posted")).as("dim"))
+    val candidates = posted.as("pa")
+      .join(posted.as("pb"), col("pa.dim") === col("pb.dim"))
+      .where(col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
       .distinct()
 
-    // exact verify: sparse dot via map lookup (per-candidate O(nnz(a)))
-    val asMap = unit.groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("wn")))).as("m"))
+    // exact verify: sparse dot via map lookup (per-candidate O(nnz(a))).
+    // perVec's lineage is replayed per consumer (cheap: scan + narrow
+    // ops + one tiny broadcast); at corpus scale persist/checkpoint the
+    // perVec index once and probe it many times, like [[Similarity
+    // .ivfBuild]].
     candidates
-      .join(asMap.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
-      .join(asMap.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
+      .join(perVec.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
+      .join(perVec.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
       .withColumn("sim",
         aggregate(map_entries(col("ma")), lit(0.0),
           (s, e) => s + e.getField("value") *
