@@ -188,4 +188,40 @@ object GraftProperties extends Properties("graft") {
       Prop(got.length == ps.length &&
         got.toMap.forall { case (pid, k) => Math.floorDiv(ps(pid.toInt), w) == k })
     }
+
+  private val genSparseCorpus: Gen[List[(Long, List[(Int, Double)])]] =
+    Gen.chooseNum(10, 40).flatMap { n =>
+      Gen.sequence[List[List[(Int, Double)]], List[(Int, Double)]](
+        (0 until n).toList.map { _ =>
+          Gen.chooseNum(1, 6).flatMap { k =>
+            Gen.pick(k, 1 to 12).flatMap { dims =>
+              Gen.sequence[List[Double], Double](
+                dims.toList.map(_ => Gen.chooseNum(-8, 8).map(_ / 4.0)))
+                .map(ws => dims.toList.zip(ws))
+            }
+          }
+        }).map(_.zipWithIndex.map { case (ts, i) => (i.toLong, ts.sortBy(_._1)) })
+    }
+
+  property("APSS prefix-filtered cosine join == brute force") =
+    forAll(genSparseCorpus, Gen.oneOf(0.3, 0.6, 0.9)) { (corpus, t) =>
+      val df = corpus.toDF("id", "terms").select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("terms")
+          .cast("array<struct<dim:int,w:double>>").as("terms"))
+      val got = graft.ops.Apss.cosinePairs(df, "id", "terms", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      def cos(a: Map[Int, Double], b: Map[Int, Double]): Double = {
+        val dot = a.map { case (d, w) => w * b.getOrElse(d, 0.0) }.sum
+        val na = math.sqrt(a.values.map(w => w * w).sum)
+        val nb = math.sqrt(b.values.map(w => w * w).sum)
+        if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+      }
+      val m = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+      val want = (for {
+        a <- m.keys; b <- m.keys if a < b
+        if cos(m(a), m(b)) >= t
+      } yield (a, b)).toSet
+      Prop(got == want) :| s"t=$t missed=${(want diff got).take(3)} extra=${(got diff want).take(3)}"
+    }
 }
