@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
   * [[Dedup.ngramJaccardPairs]]'s PPJoin plan.
   *
   * Pruning rule (provably exact): normalize each vector, let
-  * `maxw(d)` = the corpus-wide max |weight| on dimension d. Each vector
-  * independently DROPS its smallest-bound dims greedily while the
-  * running sum of |w_i|·maxw(i) stays < t/2, and POSTS the rest to a
-  * (dim → id) inverted index. If a pair shares no posted dim, every
-  * common dim was dropped by one side or the other, so
-  * `dot ≤ Σ_dropped(a) |a_i|·maxw(i) + Σ_dropped(b) |b_i|·maxw(i)
-  * < t/2 + t/2 = t` — no qualifying pair is missed. (The t/2 split is
-  * what makes the rule symmetric; Bayardo's full-t bound relies on a
-  * sequential index-then-probe order that does not parallelize.)
+  * `bound(d)` be an upper bound on the OPPOSING side's |weight| on
+  * dimension d. Each vector independently DROPS its smallest-bound
+  * dims greedily while the running sum of |w_i|·bound(i) stays < t/2,
+  * and POSTS the rest to a (dim → id) inverted index. If a pair shares
+  * no posted dim, every common dim was dropped by one side or the
+  * other, so `dot ≤ Σ_dropped(a) |a_i|·bound(i) + Σ_dropped(b)
+  * |b_i|·bound(i) < t/2 + t/2 = t` — no qualifying pair is missed.
+  * (The t/2 split is what makes the rule symmetric; Bayardo's full-t
+  * bound relies on a sequential index-then-probe order that does not
+  * parallelize.)
+  *
+  * `bound(d)` is the corpus-wide max |weight| for a closed self-join
+  * ([[cosinePairs]]), or the universal unit-vector bound 1.0 for an
+  * OPEN-WORLD index ([[buildIndex]] with `openWorld = true`) that must
+  * stay exact against query vectors it has never seen — the
+  * incremental-dedup shape: index the corpus once, probe every new
+  * batch against it.
   *
   * Candidates are the posted-dim equi-join — every shuffle is keyed by
   * dim then by id, nothing quadratic materializes — verified by the
@@ -30,19 +38,17 @@ import org.apache.spark.sql.functions._
   */
 object Apss {
 
-  /** Exact cosine ≥ `threshold` pairs over a sparse vector column
-    * `termsCol: array<struct<dim: int, w: double-castable>>` (dims
-    * unique per row; vectors need not be pre-normalized). Returns
-    * (id_a, id_b, sim) with id_a < id_b, sim rounded to 4 decimals.
+  /** Unit-normalize and attach the per-vector posting decision: one
+    * narrow pass (norm + map + array_sort + aggregate per row, no
+    * window, no per-vector shuffle). `mw` is a 1-row broadcast map of
+    * per-dim bounds, or None for the universal bound 1.0.
     */
-  def cosinePairs(
+  private def perVecOf(
       vecs: DataFrame,
       idCol: String,
       termsCol: String,
-      threshold: Double): DataFrame = {
-    require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    // normalize: cosine over raw weights == dot over unit vectors; the
-    // norm is computed IN the projection (one narrow pass, no self-join)
+      half: Double,
+      mw: Option[DataFrame]): DataFrame = {
     val normed = vecs.select(col(idCol).as("id"), col(termsCol).as("terms"))
       .withColumn("nrm",
         sqrt(aggregate(col("terms"), lit(0.0),
@@ -52,64 +58,159 @@ object Apss {
         transform(col("terms"), t => struct(
           t.getField("dim").as("dim"),
           (t.getField("w").cast("double") / col("nrm")).as("wn"))).as("terms"))
-
-    // corpus-wide max |weight| per dim, collapsed to ONE broadcast map
-    // row — so the per-vector posting decision below runs as narrow
-    // array expressions with no window and no per-vector shuffle
-    val maxwMap = normed
-      .select(explode(col("terms")).as("t"))
-      .groupBy(col("t.dim").as("dim")).agg(max(abs(col("t.wn"))).as("maxw"))
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("maxw")))).as("mw"))
-
+    val withBound = mw match {
+      case Some(m) => normed.join(broadcast(m))
+      case None    => normed.withColumn("mw", lit(null).cast("map<int,double>"))
+    }
     // greedy drop, per row: ascending by the bound contribution
-    // |wn|·maxw(dim) (ties to the lower dim), drop while the running
+    // |wn|·bound(dim) (ties to the lower dim), drop while the running
     // sum INCLUDING the current term stays < t/2; POST everything from
     // the crossing term on. One aggregate over a bounded array.
-    val half = threshold / 2
-    val perVec = normed.join(broadcast(maxwMap))
-      .select(
-        col("id"),
-        map_from_entries(col("terms")).as("m"),
-        aggregate(
-          array_sort(transform(col("terms"), t => struct(
-            (abs(t.getField("wn")) * element_at(col("mw"), t.getField("dim")))
-              .as("contrib"),
-            t.getField("dim").as("dim")))),
-          struct(lit(0.0).as("cum"),
-            array().cast("array<int>").as("dims")),
-          (acc, x) => {
-            val cum = acc.getField("cum") + x.getField("contrib")
-            struct(
-              cum.as("cum"),
-              when(cum >= half,
-                array_append(acc.getField("dims"), x.getField("dim")))
-                .otherwise(acc.getField("dims")).as("dims"))
-          },
-          acc => acc.getField("dims")).as("posted"))
+    withBound.select(
+      col("id"),
+      map_from_entries(col("terms")).as("m"),
+      aggregate(
+        array_sort(transform(col("terms"), t => struct(
+          (abs(t.getField("wn")) *
+            coalesce(element_at(col("mw"), t.getField("dim")), lit(1.0)))
+            .as("contrib"),
+          t.getField("dim").as("dim")))),
+        struct(lit(0.0).as("cum"),
+          array().cast("array<int>").as("dims")),
+        (acc, x) => {
+          val cum = acc.getField("cum") + x.getField("contrib")
+          struct(
+            cum.as("cum"),
+            when(cum >= half,
+              array_append(acc.getField("dims"), x.getField("dim")))
+              .otherwise(acc.getField("dims")).as("dims"))
+        },
+        acc => acc.getField("dims")).as("posted"))
+  }
 
-    // candidate pairs meet on a shared posted dim — the ONLY wide key
-    // in candidate generation is the dim itself
-    val posted = perVec.select(col("id"), explode(col("posted")).as("dim"))
-    val candidates = posted.as("pa")
-      .join(posted.as("pb"), col("pa.dim") === col("pb.dim"))
-      .where(col("pa.id") < col("pb.id"))
-      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
-      .distinct()
+  /** Corpus-wide max |normalized weight| per dim, collapsed to ONE
+    * broadcast map row — so the posting decision runs as narrow array
+    * expressions.
+    */
+  private def maxwMapOf(
+      vecs: DataFrame, idCol: String, termsCol: String): DataFrame =
+    perVecOf(vecs, idCol, termsCol, half = Double.MaxValue, mw = None)
+      .select(explode(map_entries(col("m"))).as("e"))
+      .groupBy(col("e.key").as("dim")).agg(max(abs(col("e.value"))).as("maxw"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("maxw")))).as("mw"))
 
-    // exact verify: sparse dot via map lookup (per-candidate O(nnz(a))).
-    // perVec's lineage is replayed per consumer (cheap: scan + narrow
-    // ops + one tiny broadcast); at corpus scale persist/checkpoint the
-    // perVec index once and probe it many times, like [[Similarity
-    // .ivfBuild]].
+  /** Exact sparse-dot verify over candidate (id_a, id_b) pairs. */
+  private def verify(
+      candidates: DataFrame,
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double): DataFrame =
     candidates
-      .join(perVec.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
-      .join(perVec.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
+      .join(left.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
+      .join(right.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
       .withColumn("sim",
         aggregate(map_entries(col("ma")), lit(0.0),
           (s, e) => s + e.getField("value") *
             coalesce(element_at(col("mb"), e.getField("key")), lit(0.0))))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+
+  /** Exact cosine ≥ `threshold` pairs over a sparse vector column
+    * `termsCol: array<struct<dim: int, w: double-castable>>` (dims
+    * unique per row; vectors need not be pre-normalized). Returns
+    * (id_a, id_b, sim) with id_a < id_b, sim rounded to 4 decimals.
+    *
+    * One-shot declarative form: the per-vector index lineage is
+    * replayed per consumer (cheap: scan + narrow ops + one tiny
+    * broadcast). For build-once/probe-many — or to kill the replay at
+    * corpus scale — use [[buildIndex]].
+    */
+  def cosinePairs(
+      vecs: DataFrame,
+      idCol: String,
+      termsCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs a positive threshold")
+    val perVec = perVecOf(vecs, idCol, termsCol, threshold / 2,
+      Some(maxwMapOf(vecs, idCol, termsCol)))
+    val posted = perVec.select(col("id"), explode(col("posted")).as("dim"))
+    val candidates = posted.as("pa")
+      .join(posted.as("pb"), col("pa.dim") === col("pb.dim"))
+      .where(col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
+    verify(candidates, perVec, perVec, threshold)
+  }
+
+  /** A built sparse-cosine index: the per-vector (map, postings) table,
+    * persisted — build once, pair/probe many, [[release]] when done
+    * (the [[Similarity.ivfBuild]] lifecycle).
+    *
+    * `openWorld = true` posts against the universal bound 1.0 instead
+    * of the corpus max-weights: postings grow slightly, but the t/2
+    * guarantee then holds against ANY future unit-normalized query
+    * set, making [[ApssIndex.probe]] exact for vectors the build never
+    * saw. A closed index (`openWorld = false`) is only exact for
+    * [[ApssIndex.selfPairs]].
+    */
+  def buildIndex(
+      vecs: DataFrame,
+      idCol: String,
+      termsCol: String,
+      threshold: Double,
+      openWorld: Boolean = false): ApssIndex = {
+    require(threshold > 0.0, "prefix filtering needs a positive threshold")
+    val mw = if (openWorld) None else Some(maxwMapOf(vecs, idCol, termsCol))
+    ApssIndex(threshold, openWorld,
+      perVecOf(vecs, idCol, termsCol, threshold / 2, mw).persist())
+  }
+
+  final case class ApssIndex(
+      threshold: Double,
+      openWorld: Boolean,
+      perVec: DataFrame) {
+
+    private def postedOf(pv: DataFrame) =
+      pv.select(col("id"), explode(col("posted")).as("dim"))
+
+    /** Exact (id_a < id_b, sim) pairs within the indexed corpus —
+      * [[cosinePairs]] semantics off the persisted index.
+      */
+    def selfPairs(): DataFrame = {
+      val posted = postedOf(perVec)
+      val candidates = posted.as("pa")
+        .join(posted.as("pb"), col("pa.dim") === col("pb.dim"))
+        .where(col("pa.id") < col("pb.id"))
+        .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+        .distinct()
+      verify(candidates, perVec, perVec, threshold)
+    }
+
+    /** Exact cross-set pairs: every (query_id, corpus_id, sim) with
+      * cosine ≥ threshold. Requires an open-world index — the
+      * unit-vector bound is what keeps corpus-side drops sound against
+      * queries the build never saw. The query side is indexed on the
+      * fly with the same rule; candidates meet on shared posted dims.
+      * Identical ids on both sides pair like any other rows (callers
+      * filter if the sets overlap).
+      */
+    def probe(
+        queries: DataFrame,
+        idCol: String,
+        termsCol: String): DataFrame = {
+      require(openWorld,
+        "probe needs an open-world index: buildIndex(..., openWorld = true)")
+      val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
+      val candidates = postedOf(q).select(col("dim"), col("id").as("id_a"))
+        .join(postedOf(perVec).select(col("dim"), col("id").as("id_b")), Seq("dim"))
+        .select("id_a", "id_b")
+        .distinct()
+      verify(candidates, q, perVec, threshold)
+        .withColumnRenamed("id_a", "query_id")
+        .withColumnRenamed("id_b", "corpus_id")
+    }
+
+    def release(): Unit = { perVec.unpersist(); () }
   }
 
   /** Deterministic top-`m`-by-magnitude sparsification of a dense

@@ -79,6 +79,46 @@ class ApssSpec extends SparkSpec {
     assert(posted < full, s"no pruning: $posted postings of $full terms")
   }
 
+  test("buildIndex/selfPairs equals cosinePairs; open-world postings are a superset") {
+    val corpus = sparseCorpus(31, n = 100, dims = 25, nnz = 7)
+    val df = toDf(corpus)
+    val want = Apss.cosinePairs(df, "id", "terms", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    for (open <- Seq(false, true)) {
+      val idx = Apss.buildIndex(df, "id", "terms", 0.4, openWorld = open)
+      try {
+        val got = idx.selfPairs().as[(Long, Long, Double)].collect().toSet
+        assert(got == want, s"openWorld=$open")
+      } finally idx.release()
+    }
+  }
+
+  test("open-world probe is EXACT for query vectors the build never saw") {
+    val corpus = sparseCorpus(41, n = 120, dims = 25, nnz = 7)
+    val queries = sparseCorpus(42, n = 40, dims = 25, nnz = 7)
+      .map { case (i, ts) => (i + 1000L, ts) }
+    val cm = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+    val qm = queries.map { case (i, ts) => i -> ts.toMap }.toMap
+    val want = (for {
+      q <- qm.keys; c <- cm.keys
+      s = cosLocal(qm(q), cm(c)) if s >= 0.5
+    } yield (q, c)).toSet
+    val idx = Apss.buildIndex(toDf(corpus), "id", "terms", 0.5, openWorld = true)
+    try {
+      val got = idx.probe(toDf(queries), "id", "terms")
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+    } finally idx.release()
+    // a CLOSED index refuses to probe — its corpus-maxw drops are not
+    // sound against unseen queries
+    val closed = Apss.buildIndex(toDf(corpus), "id", "terms", 0.5)
+    try {
+      assertThrows[IllegalArgumentException] {
+        closed.probe(toDf(queries), "id", "terms")
+      }
+    } finally closed.release()
+  }
+
   test("zero-norm vectors are excluded, not crashed on") {
     val df = Seq(
       (1L, Seq((1, 1.0), (2, 1.0))),
