@@ -99,6 +99,36 @@ object Apss {
       .groupBy(col("e.key").as("dim")).agg(max(abs(col("e.value"))).as("maxw"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("maxw")))).as("mw"))
 
+  /** Candidate pairs from two posting lists meeting on shared dims,
+    * with the [[Dedup.simHashPairs]] SKEW GUARD: a hot dim (posted by
+    * many vectors) would make one join task quadratic, so dims whose
+    * BUILD-side posting list exceeds `dimCap` split into g salt
+    * groups — the probe side keeps its own salt, the build side fans
+    * out to all g, every pair still meets and the worst task shrinks
+    * g-fold. Output is distinct (id_a, id_b); `ordered` adds the
+    * id_a < id_b self-join constraint.
+    */
+  private def candidatesOf(
+      probeSide: DataFrame,
+      buildSide: DataFrame,
+      ordered: Boolean,
+      dimCap: Int): DataFrame = {
+    val groups = buildSide.groupBy("dim")
+      .agg(ceil(count(lit(1)) / lit(dimCap)).cast("int").as("g"))
+    val a = probeSide.join(groups, Seq("dim"))
+      .select(col("dim"),
+        pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
+        col("id").as("id_a"))
+    val b = buildSide.join(groups, Seq("dim"))
+      .select(col("dim"),
+        explode(sequence(lit(0), col("g") - 1)).as("salt"),
+        col("id").as("id_b"))
+    a.join(b, Seq("dim", "salt"))
+      .where(if (ordered) col("id_a") < col("id_b") else lit(true))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Exact sparse-dot verify over candidate (id_a, id_b) pairs. */
   private def verify(
       candidates: DataFrame,
@@ -134,12 +164,8 @@ object Apss {
     val perVec = perVecOf(vecs, idCol, termsCol, threshold / 2,
       Some(maxwMapOf(vecs, idCol, termsCol)))
     val posted = perVec.select(col("id"), explode(col("posted")).as("dim"))
-    val candidates = posted.as("pa")
-      .join(posted.as("pb"), col("pa.dim") === col("pb.dim"))
-      .where(col("pa.id") < col("pb.id"))
-      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
-      .distinct()
-    verify(candidates, perVec, perVec, threshold)
+    verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096),
+      perVec, perVec, threshold)
   }
 
   /** A built sparse-cosine index: the per-vector (map, postings) table,
@@ -178,12 +204,8 @@ object Apss {
       */
     def selfPairs(): DataFrame = {
       val posted = postedOf(perVec)
-      val candidates = posted.as("pa")
-        .join(posted.as("pb"), col("pa.dim") === col("pb.dim"))
-        .where(col("pa.id") < col("pb.id"))
-        .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
-        .distinct()
-      verify(candidates, perVec, perVec, threshold)
+      verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096),
+        perVec, perVec, threshold)
     }
 
     /** Exact cross-set pairs: every (query_id, corpus_id, sim) with
@@ -201,10 +223,8 @@ object Apss {
       require(openWorld,
         "probe needs an open-world index: buildIndex(..., openWorld = true)")
       val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
-      val candidates = postedOf(q).select(col("dim"), col("id").as("id_a"))
-        .join(postedOf(perVec).select(col("dim"), col("id").as("id_b")), Seq("dim"))
-        .select("id_a", "id_b")
-        .distinct()
+      val candidates = candidatesOf(
+        postedOf(q), postedOf(perVec), ordered = false, dimCap = 4096)
       verify(candidates, q, perVec, threshold)
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "corpus_id")
