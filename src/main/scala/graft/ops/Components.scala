@@ -75,9 +75,15 @@ object Components {
     var stable = edges.isEmpty
     var curCount = if (stable) 0L else edges.count()
     while (!stable) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // checkpoint the large-star intermediate too: small-star's
+      // bidir unions + minNbr join would otherwise replay the
+      // large-star lineage ~4x within the round
+      val ls = largeStar(edges).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      ls.unpersist()
       val nextCount = next.count()
       stable = nextCount == curCount && next.except(edges).isEmpty
+      edges.unpersist() // previous round's checkpoint blocks released
       edges = next
       curCount = nextCount
     }
