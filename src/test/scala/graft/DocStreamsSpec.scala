@@ -68,4 +68,32 @@ class DocStreamsSpec extends SparkSpec {
       assert(got.length == got.toSet.size, "duplicate pair emissions")
     } finally q.stop()
   }
+
+  test("late batches still match the static index; sub-threshold docs emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val index = DocStreams.minHashIndex(
+      corpus, "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 2)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = DocStreams.nearDupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), index, "text", "doc_id", "ts",
+      threshold = 0.5, shingleN = 2, bands = 8, rowsPerBand = 2)
+      .writeStream.format("memory").queryName("neardup2").outputMode("append").start()
+    try {
+      // batch 1: pure noise — nothing should ever emit for it
+      input.addData((200L, doc(40), new Timestamp(1000L)))
+      q.processAllAvailable()
+      // batch 2 (much later event time): a near-dup of corpus doc 2 —
+      // the static side is not windowed, so late batches match fine
+      val mut = corpusDocs(2)._2.split(" ").updated(5, "MUTZ").mkString(" ")
+      input.addData((201L, mut, new Timestamp(7200L * 1000L)))
+      q.processAllAvailable()
+      input.addData((999L, "flush flush", new Timestamp(1000000L * 1000L)))
+      q.processAllAvailable()
+      val got = spark.table("neardup2")
+        .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((201L, 2L)), s"late match missing: $got")
+      assert(!got.exists(_._1 == 200L), s"noise doc matched: $got")
+    } finally q.stop()
+  }
 }
