@@ -53,7 +53,8 @@ object Bench {
     "q53_dedup_components",
     "q54_genes_pipeline",
     "q56_media_decode",
-    "q57_apss_cosine")
+    "q57_apss_cosine",
+    "q58_audio_decode")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

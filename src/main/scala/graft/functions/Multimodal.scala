@@ -148,6 +148,88 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Decoded audio stand-in: real format header fields + per-window
+    * integer sample statistics.
+    */
+  case class DecodedAudio(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      window_means: Array[Long])
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-only — WAV/AU/
+    * AIFF): true sample rate / channel count / frame length from the
+    * parsed header, plus mean sample value over 8 equal windows of the
+    * raw PCM frames (integer arithmetic, same strided windows as the
+    * image thumbnail). Returns null for bytes no installed reader
+    * accepts — callers fall back to [[decodeStub]]-style handling.
+    */
+  def decodeAudio(id: Long, bytes: Array[Byte]): DecodedAudio =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val pcm = in.readAllBytes()
+        val n = pcm.length
+        val means = Array.tabulate[Long](8) { w =>
+          if (n == 0) 0L
+          else {
+            val start = w * n / 8
+            val end = math.max(start + 1, (w + 1) * n / 8)
+            var s = 0L
+            var i = start
+            while (i < end) { s += pcm(i) & 0xff; i += 1 }
+            s / (end - start)
+          }
+        }
+        DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels, frames, means)
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+
+  /** Batched audio decode over a media Dataset — the same bounded-batch
+    * `mapPartitions` contract as [[decodeImages]]; unreadable rows are
+    * dropped (callers route them to the stub family if needed).
+    */
+  def decodeAudios(
+      media: Dataset[MediaRow],
+      batchSize: Int = 256): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap(m => Option(decodeAudio(m.media_id, m.content)))
+      }
+    }
+  }
+
+  /** Deterministic 8-bit unsigned mono PCM WAV from a byte payload:
+    * each payload byte is one sample (stored verbatim — 8-bit WAV PCM
+    * is unsigned, so decode returns exactly these bytes). The synthesis
+    * side of the audio round-trip oracle.
+    */
+  def encodePcmWav(bytes: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val n = bytes.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate (1 byte/frame)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(bytes)
+    bb.array()
+  }
+
   /** Batched partition map: decode + embed, `batchSize` rows at a time.
     * `grouped` bounds executor memory exactly like Arrow batch size does
     * for `mapInPandas`; partition count is preserved (pure narrow op, no

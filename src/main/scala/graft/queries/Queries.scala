@@ -955,6 +955,32 @@ object Queries {
         col("luma_mean"))
   }
 
+  /** REAL audio decode through the JDK's WAV parser
+    * ([[graft.functions.Multimodal.decodeAudios]]): each document's
+    * bytes become an 8-bit mono PCM WAV, `javax.sound.sampled` parses
+    * it back, and the decoded header fields + per-window sample means
+    * are digested. PCM is stored verbatim, so the DuckDB oracle
+    * replays the samples straight from the document bytes.
+    */
+  val q58AudioDecode: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      lit("wav").as("format")).as[graft.functions.Multimodal.MediaRow]
+    val wavs = media.map(m => graft.functions.Multimodal.MediaRow(
+      m.media_id, graft.functions.Multimodal.encodePcmWav(m.content), "wav"))
+    graft.functions.Multimodal.decodeAudios(wavs)
+      .map { a =>
+        (a.media_id, a.sample_rate.toLong, a.channels.toLong, a.n_frames,
+          a.window_means.mkString(","))
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_frames", "means_csv")
+      .select(
+        col("media_id"), col("sample_rate"), col("channels"), col("n_frames"),
+        md5(col("means_csv").cast("binary")).as("means_digest"))
+  }
+
   /** MinHash+LSH near-dup candidates, verified by exact Jaccard.
     * xxhash64-based — not oracle-expressible, validated by unit tests +
     * cross-check against q22's exact pairs.
@@ -1060,6 +1086,7 @@ object Queries {
     "q55_ivf_exact" -> q55IvfExact,
     "q56_media_decode" -> q56MediaDecode,
     "q57_apss_cosine" -> q57ApssCosine,
+    "q58_audio_decode" -> q58AudioDecode,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1346,6 +1373,32 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q54_genes_pipeline" -> genesPipelineOracle,
     "q36_media_features" -> mediaFeaturesOracle,
+    // 8-bit PCM WAV stores samples verbatim: the decoded frame bytes ARE
+    // the document bytes — header fields and window means replay directly
+    "q58_audio_decode" ->
+      """WITH b AS (
+           SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         byt AS (
+           SELECT media_id, n,
+             list_transform(generate_series(1, n),
+               i -> 16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+                     + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1)) AS bs
+           FROM b),
+         w AS (
+           SELECT media_id, n,
+             list_transform(generate_series(1, 8), i ->
+               CASE WHEN n = 0 THEN 0 ELSE
+                 list_sum(bs[((i-1)*n)//8 + 1 :
+                             greatest(((i-1)*n)//8 + 1, (i*n)//8)])
+                 // greatest(1, (i*n)//8 - ((i-1)*n)//8)
+               END) AS means
+           FROM byt)
+         SELECT media_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+           n::BIGINT AS n_frames,
+           md5(array_to_string(means, ',')) AS means_digest
+         FROM w""",
     // PNG is lossless: the decoded 8x8 raster must equal the first 64
     // document bytes zero-padded — replayed here without any codec
     "q56_media_decode" ->

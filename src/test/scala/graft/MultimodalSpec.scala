@@ -65,6 +65,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).width == stub.width && got(2L).thumb.toSeq == stub.thumb.toSeq)
   }
 
+  test("real WAV decode: header fields and verbatim PCM round-trip") {
+    val payload = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val wav = Multimodal.encodePcmWav(payload, sampleRate = 8000)
+    val d = Multimodal.decodeAudio(5L, wav)
+    assert(d != null && d.sample_rate == 8000 && d.channels == 1)
+    assert(d.n_frames == 100L)
+    // strided window means over the exact payload bytes
+    val want = (0 until 8).map { w =>
+      val start = w * 100 / 8
+      val end = math.max(start + 1, (w + 1) * 100 / 8)
+      (start until end).map(payload(_) & 0xff).sum.toLong / (end - start)
+    }
+    assert(d.window_means.toSeq == want)
+    // opaque bytes: no reader accepts them
+    assert(Multimodal.decodeAudio(6L, Array.fill[Byte](50)(7)) == null)
+  }
+
+  test("decodeAudios: batched dataset decode keeps readable rows, drops opaque ones") {
+    val wav = Multimodal.encodePcmWav(Array.tabulate[Byte](64)(_.toByte))
+    val ds = Seq(
+      MediaRow(1L, wav, "wav"),
+      MediaRow(2L, Array.fill[Byte](30)(9), "bin")).toDS()
+    val got = Multimodal.decodeAudios(ds).collect()
+    assert(got.map(_.media_id).toSeq == Seq(1L))
+    assert(got.head.n_frames == 64L)
+  }
+
   test("frame sampling: window count, stride, and byte fidelity") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val ds = Seq(MediaRow(1L, bytes, "vid")).toDS()
