@@ -65,27 +65,43 @@ object Apss {
     // greedy drop, per row: ascending by the bound contribution
     // |wn|·bound(dim) (ties to the lower dim), drop while the running
     // sum INCLUDING the current term stays < t/2; POST everything from
-    // the crossing term on. One aggregate over a bounded array.
+    // the crossing term on. Each posting carries its RESIDUAL bound
+    // rem = Σ of contributions from this posting onward, and the row
+    // carries its actual DROPPED mass (< t/2) — together they upper-
+    // bound any pair's dot for the candidate-stage prune. One
+    // aggregate over a bounded array.
     withBound.select(
-      col("id"),
-      map_from_entries(col("terms")).as("m"),
-      aggregate(
-        array_sort(transform(col("terms"), t => struct(
-          (abs(t.getField("wn")) *
-            coalesce(element_at(col("mw"), t.getField("dim")), lit(1.0)))
-            .as("contrib"),
-          t.getField("dim").as("dim")))),
-        struct(lit(0.0).as("cum"),
-          array().cast("array<int>").as("dims")),
-        (acc, x) => {
-          val cum = acc.getField("cum") + x.getField("contrib")
-          struct(
-            cum.as("cum"),
-            when(cum >= half,
-              array_append(acc.getField("dims"), x.getField("dim")))
-              .otherwise(acc.getField("dims")).as("dims"))
-        },
-        acc => acc.getField("dims")).as("posted"))
+        col("id"),
+        map_from_entries(col("terms")).as("m"),
+        aggregate(
+          array_sort(transform(col("terms"), t => struct(
+            (abs(t.getField("wn")) *
+              coalesce(element_at(col("mw"), t.getField("dim")), lit(1.0)))
+              .as("contrib"),
+            t.getField("dim").as("dim")))),
+          struct(lit(0.0).as("cum"),
+            array().cast("array<struct<dim:int,cb:double>>").as("ps")),
+          (acc, x) => {
+            val cum = acc.getField("cum") + x.getField("contrib")
+            struct(
+              cum.as("cum"),
+              when(cum >= half,
+                array_append(acc.getField("ps"), struct(
+                  x.getField("dim").as("dim"),
+                  acc.getField("cum").as("cb"))))
+                .otherwise(acc.getField("ps")).as("ps"))
+          },
+          acc => struct(
+            transform(acc.getField("ps"), p => struct(
+              p.getField("dim").as("dim"),
+              (acc.getField("cum") - p.getField("cb")).as("rem"))).as("dims"),
+            // cum BEFORE the first posting == total dropped mass;
+            // nothing posted -> everything was dropped (try_element_at:
+            // ANSI element_at throws on the empty array)
+            coalesce(try_element_at(acc.getField("ps"), lit(1)).getField("cb"),
+              acc.getField("cum")).as("dropped"))).as("pd"))
+      .select(col("id"), col("m"),
+        col("pd.dims").as("posted"), col("pd.dropped").as("dropped"))
   }
 
   /** Corpus-wide max |normalized weight| per dim, collapsed to ONE
@@ -112,22 +128,43 @@ object Apss {
       probeSide: DataFrame,
       buildSide: DataFrame,
       ordered: Boolean,
-      dimCap: Int): DataFrame = {
+      dimCap: Int,
+      threshold: Double): DataFrame = {
     val groups = buildSide.groupBy("dim")
       .agg(ceil(count(lit(1)) / lit(dimCap)).cast("int").as("g"))
     val a = probeSide.join(groups, Seq("dim"))
       .select(col("dim"),
         pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
-        col("id").as("id_a"))
+        col("id").as("id_a"), col("rem").as("rem_a"), col("dropped").as("da"))
     val b = buildSide.join(groups, Seq("dim"))
       .select(col("dim"),
         explode(sequence(lit(0), col("g") - 1)).as("salt"),
-        col("id").as("id_b"))
+        col("id").as("id_b"), col("rem").as("rem_b"), col("dropped").as("db"))
+    // RESIDUAL-BOUND PRUNE (Bayardo's remscore, symmetric): the shared
+    // posted dims' dot is ≤ each side's residual at ITS OWN earliest
+    // shared posting — per side that is max over meetings of rem, and
+    // the sound combined bound is least(max(rem_a), max(rem_b)) (NOT
+    // max(least(..)): the earliest shared posting differs per side).
+    // Everything else each side dropped contributes at most its
+    // dropped mass, so dropped_a + dropped_b + least(ua, ub) < t
+    // proves the pair can't qualify. The 1e-9 slack keeps float
+    // round-off from pruning a knife-edge qualifying pair.
     a.join(b, Seq("dim", "salt"))
       .where(if (ordered) col("id_a") < col("id_b") else lit(true))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("rem_a")).as("ua"), max(col("rem_b")).as("ub"),
+        first(col("da")).as("da"), first(col("db")).as("db"))
+      .where(col("da") + col("db") + least(col("ua"), col("ub")) >=
+        threshold - 1e-9)
       .select("id_a", "id_b")
-      .distinct()
   }
+
+  /** Exploded posting rows: (dim, id, residual bound, dropped mass). */
+  private def postingsOf(pv: DataFrame): DataFrame =
+    pv.select(col("id"), col("dropped"), explode(col("posted")).as("p"))
+      .select(col("p.dim").as("dim"), col("id"),
+        col("p.rem").as("rem"), col("dropped"))
+
 
   /** Exact sparse-dot verify over candidate (id_a, id_b) pairs. */
   private def verify(
@@ -163,8 +200,8 @@ object Apss {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val perVec = perVecOf(vecs, idCol, termsCol, threshold / 2,
       Some(maxwMapOf(vecs, idCol, termsCol)))
-    val posted = perVec.select(col("id"), explode(col("posted")).as("dim"))
-    verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096),
+    val posted = postingsOf(perVec)
+    verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
       perVec, perVec, threshold)
   }
 
@@ -196,15 +233,14 @@ object Apss {
       openWorld: Boolean,
       perVec: DataFrame) {
 
-    private def postedOf(pv: DataFrame) =
-      pv.select(col("id"), explode(col("posted")).as("dim"))
+
 
     /** Exact (id_a < id_b, sim) pairs within the indexed corpus —
       * [[cosinePairs]] semantics off the persisted index.
       */
     def selfPairs(): DataFrame = {
-      val posted = postedOf(perVec)
-      verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096),
+      val posted = postingsOf(perVec)
+      verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
         perVec, perVec, threshold)
     }
 
@@ -224,7 +260,8 @@ object Apss {
         "probe needs an open-world index: buildIndex(..., openWorld = true)")
       val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
       val candidates = candidatesOf(
-        postedOf(q), postedOf(perVec), ordered = false, dimCap = 4096)
+        postingsOf(q), postingsOf(perVec), ordered = false, dimCap = 4096,
+        threshold)
       verify(candidates, q, perVec, threshold)
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "corpus_id")
