@@ -87,6 +87,59 @@ object AsofJoin {
         attr(lPlan, leftTime), attr(rPlan, rightTime)))
   }
 
+  /** FORWARD as-of join on equal keys: every left row pairs with the
+    * EARLIEST right row whose time is at-or-after its own (pandas
+    * `merge_asof(direction='forward')`). Implemented by time negation
+    * through the same sort-merge node — forward on t is backward on
+    * −t — so the plan is still one exchange + sort per side. Time
+    * columns must be long/int (timestamps: convert to epoch micros
+    * first; negation has no timestamp form).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ln = "__graft_neg_lt"
+    val rn = "__graft_neg_rt"
+    backward(
+      left.withColumn(ln, -col(leftTime)),
+      right.withColumn(rn, -col(rightTime)),
+      leftKeys, rightKeys, ln, rn)
+      .drop(ln, rn)
+  }
+
+  /** Backward as-of with a TOLERANCE (pandas `merge_asof(tolerance=…)`):
+    * the latest at-or-before match counts only within `tolerance` time
+    * units; staler matches null out (the row is kept). Exact by
+    * construction: the unrestricted latest match is the latest within
+    * the window whenever one exists, so nulling it when it falls
+    * outside is precisely the tolerance semantics.
+    */
+  def backwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val joined = backward(left, right, leftKeys, rightKeys, leftTime, rightTime)
+    val inWindow = col(rightTime).isNotNull &&
+      col(leftTime).cast("long") - col(rightTime).cast("long") <= tolerance
+    val rightCols = right.columns.toSet
+    joined.select(joined.columns.map { c =>
+      if (rightCols(c))
+        when(inWindow, col(c)).otherwise(lit(null).cast(joined.schema(c).dataType)).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+  }
+
   /** Physical sort-merge as-of. Children arrive hash-clustered on the
     * keys and sorted by (keys, time) — Spark inserts the exchanges and
     * sorts; `zipPartitions` then streams both sides once.

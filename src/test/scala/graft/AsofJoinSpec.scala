@@ -40,6 +40,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, Some(50L)), (2L, 2L, None)))
   }
 
+  test("forward as-of: earliest at-or-after match, nulls when none, plan still AsofJoinExec") {
+    val l = Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 200L), (2L, 4L, 10L))
+      .toDF("k", "id", "t")
+    val r = Seq((1L, 60L), (1L, 100L), (1L, 150L), (3L, 5L)).toDF("rk", "rt")
+    val res = AsofJoin.forward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+    assert(res.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val got = res.select("k", "id", "rt").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSeq.sortBy(r => (r._1, r._2))
+    assert(got === Seq(
+      (1L, 1L, Some(100L)), // inclusive: rt == t matches
+      (1L, 2L, Some(60L)),
+      (1L, 3L, None), // nothing at-or-after 200
+      (2L, 4L, None))) // key has no right rows
+    // helper negation columns never leak into the output
+    assert(!res.columns.exists(_.startsWith("__graft")))
+  }
+
+  test("backwardWithin: stale matches null out, rows are kept") {
+    val l = Seq((1L, 1L, 100L), (1L, 2L, 500L), (1L, 3L, 50L)).toDF("k", "id", "t")
+    val r = Seq((1L, 90L), (1L, 60L)).toDF("rk", "rt")
+    val got = AsofJoin.backwardWithin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      tolerance = 50L)
+      .select("k", "id", "rt").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSeq.sortBy(r => (r._1, r._2))
+    assert(got === Seq(
+      (1L, 1L, Some(90L)), // within 50
+      (1L, 2L, None),      // latest match (90) is 410 stale -> nulled, row kept
+      (1L, 3L, None)))     // no at-or-before at all
+  }
+
   test("plan contains AsofJoinExec and matches the union+window query on real data") {
     val d = "/root/testdata/sf0.001"
     val custom = graft.queries.Queries.all("q49_asof_custom_plan")(spark, d)

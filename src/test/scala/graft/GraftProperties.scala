@@ -224,4 +224,33 @@ object GraftProperties extends Properties("graft") {
       } yield (a, b)).toSet
       Prop(got == want) :| s"t=$t missed=${(want diff got).take(3)} extra=${(got diff want).take(3)}"
     }
+
+  private val genDenseCorpus: Gen[List[(Long, Array[Float])]] =
+    for {
+      n <- Gen.chooseNum(20, 60)
+      seed <- Gen.chooseNum(0, 10000)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      List.tabulate(n)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    }
+
+  property("grid-blocked exact embedding near-dup == brute force, any block count") =
+    forAll(genDenseCorpus, Gen.oneOf(1, 2, 5, 9), Gen.oneOf(0.3, 0.6)) {
+      (corpus, blocks, t) =>
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+          val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+          if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+        }
+        val want = (for {
+          (ia, va) <- corpus; (ib, vb) <- corpus if ia < ib
+          if cos(va, vb) >= t
+        } yield (ia, ib)).toSet
+        val got = graft.ops.Dedup.embeddingNearDupExact(
+          corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", t,
+          numBlocks = blocks)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        Prop(got == want) :| s"blocks=$blocks t=$t missed=${(want diff got).take(3)} extra=${(got diff want).take(3)}"
+    }
 }
