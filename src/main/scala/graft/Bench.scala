@@ -79,7 +79,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // LOAD GUARD: a busy machine inflates every pass uniformly and the
+    // per-query median can't reject it (round 4's recorded bench read
+    // 2.3x slow under loadavg 2.49). If the 1-minute load is high,
+    // wait for it to drain once; if it is STILL high, record the sweep
+    // but flag it so no one compares the numbers against a baseline.
+    val loadFirst = loadavg()
+    if (loadFirst > 1.5) {
+      System.err.println(
+        s"[bench] loadavg $loadFirst > 1.5 — sleeping 60s for the machine to drain")
+      Thread.sleep(60000)
+    }
     val loadStart = loadavg()
+    val loadWarning = loadStart > 1.5
+    if (loadWarning)
+      System.err.println(
+        s"[bench] loadavg still $loadStart — recording anyway, flagged load_warning")
     // Warm the JVM/codegen/shuffle machinery on synthetic data so the
     // first measured query doesn't absorb one-time session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -124,7 +139,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warning":$loadWarning}""")
     spark.stop()
   }
 }

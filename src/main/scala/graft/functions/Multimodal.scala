@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * (same contract: executors see bounded batches, never a whole
   * partition in memory, and the output schema is declared up front).
   *
-  * DECODE IS A STUB: real image/audio codecs are not available in this
-  * environment, so [[decodeStub]] derives a deterministic fake raster
-  * from the bytes. The Spark-side plumbing — binary columns, batch
-  * iteration, schema, partitioning — is real and is what these tests
-  * pin down; swap [[decodeStub]] for a JNI/codec call in production.
+  * Decode is REAL for image and audio via JDK codecs: [[decodeImage]]
+  * (`javax.imageio` — PNG/BMP/GIF/JPEG, oracle-gated by q56's lossless
+  * PNG round-trip) and [[decodeAudio]] (`javax.sound.sampled` —
+  * WAV/AU/AIFF, gated by q58's 8-bit PCM WAV round-trip). Only formats
+  * the JDK ships no codec for (video, WebP, FLAC, ...) fall back to
+  * [[decodeStub]], a deterministic fake raster — swap it for a
+  * JNI/ffmpeg call in production; the Spark-side plumbing (binary
+  * columns, bounded batches, schema, partitioning) is identical.
   */
 object Multimodal {
 
@@ -246,6 +249,29 @@ object Multimodal {
         // one vectorized/JNI call here.
         batch.map { m =>
           val d = decodeStub(m.media_id, m.content)
+          MediaFeatures(m.media_id, m.content.length.toLong,
+            featuresFromThumb(d.thumb, dim))
+        }
+      }
+    }
+  }
+
+  /** [[extractFeatures]] over the REAL image decoder: embeds the true
+    * 8x8 luma thumbnail when the JDK can read the bytes, the stub
+    * raster otherwise — the production dispatch (decode what you can,
+    * degrade deterministically on the rest). Same bounded-batch narrow
+    * contract.
+    */
+  def extractFeaturesDecoded(
+      media: Dataset[MediaRow],
+      dim: Int = 16,
+      batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val real = decodeImage(m.media_id, m.content)
+          val d = if (real != null) real else decodeStub(m.media_id, m.content)
           MediaFeatures(m.media_id, m.content.length.toLong,
             featuresFromThumb(d.thumb, dim))
         }

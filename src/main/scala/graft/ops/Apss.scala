@@ -152,8 +152,12 @@ object Apss {
     a.join(b, Seq("dim", "salt"))
       .where(if (ordered) col("id_a") < col("id_b") else lit(true))
       .groupBy("id_a", "id_b")
+      // da/db are functionally dependent on id_a/id_b (one dropped mass
+      // per vector), so any pick is the right value — max makes the
+      // determinism self-evident and survives a refactor that breaks
+      // the dependency.
       .agg(max(col("rem_a")).as("ua"), max(col("rem_b")).as("ub"),
-        first(col("da")).as("da"), first(col("db")).as("db"))
+        max(col("da")).as("da"), max(col("db")).as("db"))
       .where(col("da") + col("db") + least(col("ua"), col("ub")) >=
         threshold - 1e-9)
       .select("id_a", "id_b")

@@ -92,6 +92,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got.head.n_frames == 64L)
   }
 
+  test("extractFeaturesDecoded: real thumb for readable images, stub thumb otherwise") {
+    val payload = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val png = Multimodal.encodeGrayPng(payload, 8, 8)
+    val junk = Array.fill[Byte](100)(42)
+    val ds = Seq(MediaRow(1L, png, "png"), MediaRow(2L, junk, "bin")).toDS()
+    val got = Multimodal.extractFeaturesDecoded(ds, dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    // readable row: features come from the REAL decoded pixels, which
+    // differ from the stub raster over the same (encoded) bytes
+    val realThumb = Multimodal.decodeImage(1L, png).thumb
+    assert(got(1L).features.toSeq ==
+      Multimodal.featuresFromThumb(realThumb, 8).toSeq)
+    assert(got(1L).features.toSeq !=
+      Multimodal.featuresFromThumb(Multimodal.decodeStub(1L, png).thumb, 8).toSeq)
+    // opaque row: identical to the stub-only path
+    assert(got(2L).features.toSeq ==
+      Multimodal.extractFeatures(ds.filter(_.media_id == 2L), dim = 8)
+        .collect().head.features.toSeq)
+    assert(got.values.map(_.n_bytes).toSet == Set(png.length.toLong, 100L))
+  }
+
   test("frame sampling: window count, stride, and byte fidelity") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val ds = Seq(MediaRow(1L, bytes, "vid")).toDS()
