@@ -1031,6 +1031,51 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming tier under the oracle gate (SURVEY §2.10): the same
+  // pipelines EventStreamsSpec parity-tests, executed as REAL streaming
+  // queries (file source → Trigger.AvailableNow → exactly-once file
+  // sink) over the same events parquet, so the driver's DuckDB gate
+  // checks them like any batch query.
+  // ---------------------------------------------------------------------
+
+  /** §2.10 sessionize, streamed: `flatMapGroupsWithState` session
+    * windows with event-time timeout, flushed deterministically by the
+    * [[graft.streaming.StreamGate]] sentinel protocol, re-aggregated to
+    * q10's per-user (n_sessions, n_events) shape — SAME oracle as q10
+    * (on bounded input, streaming sessionization must equal the batch
+    * gaps-and-islands answer).
+    */
+  val q59SessionizeStream: Q = (s, d) => {
+    import graft.streaming.{EventStreams, StreamGate}
+    val gapSec = 1800L
+    val maxNs = StreamGate.maxEventNs(s, d)
+    // sentinel A pushes the watermark (stamp - gap) past every pending
+    // timeout (lastUs + gap ≤ max + gap); sentinel B's batch fires them
+    val dir = StreamGate.stageEvents(s, d,
+      Seq(maxNs + 10L * gapSec * 1000000000L, maxNs + 20L * gapSec * 1000000000L))
+    val sessions = EventStreams.sessionize(StreamGate.streamEvents(s, dir), gapSec)
+    StreamGate.runAvailableNow(sessions.toDF())
+      .where(col("user_id") =!= StreamGate.SentinelUser)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_sessions"),
+        sum("n_events").cast("long").as("n_events"))
+  }
+
+  /** §2.10 as-of enrichment, streamed: `flatMapGroupsWithState` carries
+    * each user's latest error stamp; purchases emit decorated in the
+    * batch they arrive (no timeout, so no sentinel needed) — SAME
+    * oracle as q39's backward as-of join.
+    */
+  val q60AsofStream: Q = (s, d) => {
+    import graft.streaming.{EventStreams, StreamGate}
+    val dir = StreamGate.stageEvents(s, d, Seq.empty)
+    val enriched = EventStreams.asofEnrich(StreamGate.streamEvents(s, dir))
+    StreamGate.runAvailableNow(enriched.toDF())
+      .select(col("user_id"), col("event_id"), col("purchase_us"), col("last_err_us"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -1087,6 +1132,8 @@ object Queries {
     "q56_media_decode" -> q56MediaDecode,
     "q57_apss_cosine" -> q57ApssCosine,
     "q58_audio_decode" -> q58AudioDecode,
+    "q59_sessionize_stream" -> q59SessionizeStream,
+    "q60_asof_stream" -> q60AsofStream,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1370,7 +1417,7 @@ object Queries {
              coalesce(d.n_domain_clusters, 0)::VARCHAR) AS doc_digest
        FROM tree t LEFT JOIN dom d ON d.gene_id = t.gene_id"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q54_genes_pipeline" -> genesPipelineOracle,
     "q36_media_features" -> mediaFeaturesOracle,
     // 8-bit PCM WAV stores samples verbatim: the decoded frame bytes ARE
@@ -1915,4 +1962,12 @@ object Queries {
            SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
          SELECT src AS doc_id, min(node) AS component
          FROM reach GROUP BY src""")
+
+  /** The streaming forms are gated against their batch twins' oracles
+    * VERBATIM: on bounded input, streaming sessionization / as-of
+    * enrichment must produce exactly the batch answer.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q59_sessionize_stream" -> oraclesBase("q10_sessionize"),
+    "q60_asof_stream" -> oraclesBase("q39_asof_join"))
 }

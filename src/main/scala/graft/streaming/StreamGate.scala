@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.EventStreams.Event
+
+/** Driver-gate adapter for the streaming tier: runs a Structured
+  * Streaming pipeline over the SAME events parquet the batch catalog
+  * reads — `Trigger.AvailableNow`, exactly-once parquet file sink —
+  * and hands the result back as a batch DataFrame, so the streaming
+  * operators flow through the same DuckDB oracle gate as every batch
+  * query (on bounded input the streaming answer must EQUAL the batch
+  * answer; q59 shares q10's oracle, q60 shares q39's).
+  *
+  * Determinism of the final flush: event-time timeouts only fire in a
+  * batch whose START watermark exceeds the state's timeout stamp, so a
+  * run whose last batch carries the latest data can leave final
+  * sessions pending. Rather than lean on no-data batch scheduling,
+  * [[stageEvents]] appends two SENTINEL files with far-future stamps
+  * and strictly increasing mtimes, and the source runs with
+  * `maxFilesPerTrigger = 1`: batch 0 = the real data (all closed-by-gap
+  * sessions emit), batch 1 = sentinel A (watermark jumps past every
+  * pending timeout), batch 2 = sentinel B (those timeouts fire and
+  * emit). Sentinel rows use `user_id = -1` and are filtered out of the
+  * gated result. State removal on timeout makes any extra no-data
+  * batches Spark schedules idempotent.
+  */
+object StreamGate {
+
+  val SentinelUser = -1L
+
+  /** events.parquet physical schema with TIMESTAMP(NANOS) read as long
+    * (the `spark.sql.legacy.parquet.nanosAsLong` contract Tables.events
+    * uses on the batch side).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stage the events parquet into a fresh stream-source directory,
+    * optionally followed by one single-row sentinel file per entry of
+    * `sentinelTsNs` — mtimes strictly increase in argument order so the
+    * file source forms one micro-batch per file in exactly this order.
+    */
+  def stageEvents(s: SparkSession, d: String, sentinelTsNs: Seq[Long]): Path = {
+    val dir = Files.createTempDirectory("graft_stream_src_")
+    val data = dir.resolve("00_events.parquet")
+    Files.copy(Paths.get(d, "events.parquet"), data)
+    val t0 = System.currentTimeMillis()
+    Files.setLastModifiedTime(data, FileTime.fromMillis(t0))
+    sentinelTsNs.zipWithIndex.foreach { case (ns, i) =>
+      val scratch = Files.createTempDirectory("graft_stream_sentinel_")
+      val out = scratch.resolve("out")
+      s.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-(i + 1).toLong, ns, SentinelUser, "sentinel", 0.0, "")),
+          eventsSchema)
+        .coalesce(1).write.parquet(out.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $out"))
+      val staged = dir.resolve(f"zz_sentinel_$i%02d.parquet")
+      Files.copy(part, staged)
+      // 60s spacing dwarfs any filesystem mtime granularity
+      Files.setLastModifiedTime(staged, FileTime.fromMillis(t0 + (i + 1) * 60000L))
+    }
+    dir
+  }
+
+  /** The staged events as a stream with batch `Tables.events` column
+    * semantics (nanos → microsecond timestamps), one file per
+    * micro-batch, projected to the [[EventStreams.Event]] shape.
+    */
+  def streamEvents(s: SparkSession, dir: Path): Dataset[Event] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .as[Event]
+  }
+
+  /** Run `out` to completion under `Trigger.AvailableNow` into a
+    * parquet file sink (exactly-once: checkpoint + _spark_metadata
+    * commit log) and read the committed result back as a batch
+    * DataFrame.
+    */
+  def runAvailableNow(out: DataFrame): DataFrame = {
+    val sink = Files.createTempDirectory("graft_stream_sink_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out.sparkSession.read.parquet(sink)
+  }
+
+  /** Max event stamp of the batch table in nanoseconds (sentinel
+    * placement input).
+    */
+  def maxEventNs(s: SparkSession, d: String): Long = {
+    val maxUs = graft.core.Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    maxUs * 1000L
+  }
+}
