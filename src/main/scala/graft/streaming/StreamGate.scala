@@ -35,6 +35,33 @@ object StreamGate {
 
   val SentinelUser = -1L
 
+  /** All gate scratch (staged source copies, sentinel build dirs, file
+    * sinks, checkpoints) lives under one per-JVM root that a shutdown
+    * hook removes recursively — repeated gate/bench/test invocations
+    * must not accumulate data in the system temp dir. Sinks can't be
+    * deleted eagerly (the returned DataFrame reads them lazily), so
+    * exit-time cleanup is the correct lifetime.
+    */
+  private lazy val scratchRoot: Path = {
+    val root = Files.createTempDirectory("graft_stream_gate_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+    root
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      scala.util.Using.resource(Files.walk(p)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala
+          .foreach(f => try Files.deleteIfExists(f) catch { case _: java.io.IOException => () })
+      }
+    }
+  }
+
+  private def tempDir(prefix: String): Path =
+    Files.createTempDirectory(scratchRoot, prefix)
+
   /** events.parquet physical schema with TIMESTAMP(NANOS) read as long
     * (the `spark.sql.legacy.parquet.nanosAsLong` contract Tables.events
     * uses on the batch side).
@@ -53,13 +80,13 @@ object StreamGate {
     * file source forms one micro-batch per file in exactly this order.
     */
   def stageEvents(s: SparkSession, d: String, sentinelTsNs: Seq[Long]): Path = {
-    val dir = Files.createTempDirectory("graft_stream_src_")
+    val dir = tempDir("graft_stream_src_")
     val data = dir.resolve("00_events.parquet")
     Files.copy(Paths.get(d, "events.parquet"), data)
     val t0 = System.currentTimeMillis()
     Files.setLastModifiedTime(data, FileTime.fromMillis(t0))
     sentinelTsNs.zipWithIndex.foreach { case (ns, i) =>
-      val scratch = Files.createTempDirectory("graft_stream_sentinel_")
+      val scratch = tempDir("graft_stream_sentinel_")
       val out = scratch.resolve("out")
       s.createDataFrame(
           java.util.Arrays.asList(
@@ -67,11 +94,14 @@ object StreamGate {
           eventsSchema)
         .coalesce(1).write.parquet(out.toString)
       import scala.jdk.CollectionConverters._
-      val part = Files.list(out).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $out"))
+      val part = scala.util.Using.resource(Files.list(out)) { listing =>
+        listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $out"))
+      }
       val staged = dir.resolve(f"zz_sentinel_$i%02d.parquet")
       Files.copy(part, staged)
+      deleteRecursively(scratch) // staged copy taken; scratch is dead weight
       // 60s spacing dwarfs any filesystem mtime granularity
       Files.setLastModifiedTime(staged, FileTime.fromMillis(t0 + (i + 1) * 60000L))
     }
@@ -100,8 +130,12 @@ object StreamGate {
     * DataFrame.
     */
   def runAvailableNow(out: DataFrame): DataFrame = {
-    val sink = Files.createTempDirectory("graft_stream_sink_").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt_").toString
+    val sink = tempDir("graft_stream_sink_").toString
+    val ckpt = tempDir("graft_stream_ckpt_").toString
+    // Pin the schema before starting: a query that commits zero rows
+    // leaves no parquet parts, and a schema-less read of the empty sink
+    // would throw instead of round-tripping an empty DataFrame.
+    val schema = out.schema
     val q = out.writeStream
       .format("parquet")
       .option("path", sink)
@@ -110,7 +144,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    out.sparkSession.read.parquet(sink)
+    out.sparkSession.read.schema(schema).parquet(sink)
   }
 
   /** Max event stamp of the batch table in nanoseconds (sentinel
