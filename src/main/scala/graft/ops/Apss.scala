@@ -38,18 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object Apss {
 
-  /** Unit-normalize and attach the per-vector posting decision: one
-    * narrow pass (norm + map + array_sort + aggregate per row, no
-    * window, no per-vector shuffle). `mw` is a 1-row broadcast map of
-    * per-dim bounds, or None for the universal bound 1.0.
+  /** Above this many distinct dims the corpus bounds stop being
+    * collapsed into one broadcast map row (a TF-IDF shingle vocabulary
+    * of 10⁷–10⁹ keys would make that row multi-GB and kill the build)
+    * and attach via a keyed join instead — see [[cosinePairs]].
     */
-  private def perVecOf(
-      vecs: DataFrame,
-      idCol: String,
-      termsCol: String,
-      half: Double,
-      mw: Option[DataFrame]): DataFrame = {
-    val normed = vecs.select(col(idCol).as("id"), col(termsCol).as("terms"))
+  val DefaultMaxBroadcastDims: Int = 1 << 17
+
+  /** Unit-normalize: (id, terms: array<(dim, wn)>), zero-norm rows
+    * excluded. One narrow pass, no shuffle.
+    */
+  private def normalized(
+      vecs: DataFrame, idCol: String, termsCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"), col(termsCol).as("terms"))
       .withColumn("nrm",
         sqrt(aggregate(col("terms"), lit(0.0),
           (s, t) => s + t.getField("w").cast("double") * t.getField("w").cast("double"))))
@@ -58,26 +59,32 @@ object Apss {
         transform(col("terms"), t => struct(
           t.getField("dim").as("dim"),
           (t.getField("w").cast("double") / col("nrm")).as("wn"))).as("terms"))
-    val withBound = mw match {
-      case Some(m) => normed.join(broadcast(m))
-      case None    => normed.withColumn("mw", lit(null).cast("map<int,double>"))
-    }
-    // greedy drop, per row: ascending by the bound contribution
-    // |wn|·bound(dim) (ties to the lower dim), drop while the running
-    // sum INCLUDING the current term stays < t/2; POST everything from
-    // the crossing term on. Each posting carries its RESIDUAL bound
-    // rem = Σ of contributions from this posting onward, and the row
-    // carries its actual DROPPED mass (< t/2) — together they upper-
-    // bound any pair's dot for the candidate-stage prune. One
-    // aggregate over a bounded array.
-    withBound.select(
+
+  /** Corpus-wide max |normalized weight| per dim — the closed-corpus
+    * `bound(d)` table: (dim, maxw), one row per distinct dim.
+    */
+  private def boundsOf(normed: DataFrame): DataFrame =
+    normed.select(explode(col("terms")).as("t"))
+      .groupBy(col("t.dim").as("dim")).agg(max(abs(col("t.wn"))).as("maxw"))
+
+  /** The greedy posting decision over rows of
+    * (id, terms: array<(dim, wn, cb)>) where cb = |wn|·bound(dim):
+    * ascending by cb (ties to the lower dim), drop while the running
+    * sum INCLUDING the current term stays < t/2; POST everything from
+    * the crossing term on. Each posting carries its RESIDUAL bound
+    * rem = Σ of contributions from this posting onward, and the row
+    * carries its actual DROPPED mass (< t/2) — together they upper-
+    * bound any pair's dot for the candidate-stage prune. One
+    * aggregate over a bounded array, no shuffle.
+    */
+  private def decide(withCb: DataFrame, half: Double): DataFrame =
+    withCb.select(
         col("id"),
-        map_from_entries(col("terms")).as("m"),
+        map_from_entries(transform(col("terms"), t => struct(
+          t.getField("dim").as("dim"), t.getField("wn").as("wn")))).as("m"),
         aggregate(
           array_sort(transform(col("terms"), t => struct(
-            (abs(t.getField("wn")) *
-              coalesce(element_at(col("mw"), t.getField("dim")), lit(1.0)))
-              .as("contrib"),
+            t.getField("cb").as("contrib"),
             t.getField("dim").as("dim")))),
           struct(lit(0.0).as("cum"),
             array().cast("array<struct<dim:int,cb:double>>").as("ps")),
@@ -102,18 +109,81 @@ object Apss {
               acc.getField("cum")).as("dropped"))).as("pd"))
       .select(col("id"), col("m"),
         col("pd.dims").as("posted"), col("pd.dropped").as("dropped"))
+
+  /** Per-vector posting decision with the bound attached as narrow
+    * array expressions against a 1-row broadcast map (`mw`), or the
+    * universal bound 1.0 (`None` — the open-world rule). Zero
+    * shuffles beyond the tiny map build; the right shape when the dim
+    * space is bounded (embeddings, sparsified top-m, small vocabs).
+    */
+  private def perVecOf(
+      vecs: DataFrame,
+      idCol: String,
+      termsCol: String,
+      half: Double,
+      mw: Option[DataFrame]): DataFrame = {
+    val normed = normalized(vecs, idCol, termsCol)
+    val withCb = mw match {
+      case Some(m) => normed.join(broadcast(m))
+        .select(col("id"), transform(col("terms"), t => struct(
+          t.getField("dim").as("dim"),
+          t.getField("wn").as("wn"),
+          (abs(t.getField("wn")) *
+            coalesce(element_at(col("mw"), t.getField("dim")), lit(1.0)))
+            .as("cb"))).as("terms"))
+      case None => normed
+        .select(col("id"), transform(col("terms"), t => struct(
+          t.getField("dim").as("dim"),
+          t.getField("wn").as("wn"),
+          abs(t.getField("wn")).as("cb"))).as("terms"))
+    }
+    decide(withCb, half)
   }
 
-  /** Corpus-wide max |normalized weight| per dim, collapsed to ONE
-    * broadcast map row — so the posting decision runs as narrow array
-    * expressions.
+  /** Per-vector posting decision with the bound attached by a KEYED
+    * join — explode terms, equi-join the (dim, maxw) bounds table on
+    * dim, regroup by id. Two extra keyed shuffles, but nothing ever
+    * materializes the whole vocabulary in one row, so this is the
+    * shape that survives a 10⁹-key TF-IDF shingle space. Semantically
+    * identical to the broadcast attach: [[decide]] re-sorts per row,
+    * and the regrouped map is order-insensitive.
     */
-  private def maxwMapOf(
-      vecs: DataFrame, idCol: String, termsCol: String): DataFrame =
-    perVecOf(vecs, idCol, termsCol, half = Double.MaxValue, mw = None)
-      .select(explode(map_entries(col("m"))).as("e"))
-      .groupBy(col("e.key").as("dim")).agg(max(abs(col("e.value"))).as("maxw"))
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("maxw")))).as("mw"))
+  private def perVecKeyedOf(normed: DataFrame, half: Double,
+      bounds: DataFrame): DataFrame = {
+    val exploded = normed.select(col("id"), explode(col("terms")).as("t"))
+      .select(col("id"), col("t.dim").as("dim"), col("t.wn").as("wn"))
+    val withCb = exploded.join(bounds, Seq("dim"))
+      .groupBy("id")
+      .agg(collect_list(struct(
+        col("dim"), col("wn"),
+        (abs(col("wn")) * col("maxw")).as("cb"))).as("terms"))
+    decide(withCb, half)
+  }
+
+  /** Closed-corpus per-vector decision, picking the bound-attach shape
+    * by dim cardinality: a 1-row broadcast map while the vocabulary
+    * fits (`maxBroadcastDims`), the keyed-join attach beyond it. The
+    * check is one keyed count job; pass `maxBroadcastDims <= 0` to
+    * force the keyed attach or `Int.MaxValue` to force the map and
+    * skip the count.
+    */
+  private def perVecClosedOf(
+      vecs: DataFrame,
+      idCol: String,
+      termsCol: String,
+      half: Double,
+      maxBroadcastDims: Int): DataFrame = {
+    val normed = normalized(vecs, idCol, termsCol)
+    val bounds = boundsOf(normed)
+    val keyed =
+      if (maxBroadcastDims <= 0) true
+      else if (maxBroadcastDims == Int.MaxValue) false
+      else bounds.limit(maxBroadcastDims + 1).count() > maxBroadcastDims
+    if (keyed) perVecKeyedOf(normed, half, bounds)
+    else perVecOf(vecs, idCol, termsCol, half, Some(
+      bounds.agg(map_from_entries(
+        collect_list(struct(col("dim"), col("maxw")))).as("mw"))))
+  }
 
   /** Candidate pairs from two posting lists meeting on shared dims,
     * with the [[Dedup.simHashPairs]] SKEW GUARD: a hot dim (posted by
@@ -195,15 +265,21 @@ object Apss {
     * replayed per consumer (cheap: scan + narrow ops + one tiny
     * broadcast). For build-once/probe-many — or to kill the replay at
     * corpus scale — use [[buildIndex]].
+    *
+    * `maxBroadcastDims` bounds the vocabulary size above which the
+    * per-dim bounds attach by keyed join instead of one broadcast map
+    * row (which at TF-IDF shingle cardinality would be a multi-GB
+    * single row) — see [[perVecClosedOf]].
     */
   def cosinePairs(
       vecs: DataFrame,
       idCol: String,
       termsCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBroadcastDims: Int = DefaultMaxBroadcastDims): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val perVec = perVecOf(vecs, idCol, termsCol, threshold / 2,
-      Some(maxwMapOf(vecs, idCol, termsCol)))
+    val perVec =
+      perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
     val posted = postingsOf(perVec)
     verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
       perVec, perVec, threshold)
@@ -225,11 +301,13 @@ object Apss {
       idCol: String,
       termsCol: String,
       threshold: Double,
-      openWorld: Boolean = false): ApssIndex = {
+      openWorld: Boolean = false,
+      maxBroadcastDims: Int = DefaultMaxBroadcastDims): ApssIndex = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val mw = if (openWorld) None else Some(maxwMapOf(vecs, idCol, termsCol))
-    ApssIndex(threshold, openWorld,
-      perVecOf(vecs, idCol, termsCol, threshold / 2, mw).persist())
+    val perVec =
+      if (openWorld) perVecOf(vecs, idCol, termsCol, threshold / 2, mw = None)
+      else perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
+    ApssIndex(threshold, openWorld, perVec.persist())
   }
 
   final case class ApssIndex(

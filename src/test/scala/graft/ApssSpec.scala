@@ -119,6 +119,53 @@ class ApssSpec extends SparkSpec {
     } finally closed.release()
   }
 
+  test("keyed and broadcast bound attach produce identical pairs") {
+    val corpus = sparseCorpus(51, n = 120, dims = 30, nnz = 8)
+    val df = toDf(corpus)
+    for (t <- Seq(0.3, 0.5)) {
+      val viaMap = Apss.cosinePairs(df, "id", "terms", t,
+        maxBroadcastDims = Int.MaxValue).as[(Long, Long, Double)].collect().toSet
+      val viaJoin = Apss.cosinePairs(df, "id", "terms", t,
+        maxBroadcastDims = 0).as[(Long, Long, Double)].collect().toSet
+      assert(viaJoin == viaMap, s"t=$t")
+    }
+    // closed buildIndex under the forced keyed attach agrees too
+    val idx = Apss.buildIndex(df, "id", "terms", 0.4, maxBroadcastDims = 0)
+    try {
+      val want = Apss.cosinePairs(df, "id", "terms", 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(idx.selfPairs().as[(Long, Long, Double)].collect().toSet == want)
+    } finally idx.release()
+  }
+
+  test("~1e6 distinct dims: auto keyed attach, no giant map row, still exact") {
+    // structured block X lives on dims 1..30; a quarter-million noise
+    // vectors each own 4 PRIVATE dims from a 10^6 space (no dim shared
+    // with anything), so they add vocabulary but zero pairs — the
+    // qualifying set is exactly X's brute force. The default
+    // maxBroadcastDims must route this corpus to the keyed-join attach
+    // (a million-entry map row is what dies at real shingle scale).
+    val x = sparseCorpus(61, n = 60, dims = 30, nnz = 6)
+    val maps = x.map { case (i, ts) => i -> ts.toMap }.toMap
+    val want = (for {
+      a <- x.map(_._1); b <- x.map(_._1) if a < b
+      s = cosLocal(maps(a), maps(b)) if s >= 0.4
+    } yield (a, b)).toSet
+    val noise = spark.range(250000).select(
+      (col("id") + 10000L).as("id"),
+      transform(sequence(lit(0L), lit(3L)), j => struct(
+        (lit(1000L) + col("id") * 4 + j).cast("int").as("dim"),
+        lit(1.0).as("w"))).as("terms"))
+    val df = toDf(x).unionByName(noise)
+    val res = Apss.cosinePairs(df, "id", "terms", 0.4)
+    val got = res.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+    // the broadcast attach is a conditionless join (BNLJ); the keyed
+    // attach must leave none in the executed plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
+
   test("zero-norm vectors are excluded, not crashed on") {
     val df = Seq(
       (1L, Seq((1, 1.0), (2, 1.0))),
