@@ -71,6 +71,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // developer knob: comma-separated query names to restrict the sweep
+    // (iterating on one operator shouldn't cost a full 6-minute run);
+    // the driver never sets it, so recorded benches stay full-sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sweep = only.fold(headline)(f => headline.filter(f))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -103,7 +109,7 @@ object Bench {
     // passes interleave full sweeps (not per-query repeats) so repeat
     // timings are spaced; median per query rejects transient load
     val samples = (1 to passes).flatMap { _ =>
-      headline.flatMap { name =>
+      sweep.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           val t0 = System.nanoTime()
           val ok =
@@ -127,7 +133,7 @@ object Bench {
     }
     // a query failing ANY pass reports -1.0 and is excluded from the
     // total; failures are listed explicitly
-    val results = headline.flatMap { name =>
+    val results = sweep.flatMap { name =>
       val runs = samples.filter(_._1 == name)
       if (runs.isEmpty) None
       else if (runs.exists(!_._3)) Some((name, -1.0, false))

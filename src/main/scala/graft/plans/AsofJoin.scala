@@ -4,9 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 
 /** Sort-merge BACKWARD AS-OF JOIN as a first-class planner citizen —
@@ -151,7 +153,7 @@ object AsofJoin {
       rightTime: Expression,
       left: SparkPlan,
       right: SparkPlan)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
     require(
       Seq(leftTime, rightTime).forall(t =>
@@ -171,6 +173,13 @@ object AsofJoin {
 
     override def outputOrdering: Seq[SortOrder] =
       leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+    // rows stay exactly where the left child's exchange put them, so a
+    // downstream groupBy/join on the same keys reuses the partitioning
+    // instead of re-shuffling (the left-outer shape: right side is
+    // nullable, only left partitioning survives)
+    override def outputPartitioning =
+      left.outputPartitioning
 
     override protected def withNewChildrenInternal(
         newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
@@ -225,6 +234,136 @@ object AsofJoin {
           joined(lRow, if (hit) matchRow else nullRight)
         }
       }
+    }
+
+    // ----- whole-stage codegen: the same merge loop, fused into the
+    // stage so the downstream projection/filter consumes primitive
+    // variables instead of a JoinedRow (the interpreted path above
+    // stays as the codegen-disabled fallback). Shape follows
+    // SortMergeJoinExec: both sorted children arrive as input
+    // iterators, the node is the stage's produce root.
+
+    override def inputRDDs(): Seq[RDD[InternalRow]] =
+      left.execute() :: right.execute() :: Nil
+
+    // matchRow's buffer backs the emitted right-side values until the
+    // next match replaces it — parents that buffer rows must copy
+    override def needCopyResult: Boolean = true
+
+    /** Per-key comparison with the interpreted path's natural-ordering
+      * null semantics: nulls first, null == null. Writes into `comp`.
+      */
+    private def genKeyCompare(
+        ctx: CodegenContext,
+        a: Seq[ExprCode], b: Seq[ExprCode], comp: String): String =
+      leftKeys.map(_.dataType).zipWithIndex.map { case (dt, i) =>
+        s"""
+           |if ($comp == 0) {
+           |  if (${a(i).isNull} && ${b(i).isNull}) { $comp = 0; }
+           |  else if (${a(i).isNull}) { $comp = -1; }
+           |  else if (${b(i).isNull}) { $comp = 1; }
+           |  else { $comp = ${ctx.genComp(dt, a(i).value.code, b(i).value.code)}; }
+           |}
+         """.stripMargin
+      }.mkString("\n")
+
+    /** Evaluate `exprs` against the row variable `row` (bound to
+      * `schema`), emitting the accessor code at the call site.
+      */
+    private def genRowVars(
+        ctx: CodegenContext,
+        exprs: Seq[Expression],
+        schema: Seq[Attribute],
+        row: String): Seq[ExprCode] = {
+      ctx.INPUT_ROW = row
+      ctx.currentVars = null
+      exprs.map(BindReferences.bindReference(_, schema).genCode(ctx))
+    }
+
+    protected override def doProduce(ctx: CodegenContext): String = {
+      val leftInput = ctx.addMutableState(
+        "scala.collection.Iterator", "asofLeftInput", v => s"$v = inputs[0];")
+      val rightInput = ctx.addMutableState(
+        "scala.collection.Iterator", "asofRightInput", v => s"$v = inputs[1];")
+      val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow")
+      val rHead = ctx.addMutableState("InternalRow", "asofRightHead")
+      val matchRow = ctx.addMutableState("InternalRow", "asofMatchRow")
+
+      val lKeyVars = genRowVars(ctx, leftKeys, left.output, leftRow)
+      val lTimeVar = genRowVars(ctx, Seq(leftTime), left.output, leftRow).head
+      val rKeyVars = genRowVars(ctx, rightKeys, right.output, rHead)
+      val rTimeVar = genRowVars(ctx, Seq(rightTime), right.output, rHead).head
+      val mKeyVars = genRowVars(ctx, rightKeys, right.output, matchRow)
+      // output-side left vars: plain bound accessors off the left row
+      val leftVars = genRowVars(ctx, left.output, left.output, leftRow)
+
+      val lT = ctx.freshName("asofLeftT")
+      val comp = ctx.freshName("asofComp")
+      val mcomp = ctx.freshName("asofMatchComp")
+      val advancing = ctx.freshName("asofAdvancing")
+      val hit = ctx.freshName("asofHit")
+
+      // right output vars: null unless this left row's retained match
+      // hits; values read straight off the copied match row
+      val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+        val isNull = ctx.freshName("asofRNull")
+        val value = ctx.freshName("asofRVal")
+        val decl =
+          code"""
+             |boolean $isNull = true;
+             |${CodeGenerator.javaType(a.dataType)} $value =
+             |  ${CodeGenerator.defaultValue(a.dataType)};
+             |if ($hit) {
+             |  $isNull = $matchRow.isNullAt($i);
+             |  if (!$isNull) {
+             |    $value = ${CodeGenerator.getValue(matchRow, a.dataType, i.toString)};
+             |  }
+             |}
+           """.stripMargin
+        ExprCode(decl, JavaCode.isNullVariable(isNull),
+          JavaCode.variable(value, a.dataType))
+      }
+
+      s"""
+         |while ($limitNotReachedCond $leftInput.hasNext()) {
+         |  $leftRow = (InternalRow) $leftInput.next();
+         |  ${lKeyVars.map(_.code).mkString("\n")}
+         |  ${lTimeVar.code}
+         |  long $lT = ${lTimeVar.value};
+         |  boolean $advancing = true;
+         |  while ($advancing) {
+         |    if ($rHead == null) {
+         |      if (!$rightInput.hasNext()) break;
+         |      $rHead = (InternalRow) $rightInput.next();
+         |    }
+         |    ${rKeyVars.map(_.code).mkString("\n")}
+         |    int $comp = 0;
+         |    ${genKeyCompare(ctx, rKeyVars, lKeyVars, comp)}
+         |    if ($comp < 0) {
+         |      $rHead = null; // right behind on keys: skip ahead
+         |    } else if ($comp == 0) {
+         |      ${rTimeVar.code}
+         |      if ((long) ${rTimeVar.value} <= $lT) {
+         |        $matchRow = $rHead.copy();
+         |        $rHead = null;
+         |      } else {
+         |        $advancing = false;
+         |      }
+         |    } else {
+         |      $advancing = false;
+         |    }
+         |  }
+         |  boolean $hit = false;
+         |  if ($matchRow != null) {
+         |    ${mKeyVars.map(_.code).mkString("\n")}
+         |    int $mcomp = 0;
+         |    ${genKeyCompare(ctx, mKeyVars, lKeyVars, mcomp)}
+         |    $hit = ($mcomp == 0);
+         |  }
+         |  ${consume(ctx, leftVars ++ rightVars)}
+         |  if (shouldStop()) return;
+         |}
+       """.stripMargin
     }
   }
 }

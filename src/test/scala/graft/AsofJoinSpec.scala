@@ -84,6 +84,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("merge loop runs inside whole-stage codegen, no fallback") {
+    // AQE hides the stage tree behind leaf QueryStage nodes; turn it
+    // off here so the WholeStageCodegen node is directly collectible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val l = Seq((1L, 1L, 100L), (1L, 2L, 50L), (2L, 3L, 10L)).toDF("k", "id", "t")
+      val r = Seq((1L, 60L), (1L, 100L), (2L, 5L)).toDF("rk", "rt")
+      val res = AsofJoin.backward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      val fused = res.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+            if w.collect { case a: AsofJoin.AsofJoinExec => a }.nonEmpty => w
+      }
+      assert(fused.nonEmpty, s"AsofJoinExec not inside a WholeStageCodegen " +
+        s"stage:\n${res.queryExecution.executedPlan}")
+      // the generated stage must COMPILE — a janino failure would
+      // silently fall back to the interpreted path at runtime
+      val (_, source) = fused.head.doCodeGen()
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .compile(source)
+      // and the fused result is still correct
+      val got = res.select("k", "id", "rt").collect()
+        .map(x => (x.getLong(0), x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSeq
+        .sortBy(r => (r._1, r._2))
+      assert(got === Seq(
+        (1L, 1L, Some(100L)), (1L, 2L, None), (2L, 3L, Some(5L))))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("survives many partitions and empty right partitions") {
     val l = (0L until 200L).map(i => (i % 7, i, i * 10L))
     val r = (0L until 40L).map(i => (i % 3, i * 37L)) // keys 0..2 only
