@@ -39,11 +39,13 @@ import org.apache.spark.sql.functions._
 object Apss {
 
   /** Above this many distinct dims the corpus bounds stop being
-    * collapsed into one broadcast map row (a TF-IDF shingle vocabulary
-    * of 10⁷–10⁹ keys would make that row multi-GB and kill the build)
-    * and attach via a keyed join instead — see [[cosinePairs]].
+    * collapsed into one literal map (a TF-IDF shingle vocabulary of
+    * 10⁷–10⁹ keys would make it multi-GB and kill the build — and
+    * Catalyst map literals pay a LINEAR scan per lookup, so even a
+    * fits-in-memory 100k-key map would tax every term) and attach via
+    * a keyed join instead — see [[cosinePairs]].
     */
-  val DefaultMaxBroadcastDims: Int = 1 << 17
+  val DefaultMaxBroadcastDims: Int = 4096
 
   /** Unit-normalize: (id, terms: array<(dim, wn)>), zero-norm rows
     * excluded. One narrow pass, no shuffle.
@@ -111,32 +113,28 @@ object Apss {
         col("pd.dims").as("posted"), col("pd.dropped").as("dropped"))
 
   /** Per-vector posting decision with the bound attached as narrow
-    * array expressions against a 1-row broadcast map (`mw`), or the
-    * universal bound 1.0 (`None` — the open-world rule). Zero
-    * shuffles beyond the tiny map build; the right shape when the dim
-    * space is bounded (embeddings, sparsified top-m, small vocabs).
+    * array expressions against a LITERAL map column (`mw`), or the
+    * universal bound 1.0 (`None` — the open-world rule). Zero joins,
+    * zero shuffles — the whole decision is one codegen'd pass per row;
+    * the right shape when the dim space is bounded (embeddings,
+    * sparsified top-m, small vocabs).
     */
   private def perVecOf(
       vecs: DataFrame,
       idCol: String,
       termsCol: String,
       half: Double,
-      mw: Option[DataFrame]): DataFrame = {
+      mw: Option[Column]): DataFrame = {
     val normed = normalized(vecs, idCol, termsCol)
-    val withCb = mw match {
-      case Some(m) => normed.join(broadcast(m))
-        .select(col("id"), transform(col("terms"), t => struct(
-          t.getField("dim").as("dim"),
-          t.getField("wn").as("wn"),
-          (abs(t.getField("wn")) *
-            coalesce(element_at(col("mw"), t.getField("dim")), lit(1.0)))
-            .as("cb"))).as("terms"))
-      case None => normed
-        .select(col("id"), transform(col("terms"), t => struct(
-          t.getField("dim").as("dim"),
-          t.getField("wn").as("wn"),
-          abs(t.getField("wn")).as("cb"))).as("terms"))
+    val cbOf: Column => Column = mw match {
+      case Some(m) => dim => coalesce(element_at(m, dim), lit(1.0))
+      case None    => _ => lit(1.0)
     }
+    val withCb = normed
+      .select(col("id"), transform(col("terms"), t => struct(
+        t.getField("dim").as("dim"),
+        t.getField("wn").as("wn"),
+        (abs(t.getField("wn")) * cbOf(t.getField("dim"))).as("cb"))).as("terms"))
     decide(withCb, half)
   }
 
@@ -161,11 +159,13 @@ object Apss {
   }
 
   /** Closed-corpus per-vector decision, picking the bound-attach shape
-    * by dim cardinality: a 1-row broadcast map while the vocabulary
-    * fits (`maxBroadcastDims`), the keyed-join attach beyond it. The
-    * check is one keyed count job; pass `maxBroadcastDims <= 0` to
-    * force the keyed attach or `Int.MaxValue` to force the map and
-    * skip the count.
+    * by dim cardinality: ONE driver-side collect of at most
+    * `maxBroadcastDims + 1` bound rows decides — within the cap the
+    * bounds embed as a literal map (no join, no subquery, narrow
+    * codegen'd attach), beyond it the keyed-join attach engages and
+    * the vocabulary never materializes in one place. Pass
+    * `maxBroadcastDims <= 0` to force the keyed attach without the
+    * probe collect.
     */
   private def perVecClosedOf(
       vecs: DataFrame,
@@ -175,14 +175,15 @@ object Apss {
       maxBroadcastDims: Int): DataFrame = {
     val normed = normalized(vecs, idCol, termsCol)
     val bounds = boundsOf(normed)
-    val keyed =
-      if (maxBroadcastDims <= 0) true
-      else if (maxBroadcastDims == Int.MaxValue) false
-      else bounds.limit(maxBroadcastDims + 1).count() > maxBroadcastDims
-    if (keyed) perVecKeyedOf(normed, half, bounds)
-    else perVecOf(vecs, idCol, termsCol, half, Some(
-      bounds.agg(map_from_entries(
-        collect_list(struct(col("dim"), col("maxw")))).as("mw"))))
+    val probed =
+      if (maxBroadcastDims <= 0) Array.empty[org.apache.spark.sql.Row]
+      else bounds.limit(
+        math.min(maxBroadcastDims.toLong + 1, Int.MaxValue.toLong).toInt).collect()
+    if (maxBroadcastDims <= 0 || probed.length > maxBroadcastDims)
+      perVecKeyedOf(normed, half, bounds)
+    else
+      perVecOf(vecs, idCol, termsCol, half, Some(typedLit(
+        probed.map(r => r.getInt(0) -> r.getDouble(1)).toMap)))
   }
 
   /** Candidate pairs from two posting lists meeting on shared dims,
@@ -261,10 +262,16 @@ object Apss {
     * unique per row; vectors need not be pre-normalized). Returns
     * (id_a, id_b, sim) with id_a < id_b, sim rounded to 4 decimals.
     *
-    * One-shot declarative form: the per-vector index lineage is
-    * replayed per consumer (cheap: scan + narrow ops + one tiny
-    * broadcast). For build-once/probe-many — or to kill the replay at
-    * corpus scale — use [[buildIndex]].
+    * One-shot declarative form. The per-vector index feeds FIVE plan
+    * consumers (both posting sides, the per-dim salt stats, both
+    * verify sides), so it is materialized once via a lazy
+    * localCheckpoint — without it the scan + normalize + greedy-decide
+    * lineage replays per consumer, which at catalog scale is ~2.5× the
+    * query's whole runtime in redundant stages. Storage is
+    * corpus-proportional (exactly what [[buildIndex]].persist costs);
+    * blocks free when the plan is garbage-collected. For
+    * build-once/probe-many with explicit lifetime control use
+    * [[buildIndex]]/[[ApssIndex.release]].
     *
     * `maxBroadcastDims` bounds the vocabulary size above which the
     * per-dim bounds attach by keyed join instead of one broadcast map
@@ -280,6 +287,7 @@ object Apss {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val perVec =
       perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
+        .localCheckpoint(false)
     val posted = postingsOf(perVec)
     verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
       perVec, perVec, threshold)
@@ -340,7 +348,10 @@ object Apss {
         termsCol: String): DataFrame = {
       require(openWorld,
         "probe needs an open-world index: buildIndex(..., openWorld = true)")
+      // query-side index feeds both the candidate join and the verify —
+      // materialize once (same reasoning as cosinePairs)
       val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
+        .localCheckpoint(false)
       val candidates = candidatesOf(
         postingsOf(q), postingsOf(perVec), ordered = false, dimCap = 4096,
         threshold)
