@@ -65,6 +65,11 @@ object Dedup {
       // similarity is undefined (and their all-null MinHash signatures
       // would collide into one giant bucket) — exclude them up front
       .where(size(col("sh")) > 0)
+      // regex tokenize + shingle assembly feeds four plan consumers
+      // (signatures, both verify sides, and the bucket fan-out);
+      // materialize it once — storage is the shingle table, which the
+      // verify joins shuffle anyway
+      .localCheckpoint(false)
     val sigs = shingled
       .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig"))
 
@@ -78,6 +83,9 @@ object Dedup {
           lit(b).as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
+      // both self-join sides replay the k-hash signature otherwise;
+      // bucket rows are narrow (bucket key + id), so this is cheap
+      .localCheckpoint(false)
 
     val a = buckets.select(col("bb").as("bb"), col("id").as("id_a"))
     val b = buckets.select(col("bb").as("bb"), col("id").as("id_b"))
@@ -134,6 +142,9 @@ object Dedup {
       // empty shingle sets (sub-shingle-length docs) have undefined
       // similarity — the oracle's 0/0 is NaN and fails its filter too
       .where(size(col("sh")) > 0)
+      // the shingle table feeds the prefix derivation AND both verify
+      // sides; materialize once instead of re-tokenizing per consumer
+      .localCheckpoint(false)
     // Prefix length L = |S| - ceil(t*|S|) + 1, under ascending GLOBAL
     // FREQUENCY order (rarest shingles first) — the PPJoin ordering: any
     // common total order is correct, but frequency order makes prefixes
