@@ -24,16 +24,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. The values are whole microseconds (verified in the test
-    * data), so reading nanos as long and truncating to micros is
-    * lossless; downstream code sees a normal TimestampType column.
+  /** The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses by default. The values are whole microseconds (verified in
+    * the test data), so reading nanos as long and truncating to micros
+    * is lossless; downstream code sees a normal TimestampType column.
+    * A table that already carries a standard timestamp (e.g. the
+    * ScaleUp-synthesized copies, or any real deployment writing micros)
+    * passes through untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -250,15 +250,20 @@ object GeneTreeRep {
         // duplication tagging (`search/genetree_adder.js:157-173`): a
         // leaf collects the taxa of its ancestors-or-self whose
         // duplication confidence exceeds 0.5. One DFS with a path
-        // accumulator instead of one walk per duplication node.
+        // accumulator instead of one walk per duplication node —
+        // EXPLICIT stack: a caterpillar tree's depth is O(n), and a
+        // recursive walk overflows the task thread's stack at a few
+        // thousand nodes (surfaced by the 10× scale audit; the path
+        // list is shared structurally, so memory stays O(depth)).
         val dups = mutable.HashMap.empty[Long, Seq[Long]]
-        def tagDups(n: Node, acc: List[Long]): Unit = {
+        val dupStack = mutable.Stack((root, List.empty[Long]))
+        while (dupStack.nonEmpty) {
+          val (n, acc) = dupStack.pop()
           val acc2 = if (n.dupConf > 0.5) n.taxonId :: acc else acc
           val kids = children.getOrElse(n.id, Array.empty)
           if (kids.isEmpty) dups(n.id) = acc2.distinct.sorted
-          else kids.foreach(tagDups(_, acc2))
+          else kids.reverseIterator.foreach(k => dupStack.push((k, acc2)))
         }
-        tagDups(root, Nil)
 
         // leaf emission (`search/genetree_adder.js:176-245`)
         leaves.iterator.map { leaf =>

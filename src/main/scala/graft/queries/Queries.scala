@@ -1075,6 +1075,25 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("purchase_us"), col("last_err_us"))
   }
 
+  /** INCREMENTAL connected components, streamed: q53's exact near-dup
+    * pairs are hash-sliced into four files, streamed one file per
+    * micro-batch, and folded batch-by-batch through
+    * [[graft.streaming.StreamComponents]]'s star-forest accumulator —
+    * the final snapshot must equal the one-shot batch clustering, so
+    * q53's recursive-reachability oracle gates the incremental
+    * machinery VERBATIM.
+    */
+  val q61ComponentsStream: Q = (s, d) => {
+    import graft.streaming.StreamGate
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(s, d), "text", "doc_id",
+      blockCol = "lang", shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b")
+    val dir = StreamGate.stagePairs(pairs, slices = 4)
+    StreamGate.componentsAvailableNow(s, dir)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1134,6 +1153,7 @@ object Queries {
     "q58_audio_decode" -> q58AudioDecode,
     "q59_sessionize_stream" -> q59SessionizeStream,
     "q60_asof_stream" -> q60AsofStream,
+    "q61_components_stream" -> q61ComponentsStream,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1969,5 +1989,6 @@ object Queries {
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q59_sessionize_stream" -> oraclesBase("q10_sessionize"),
-    "q60_asof_stream" -> oraclesBase("q39_asof_join"))
+    "q60_asof_stream" -> oraclesBase("q39_asof_join"),
+    "q61_components_stream" -> oraclesBase("q53_dedup_components"))
 }

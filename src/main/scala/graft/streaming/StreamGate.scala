@@ -62,17 +62,19 @@ object StreamGate {
   private def tempDir(prefix: String): Path =
     Files.createTempDirectory(scratchRoot, prefix)
 
-  /** events.parquet physical schema with TIMESTAMP(NANOS) read as long
-    * (the `spark.sql.legacy.parquet.nanosAsLong` contract Tables.events
-    * uses on the batch side).
+  /** The events table's read schema, probed from the actual file (with
+    * the `nanosAsLong` conf set, mirroring Tables.events): the driver's
+    * TIMESTAMP(NANOS) table reads ts as long, a standard-timestamp
+    * table (ScaleUp copies, real deployments) reads TimestampType —
+    * the gate adapts to either physical shape.
     */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def eventsSchemaOf(s: SparkSession, eventsFile: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(eventsFile).schema
+  }
+
+  private def tsIsLong(schema: StructType): Boolean =
+    schema("ts").dataType == LongType
 
   /** Stage the events parquet into a fresh stream-source directory,
     * optionally followed by one single-row sentinel file per entry of
@@ -83,15 +85,21 @@ object StreamGate {
     val dir = tempDir("graft_stream_src_")
     val data = dir.resolve("00_events.parquet")
     Files.copy(Paths.get(d, "events.parquet"), data)
+    val schema = eventsSchemaOf(s, data.toString)
     val t0 = System.currentTimeMillis()
     Files.setLastModifiedTime(data, FileTime.fromMillis(t0))
     sentinelTsNs.zipWithIndex.foreach { case (ns, i) =>
       val scratch = tempDir("graft_stream_sentinel_")
       val out = scratch.resolve("out")
+      val tsValue: Any =
+        if (tsIsLong(schema)) ns
+        else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(ns, 1000000000L),
+          java.lang.Math.floorMod(ns, 1000000000L)))
       s.createDataFrame(
           java.util.Arrays.asList(
-            Row(-(i + 1).toLong, ns, SentinelUser, "sentinel", 0.0, "")),
-          eventsSchema)
+            Row(-(i + 1).toLong, tsValue, SentinelUser, "sentinel", 0.0, "")),
+          schema)
         .coalesce(1).write.parquet(out.toString)
       import scala.jdk.CollectionConverters._
       val part = scala.util.Using.resource(Files.list(out)) { listing =>
@@ -114,13 +122,16 @@ object StreamGate {
     */
   def streamEvents(s: SparkSession, dir: Path): Dataset[Event] = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsSchemaOf(s, dir.resolve("00_events.parquet").toString)
+    val tsCol =
+      if (tsIsLong(schema)) timestamp_micros(expr("ts div 1000"))
+      else col("ts")
     s.readStream
-      .schema(eventsSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        tsCol.as("ts"))
       .as[Event]
   }
 
@@ -154,5 +165,61 @@ object StreamGate {
     val maxUs = graft.core.Tables.events(s, d)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     maxUs * 1000L
+  }
+
+  private val pairsSchema = StructType(Seq(
+    StructField("id_a", LongType),
+    StructField("id_b", LongType)))
+
+  /** Stage a batch (id_a, id_b) pair table as up to `slices`
+    * hash-sliced parquet files with strictly increasing mtimes — a
+    * deterministic multi-micro-batch stream source for the components
+    * gate (slice membership is content-hashed, so the batch split is
+    * reproducible; empty slices are simply not staged).
+    */
+  def stagePairs(pairs: DataFrame, slices: Int): Path = {
+    val dir = tempDir("graft_stream_pairs_")
+    val t0 = System.currentTimeMillis()
+    val typed = pairs.select(
+      col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+    (0 until slices).foreach { i =>
+      val scratch = tempDir("graft_stream_pairslice_")
+      val out = scratch.resolve("out")
+      typed.where(pmod(xxhash64(col("id_a")), lit(slices)) === i)
+        .coalesce(1).write.parquet(out.toString)
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(out)) { listing =>
+        listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+      }.foreach { part =>
+        val staged = dir.resolve(f"pairs_$i%02d.parquet")
+        Files.copy(part, staged)
+        Files.setLastModifiedTime(staged, FileTime.fromMillis(t0 + i * 60000L))
+      }
+      deleteRecursively(scratch)
+    }
+    dir
+  }
+
+  /** Run the staged pair slices through the INCREMENTAL components
+    * accumulator ([[StreamComponents]]), one file per micro-batch under
+    * `Trigger.AvailableNow`, and return the final (id, component)
+    * mapping — which the incremental fold guarantees equals the batch
+    * [[graft.ops.Components.components]] over the union of all pairs,
+    * so the batch oracle gates the streaming machinery verbatim.
+    */
+  def componentsAvailableNow(s: SparkSession, dir: Path): DataFrame = {
+    val acc = new StreamComponents.IncrementalComponents(s)
+    val stream = s.readStream
+      .schema(pairsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val ckpt = tempDir("graft_stream_ckpt_").toString
+    val q = StreamComponents.accumulate(stream, acc)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    acc.snapshot
   }
 }

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize an sf1.0-scale dataset as a 10× upscale of the
+  * driver's sf0.1 tables, for the full-catalog scale audit (the driver
+  * ships no sf1.0). Referential structure is preserved by offsetting
+  * primary/foreign keys per copy; dimension tables (region, nation)
+  * stay fixed like real dims would.
+  *
+  * Text and vector copies must NOT be byte-identical (10 exact copies
+  * of every document would turn the near-dup operators' output
+  * quadratic in the copy count — a different workload, not a bigger
+  * one). Each copy k Caesar-rotates the text's letters by k (token
+  * statistics and shingle-set sizes are isomorphic per copy,
+  * cross-copy overlap collapses to near zero) and rotates the
+  * embedding array by k positions (norms and within-copy pairwise
+  * geometry preserved).
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [copies]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/root/repo/testdata_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // the driver's layout is ONE parquet FILE per table (and the DuckDB
+    // oracle harness reads them as files): stage the write, move the
+    // single part file into place
+    def write(df: DataFrame, t: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val stage = Files.createTempDirectory("graft_scaleup_")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.resolve("o").toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(Files.list(stage.resolve("o"))) { l =>
+          l.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part written for $t"))
+        }
+      }
+      Files.createDirectories(Paths.get(dst))
+      Files.move(part, Paths.get(dst, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      scala.util.Using.resource(Files.walk(stage)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      }
+    }
+
+    def keySpan(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    // replicate df `copies` times; `offsets` maps column -> key span to
+    // shift by copy index (PKs and FKs into other scaled tables)
+    def scale(df: DataFrame, offsets: Map[String, Long])(
+        perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { k =>
+        val shifted = offsets.foldLeft(df) { case (d, (c, span)) =>
+          d.withColumn(c, col(c) + lit(span * k))
+        }
+        perturb(shifted, k)
+      }.reduce(_ unionByName _)
+
+    // dims stay as-is
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    val customer = read("customer")
+    val orders = read("orders")
+    val part = read("part")
+    val supplier = read("supplier")
+    val cSpan = keySpan(customer, "c_custkey")
+    val oSpan = keySpan(orders, "o_orderkey")
+    val pSpan = keySpan(part, "p_partkey")
+    val sSpan = keySpan(supplier, "s_suppkey")
+
+    write(scale(customer, Map("c_custkey" -> cSpan))(), "customer")
+    write(scale(supplier, Map("s_suppkey" -> sSpan))(), "supplier")
+    write(scale(part, Map("p_partkey" -> pSpan))(), "part")
+    write(scale(orders, Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan))(),
+      "orders")
+    write(scale(read("lineitem"), Map(
+      "l_orderkey" -> oSpan, "l_partkey" -> pSpan, "l_suppkey" -> sSpan))(),
+      "lineitem")
+
+    // the driver's ts is TIMESTAMP(NANOS) (read as long under the
+    // legacy conf); the copy stores standard micros timestamps — the
+    // values are whole micros so this is lossless, and both Spark
+    // (Tables.events passthrough) and the DuckDB oracles (epoch_us)
+    // read the two shapes identically
+    val events = read("events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val eSpan = keySpan(events, "event_id")
+    val uSpan = keySpan(events, "user_id")
+    write(scale(events, Map("event_id" -> eSpan, "user_id" -> uSpan))(),
+      "events")
+
+    val docs = read("documents")
+    val dSpan = keySpan(docs, "doc_id")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    write(scale(docs, Map("doc_id" -> dSpan)) { (d, k) =>
+      val rot = k % 26
+      val to = alpha.drop(rot) + alpha.take(rot)
+      d.withColumn("text",
+        translate(col("text"), alpha + alpha.toUpperCase,
+          to + to.toUpperCase))
+    }, "documents")
+
+    val emb = read("embeddings")
+    val vSpan = keySpan(emb, "vec_id")
+    write(scale(emb, Map("vec_id" -> vSpan)) { (d, k) =>
+      if (k == 0) d
+      else d.withColumn("embedding",
+        concat(
+          slice(col("embedding"), lit(k + 1), size(col("embedding")) - lit(k)),
+          slice(col("embedding"), 1, k)))
+    }, "embeddings")
+
+    println(s"wrote ${copies}x of $src to $dst")
+    spark.stop()
+  }
+}

@@ -32,12 +32,21 @@ class StreamGateSpec extends SparkSpec {
     assert(stream == batch)
   }
 
-  test("q59/q60 are wired into the catalog with their twins' oracles") {
+  test("q61: stream-accumulated components equal batch q53 exactly") {
+    val stream = rows(Queries.q61ComponentsStream(spark, sf))
+    val batch = rows(Queries.q53DedupComponents(spark, sf))
+    assert(stream == batch)
+  }
+
+  test("q59/q60/q61 are wired into the catalog with their twins' oracles") {
     assert(Queries.all.contains("q59_sessionize_stream"))
     assert(Queries.all.contains("q60_asof_stream"))
+    assert(Queries.all.contains("q61_components_stream"))
     assert(Queries.oracles("q59_sessionize_stream") ==
       Queries.oracles("q10_sessionize"))
     assert(Queries.oracles("q60_asof_stream") ==
       Queries.oracles("q39_asof_join"))
+    assert(Queries.oracles("q61_components_stream") ==
+      Queries.oracles("q53_dedup_components"))
   }
 }
