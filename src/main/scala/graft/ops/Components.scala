@@ -24,7 +24,55 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  def components(pairs: DataFrame): DataFrame = {
+  /** Below this many distinct edges the fixpoint solves driver-local
+    * (union-find over a few MB) instead of spending O(log² n) rounds
+    * of cluster stage barriers on a graph that fits in one hand — the
+    * same scale-adaptive reasoning as a broadcast-join threshold. At
+    * the default, the collected edge list is ≤ ~16 MB; above it the
+    * alternating-star rounds run exactly as before, and no component
+    * ever needs to fit on one machine.
+    */
+  val LocalSolveMaxEdges: Long = 1L << 20
+
+  /** Driver-local union-find (path halving), min-id component labels —
+    * bit-identical to the distributed fixpoint's output.
+    */
+  private def componentsLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent.getOrElse(x, x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = parent.keys.toArray
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    nodes.sorted.map(n => (n, minOfRoot(find(n)))).toSeq
+      .toDF("id", "component")
+  }
+
+  /** `localSolveMaxEdges` overrides [[LocalSolveMaxEdges]] — pass 0 to
+    * force the distributed fixpoint (tests pin local ≡ distributed).
+    */
+  def components(
+      pairs: DataFrame,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -64,7 +112,6 @@ object Components {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val allNodes = bidir(edges).select(col("u").as("id")).distinct().localCheckpoint()
 
     // converge when a round is a no-op: identical (u, v) edge set.
     // EXACT fixpoint test: both sides are distinct sets, so equal
@@ -74,6 +121,13 @@ object Components {
     // every round where the edge count still moves.
     var stable = edges.isEmpty
     var curCount = if (stable) 0L else edges.count()
+    if (!stable && curCount <= localSolveMaxEdges) {
+      val local = componentsLocal(spark,
+        edges.as[(Long, Long)].collect())
+      edges.unpersist()
+      return local
+    }
+    val allNodes = bidir(edges).select(col("u").as("id")).distinct().localCheckpoint()
     while (!stable) {
       // checkpoint the large-star intermediate too: small-star's
       // bidir unions + minNbr join would otherwise replay the

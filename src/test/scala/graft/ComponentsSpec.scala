@@ -13,6 +13,26 @@ class ComponentsSpec extends SparkSpec {
     Components.components(pairs.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
 
+  /** Force the distributed alternating-star fixpoint (the small graphs
+    * here would otherwise take the driver-local union-find shortcut).
+    */
+  private def runDistributed(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.components(pairs.toDF("id_a", "id_b"), localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+
+  test("driver-local shortcut is bit-identical to the distributed fixpoint") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(120)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      assert(run(pairs) === runDistributed(pairs), s"trial $trial")
+    }
+    // chain + star shapes through BOTH paths
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    assert(run(chain) === runDistributed(chain))
+  }
+
   test("long chain collapses to its minimum") {
     val chain = (1L until 40L).map(i => (i, i + 1))
     val got = run(chain)
