@@ -1,0 +1,194 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the shingle/MinHash hot path of the
+  * dedup family. Semantically these are drop-in replacements for the
+  * higher-order-function formulations in [[TextAnalytics.shinglesOf]]
+  * and [[graft.ops.Dedup.minHashSignature]] — Spark's lambda functions
+  * (`transform`/`slice`/`aggregate`) are CodegenFallback, so the HOF
+  * versions evaluate INTERPRETED, allocating a boxed array per shingle
+  * per row; on the documents table that interpretation is ~80% of the
+  * whole similarity-join runtime. One native pass per row removes it
+  * while producing bit-identical output (parity is pinned by unit
+  * tests in TextAnalyticsSpec/DedupSpec):
+  *
+  *  - [[SortedShingles]] == `sort_array(array_distinct(transform(
+  *    sequence(0, size-n), i => concat_ws(" ", slice(toks, i+1, n)))))`
+  *    (empty when `size(toks) < n`);
+  *  - [[MinHashSig]] == `array((0 until k).map(i => array_min(
+  *    transform(sh, s => xxhash64(lit(i), s)))))` — the same
+  *    `XxHash64Function` Spark's `xxhash64` lowers to, seeded
+  *    identically (seed 42, then the literal band index folded in).
+  */
+object Shingling {
+
+  /** Non-empty space-separated tokens of a text, one byte scan.
+    * Exactly `filter(split(text, " "), t => t =!= "")`: a single-space
+    * regex splits at each 0x20 byte (multi-byte UTF-8 chars never
+    * contain 0x20), and dropping empty strings absorbs leading,
+    * trailing, and repeated separators. The output substrings share
+    * the input's byte array — no per-token copy.
+    */
+  def tokensImpl(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    var count = 0
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        count += 1
+        while (i < nb && bytes(i) != 0x20) i += 1
+      } else i += 1
+    }
+    if (count == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var t = 0
+    i = 0
+    while (i < nb) {
+      if (bytes(i) != 0x20) {
+        val start = i
+        while (i < nb && bytes(i) != 0x20) i += 1
+        out(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct space-joined n-grams of a token array. Binary
+    * (unsigned byte) sort order — exactly `sort_array`'s StringType
+    * ordering. Null tokens are skipped within a shingle (concat_ws
+    * semantics); the output itself never contains nulls.
+    */
+  def sortedShinglesImpl(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[UTF8String](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) = toks.getUTF8String(i + j) // null-safe: concatWs skips nulls
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    java.util.Arrays.sort(out, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    // dedup adjacent (sorted): count uniques, then copy
+    var uniq = 1
+    i = 1
+    while (i < out.length) {
+      if (!out(i).equals(out(i - 1))) uniq += 1
+      i += 1
+    }
+    if (uniq == out.length) return new GenericArrayData(out.asInstanceOf[Array[Any]])
+    val dedup = new Array[Any](uniq)
+    dedup(0) = out(0)
+    var d = 1
+    i = 1
+    while (i < out.length) {
+      if (!out(i).equals(out(i - 1))) { dedup(d) = out(i); d += 1 }
+      i += 1
+    }
+    new GenericArrayData(dedup)
+  }
+
+  /** Per-k cache of the folded band seeds: seed(i) = xxhash64 of the
+    * int literal i under Spark's default seed 42 — the partial state
+    * `xxhash64(lit(i), s)` reaches after its first child.
+    */
+  private val seedCache = new ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsOf(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, nh =>
+      Array.tabulate(nh)(i => XxHash64Function.hash(i, IntegerType, 42L)))
+
+  /** k-permutation MinHash signature in ONE pass over the shingle
+    * array: k running minima, |sh|·k hash calls, zero allocation
+    * beyond the output. Empty input yields k nulls (what
+    * `array_min(transform(empty))` evaluates to).
+    */
+  def minHashImpl(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
+    val seeds = seedsOf(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      var b = 0
+      while (b < k) {
+        val h = XxHash64Function.hash(s, StringType, seeds(b))
+        if (h < mins(b)) mins(b) = h
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  case class Tokens(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override protected def nullSafeEval(text: Any): Any =
+      tokensImpl(text.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Shingling.tokensImpl($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class SortedShingles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override protected def nullSafeEval(toks: Any): Any =
+      sortedShinglesImpl(toks.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Shingling.sortedShinglesImpl($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(k >= 1, s"signature length must be >= 1, got $k")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override protected def nullSafeEval(sh: Any): Any =
+      minHashImpl(sh.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Shingling.minHashImpl($c, $k)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Whitespace tokens, codegen'd (see [[Tokens]]). */
+  def tokens(text: Column): Column =
+    GraftColumnBridge.column(Tokens(GraftColumnBridge.expression(text)))
+
+  /** Sorted distinct n-gram shingles of a MATERIALIZED token array
+    * (see the materialization rule on [[TextAnalytics.shinglesOf]]).
+    */
+  def sortedShingles(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(SortedShingles(GraftColumnBridge.expression(toks), n))
+
+  /** One-pass MinHash signature over a MATERIALIZED shingle array. */
+  def minHashSignature(sh: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh), numHashes))
+}

@@ -16,8 +16,13 @@ object TextAnalytics {
   /** Whitespace tokens, empty strings dropped. Single-space split keeps
     * semantics identical across engines (the oracle uses the same rule).
     */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+  /** Non-empty whitespace tokens — semantically
+    * `filter(split(text, " "), t => t =!= "")`, executed by the native
+    * byte-scan kernel [[Shingling.Tokens]] (the `filter` lambda is
+    * CodegenFallback and would drag every projection it appears in out
+    * of whole-stage codegen; parity is pinned in TextAnalyticsSpec).
+    */
+  def tokens(text: Column): Column = Shingling.tokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -77,6 +82,12 @@ object TextAnalytics {
     * expression: higher-order-function lambdas re-evaluate their
     * argument expression per element, so an inlined tokenizer would be
     * re-run once per shingle position (O(doc_len^2) tokenization).
+    */
+  /** HOF formulation — kept for first-occurrence-order consumers and
+    * as the semantic spec; hot paths that want the sorted distinct set
+    * should use [[Shingling.sortedShingles]] (native, one pass —
+    * `transform`/`slice` lambdas are CodegenFallback and evaluate
+    * interpreted, which dominated the similarity-join runtime).
     */
   def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(

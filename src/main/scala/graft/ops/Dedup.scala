@@ -26,15 +26,14 @@ object Dedup {
   /** k-permutation MinHash signature over a *materialized* shingle-array
     * column. Each "permutation" i is xxhash64 seeded by i (mixed in as a
     * literal column); the signature element is the min hash over the
-    * shingle set. Pure column expressions — evaluated row-local, no
-    * shuffle. Callers must pass a column reference (not the shingle
-    * expression itself): Catalyst inlines column expressions into every
-    * of the k transforms, blowing up codegen k-fold otherwise.
+    * shingle set. Evaluated row-local, no shuffle — by the native
+    * one-pass kernel [[graft.functions.Shingling.MinHashSig]] (the
+    * equivalent `array_min(transform(...))` per band is interpreted,
+    * k passes, and dominated the LSH runtime; the unit-pinned parity
+    * lives in DedupSpec).
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.functions.Shingling.minHashSignature(shingleCol, numHashes)
 
   /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands
     * of `rowsPerBand` hashes; docs sharing any (band, band-hash) bucket
@@ -60,7 +59,7 @@ object Dedup {
     val shingled = docs
       .select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
       .select(col("id"),
-        sort_array(TextAnalytics.shinglesOf(col("toks"), shingleN)).as("sh"))
+        graft.functions.Shingling.sortedShingles(col("toks"), shingleN).as("sh"))
       // docs shorter than the shingle width have an empty set: their
       // similarity is undefined (and their all-null MinHash signatures
       // would collide into one giant bucket) — exclude them up front
@@ -138,7 +137,7 @@ object Dedup {
         col(idCol).as("id"),
         TextAnalytics.tokens(col(textCol)).as("toks"))
       .select(col("block"), col("id"),
-        sort_array(TextAnalytics.shinglesOf(col("toks"), shingleN)).as("sh"))
+        graft.functions.Shingling.sortedShingles(col("toks"), shingleN).as("sh"))
       // empty shingle sets (sub-shingle-length docs) have undefined
       // similarity — the oracle's 0/0 is NaN and fails its filter too
       .where(size(col("sh")) > 0)
@@ -160,6 +159,9 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
       .select("block", "id", "sz", "tok", "rn")
+      // both sides of the candidate self-join read this table; without
+      // materialization the freq join + rarity window run twice
+      .localCheckpoint(false)
     // Positional filter (PPJoin): jaccard >= t implies overlap >=
     // ceil(t/(1+t) * (|A|+|B|)), and a pair's overlap is bounded by
     // 1 + min(|A|-posA, |B|-posB) at its earliest matching prefix token.

@@ -45,8 +45,8 @@ object DocStreams {
     docs
       .withColumn("id", col(idCol))
       .withColumn("sh",
-        sort_array(TextAnalytics.shinglesOf(
-          TextAnalytics.tokens(col(textCol)), shingleN)))
+        graft.functions.Shingling.sortedShingles(
+          TextAnalytics.tokens(col(textCol)), shingleN))
       .where(size(col("sh")) > 0)
       .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes))
       .select(

@@ -253,4 +253,19 @@ object GraftProperties extends Properties("graft") {
           .select("id_a", "id_b").as[(Long, Long)].collect().toSet
         Prop(got == want) :| s"blocks=$blocks t=$t missed=${(want diff got).take(3)} extra=${(got diff want).take(3)}"
     }
+
+  property("native sortedShingles == sort_array(array_distinct(HOF shingles))") =
+    forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "aa", "c", "é", "z9")),
+      Gen.choose(1, 4)) { (toks, n) =>
+      import org.apache.spark.sql.functions._
+      val df = Seq(toks.mkString(" ")).toDF("text")
+        .select(graft.functions.TextAnalytics.tokens(col("text")).as("toks"))
+        .select(
+          graft.functions.Shingling.sortedShingles(col("toks"), n).as("native"),
+          sort_array(graft.functions.TextAnalytics.shinglesOf(col("toks"), n))
+            .as("hof"))
+      val r = df.head()
+      Prop(r.getSeq[String](0) == r.getSeq[String](1)) :| s"toks=$toks n=$n row=$r"
+    }
 }
