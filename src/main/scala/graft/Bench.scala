@@ -54,7 +54,9 @@ object Bench {
     "q54_genes_pipeline",
     "q56_media_decode",
     "q57_apss_cosine",
-    "q58_audio_decode")
+    "q58_audio_decode",
+    "q62_apss_probe",
+    "q63_apss_tfidf")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

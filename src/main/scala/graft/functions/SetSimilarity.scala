@@ -111,4 +111,73 @@ object SetSimilarity {
   def cosineNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Sparse dot product over two `array<struct<dim, wn: double>>`
+    * SORTED ascending by dim (dims unique per array): one merge walk,
+    * O(|a|+|b|). The APSS verify kernel — the `aggregate(map_entries,
+    * element_at)` formulation it replaces is interpreted AND pays a
+    * linear key scan per lookup (Catalyst maps are unsorted arrays),
+    * i.e. O(|a|·|b|) string compares per pair; on a 765k-candidate
+    * verify at sf0.1 that was 39s vs <1s for the walk. Int and string
+    * dim variants (embedding/feature ids vs raw term vocabularies).
+    */
+  def sparseDotSortedInt(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var dot = 0.0
+    while (i < na && j < nb) {
+      val sa = a.getStruct(i, 2)
+      val sb = b.getStruct(j, 2)
+      val da = sa.getInt(0)
+      val db = sb.getInt(0)
+      if (da == db) { dot += sa.getDouble(1) * sb.getDouble(1); i += 1; j += 1 }
+      else if (da < db) i += 1
+      else j += 1
+    }
+    dot
+  }
+
+  def sparseDotSortedStr(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var dot = 0.0
+    while (i < na && j < nb) {
+      val sa = a.getStruct(i, 2)
+      val sb = b.getStruct(j, 2)
+      val c = sa.getUTF8String(0).compareTo(sb.getUTF8String(0))
+      if (c == 0) { dot += sa.getDouble(1) * sb.getDouble(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    dot
+  }
+
+  case class SparseDotSorted(left: Expression, right: Expression, stringDims: Boolean)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    private def impl = if (stringDims) "sparseDotSortedStr" else "sparseDotSortedInt"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      if (stringDims)
+        sparseDotSortedStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      else
+        sparseDotSortedInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SetSimilarity.$impl($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** `a`/`b` MUST be sorted ascending by the struct's first field (the
+    * dim), dims unique per array; first field int (stringDims=false)
+    * or string (stringDims=true), second field double.
+    */
+  def sparseDotSorted(a: Column, b: Column, stringDims: Boolean): Column =
+    GraftColumnBridge.column(SparseDotSorted(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), stringDims))
 }

@@ -14,9 +14,7 @@ import org.apache.spark.sql.functions._
 object TextAnalytics {
 
   /** Whitespace tokens, empty strings dropped. Single-space split keeps
-    * semantics identical across engines (the oracle uses the same rule).
-    */
-  /** Non-empty whitespace tokens — semantically
+    * semantics identical across engines (the oracle uses the same rule):
     * `filter(split(text, " "), t => t =!= "")`, executed by the native
     * byte-scan kernel [[Shingling.Tokens]] (the `filter` lambda is
     * CodegenFallback and would drag every projection it appears in out
@@ -78,16 +76,15 @@ object TextAnalytics {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
   /** Contiguous n-gram shingles over a MATERIALIZED token-array column
-    * (distinct). Pass a column reference, not the `tokens(text)`
-    * expression: higher-order-function lambdas re-evaluate their
-    * argument expression per element, so an inlined tokenizer would be
-    * re-run once per shingle position (O(doc_len^2) tokenization).
-    */
-  /** HOF formulation — kept for first-occurrence-order consumers and
-    * as the semantic spec; hot paths that want the sorted distinct set
-    * should use [[Shingling.sortedShingles]] (native, one pass —
-    * `transform`/`slice` lambdas are CodegenFallback and evaluate
-    * interpreted, which dominated the similarity-join runtime).
+    * (distinct, first-occurrence order). Pass a column reference, not
+    * the `tokens(text)` expression: higher-order-function lambdas
+    * re-evaluate their argument expression per element, so an inlined
+    * tokenizer would be re-run once per shingle position (O(doc_len^2)
+    * tokenization). HOF formulation — kept for first-occurrence-order
+    * consumers and as the semantic spec; hot paths that want the sorted
+    * distinct set should use [[Shingling.sortedShingles]] (native, one
+    * pass — `transform`/`slice` lambdas are CodegenFallback and
+    * evaluate interpreted, which dominated the similarity-join runtime).
     */
   def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(

@@ -79,17 +79,29 @@ object Apss {
     * bound any pair's dot for the candidate-stage prune. One
     * aggregate over a bounded array, no shuffle.
     */
-  private def decide(withCb: DataFrame, half: Double): DataFrame =
+  private def decide(withCb: DataFrame, half: Double): DataFrame = {
+    // dims are polymorphic: int for a bounded embedding/feature space,
+    // string for a raw shingle/term vocabulary — the accumulator's
+    // empty-array seed is the one place the type must be spelled out
+    val dimSql = {
+      import org.apache.spark.sql.types.{ArrayType, StructType}
+      withCb.schema("terms").dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType]("dim").dataType.sql
+    }
     withCb.select(
         col("id"),
-        map_from_entries(transform(col("terms"), t => struct(
+        // dim-SORTED full vector (dims unique per row; struct sort
+        // orders by the leading dim field) — what the merge-walk
+        // verify kernel consumes. A map would pay a linear key scan
+        // per lookup (Catalyst maps are unsorted arrays).
+        array_sort(transform(col("terms"), t => struct(
           t.getField("dim").as("dim"), t.getField("wn").as("wn")))).as("m"),
         aggregate(
           array_sort(transform(col("terms"), t => struct(
             t.getField("cb").as("contrib"),
             t.getField("dim").as("dim")))),
           struct(lit(0.0).as("cum"),
-            array().cast("array<struct<dim:int,cb:double>>").as("ps")),
+            array().cast(s"array<struct<dim:$dimSql,cb:double>>").as("ps")),
           (acc, x) => {
             val cum = acc.getField("cum") + x.getField("contrib")
             struct(
@@ -111,6 +123,7 @@ object Apss {
               acc.getField("cum")).as("dropped"))).as("pd"))
       .select(col("id"), col("m"),
         col("pd.dims").as("posted"), col("pd.dropped").as("dropped"))
+  }
 
   /** Per-vector posting decision with the bound attached as narrow
     * array expressions against a LITERAL map column (`mw`), or the
@@ -241,21 +254,30 @@ object Apss {
         col("p.rem").as("rem"), col("dropped"))
 
 
-  /** Exact sparse-dot verify over candidate (id_a, id_b) pairs. */
+  /** Exact sparse-dot verify over candidate (id_a, id_b) pairs: one
+    * native merge walk per pair over the dim-sorted vectors — the
+    * per-candidate hot kernel, O(|a|+|b|) (see
+    * [[graft.functions.SetSimilarity.sparseDotSorted]]).
+    */
   private def verify(
       candidates: DataFrame,
       left: DataFrame,
       right: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    val stringDims = {
+      import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+      left.schema("m").dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType]("dim").dataType == StringType
+    }
     candidates
       .join(left.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
       .join(right.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
       .withColumn("sim",
-        aggregate(map_entries(col("ma")), lit(0.0),
-          (s, e) => s + e.getField("value") *
-            coalesce(element_at(col("mb"), e.getField("key")), lit(0.0))))
+        graft.functions.SetSimilarity.sparseDotSorted(
+          col("ma"), col("mb"), stringDims))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
 
   /** Exact cosine ≥ `threshold` pairs over a sparse vector column
     * `termsCol: array<struct<dim: int, w: double-castable>>` (dims
@@ -291,6 +313,34 @@ object Apss {
     val posted = postingsOf(perVec)
     verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
       perVec, perVec, threshold)
+  }
+
+  /** One-shot exact cross-set probe: every (query_id, corpus_id, sim)
+    * with cosine ≥ threshold, both sides indexed on the fly under the
+    * open-world unit bound (which is what keeps each side's drops sound
+    * against vectors the other side never saw — the [[cosinePairs]]
+    * closed-corpus bounds would be unsound across sets). Declarative
+    * form of [[ApssIndex.probe]] for callers that don't need the
+    * build-once/probe-many lifecycle; identical ids pair like any other
+    * rows (filter `query_id =!= corpus_id` if the sets overlap).
+    */
+  def probePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      termsCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs a positive threshold")
+    val c = perVecOf(corpus, idCol, termsCol, threshold / 2, mw = None)
+      .localCheckpoint(false)
+    val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
+      .localCheckpoint(false)
+    verify(
+      candidatesOf(postingsOf(q), postingsOf(c), ordered = false,
+        dimCap = 4096, threshold),
+      q, c, threshold)
+      .withColumnRenamed("id_a", "query_id")
+      .withColumnRenamed("id_b", "corpus_id")
   }
 
   /** A built sparse-cosine index: the per-vector (map, postings) table,

@@ -868,6 +868,62 @@ object Queries {
         Apss.sparsifyTopM(col("embedding"), 8).as("terms")),
       "vec_id", "terms", threshold = 0.4)
 
+  /** Open-world APSS cross-set probe ([[graft.ops.Apss.probePairs]]):
+    * a query batch joined exactly against a corpus it was never
+    * co-indexed with — the incremental-dedup screen ("is anything in
+    * this new batch a near-dup of the corpus?"). Both sides post under
+    * the unit bound, so the t/2 prefix rule stays exact across sets;
+    * the oracle is the same brute-force sparse dot as q57, restricted
+    * to (query, corpus) ordered pairs. Self-matches filtered (the
+    * query set here is a corpus subset).
+    */
+  val q62ApssProbe: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"), Apss.sparsifyTopM(col("embedding"), 8).as("terms"))
+    Apss.probePairs(
+      emb, emb.where(col("vec_id") < 100), "vec_id", "terms", threshold = 0.4)
+      .where(col("query_id") =!= col("corpus_id"))
+  }
+
+  /** APSS over REAL text: per-document TF-IDF vectors on the raw
+    * 3-gram shingle vocabulary (dims are the shingle STRINGS — no
+    * pre-built vocabulary table, no dense id remap), with the
+    * KEYED-JOIN bound attach forced (`maxBroadcastDims = 0`) — the
+    * configuration that survives a 10⁹-key vocabulary, here under the
+    * driver's oracle gate end-to-end. Weights are ln(N/df) over
+    * distinct shingles (set semantics; df counts documents). This is
+    * the declared target regime of [[graft.ops.Apss]] (scaladoc:
+    * TF-IDF bags), previously exercised only at unit scale.
+    *
+    * 3-grams, not 2-grams, deliberately: the synthetic corpus draws
+    * from a tiny word list, so its 2-gram vocabulary is ~10³ keys with
+    * avg df ≈ 275 — near-uniform idf weights defeat prefix filtering
+    * (every vector posts ~85% of its dims and the dim join degenerates
+    * toward all-pairs, ~60M candidate rows at sf0.1). 3-grams are
+    * combinatorially rarer (~27k keys, avg df ≈ 10 at sf0.1): the
+    * skewed regime APSS declares. Real prose is Zipfian at 2-grams
+    * already; the widening stands in for that skew here.
+    */
+  val q63ApssTfidf: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Shingling.sortedShingles(
+          TextAnalytics.tokens(col("text")), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      // feeds the N count, the df table, and the terms regroup
+      .localCheckpoint(false)
+    val n = sh.count() // corpus size for idf — one count job at any scale
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = e.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val terms = e.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(
+        col("shingle").as("dim"),
+        log(lit(n.toDouble) / col("df")).as("w"))).as("terms"))
+    Apss.cosinePairs(terms, "doc_id", "terms",
+      threshold = 0.6, maxBroadcastDims = 0)
+  }
+
   /** BPE-ish token statistics ([[graft.functions.TextAnalytics
     * .bpePieces]]): pre-token piece counts under the GPT-2-style regex —
     * the token-budget estimator a training-data pipeline runs over every
@@ -1154,6 +1210,8 @@ object Queries {
     "q59_sessionize_stream" -> q59SessionizeStream,
     "q60_asof_stream" -> q60AsofStream,
     "q61_components_stream" -> q61ComponentsStream,
+    "q62_apss_probe" -> q62ApssProbe,
+    "q63_apss_tfidf" -> q63ApssTfidf,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -1960,6 +2018,51 @@ object Queries {
            FROM xn a JOIN xn b ON a.dim = b.dim AND a.vec_id < b.vec_id
            GROUP BY 1, 2)
          SELECT id_a, id_b, round(sim, 4) AS sim FROM dots WHERE sim >= 0.4""",
+    "q62_apss_probe" ->
+      // q57's brute force, cross-set: ORDERED (query, corpus) pairs
+      // with the query side restricted and self-matches excluded
+      """WITH x AS (
+           SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS w
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY abs(embedding[i]) DESC, i) <= 8),
+         n AS (SELECT vec_id, sqrt(sum(w*w)) AS nrm FROM x GROUP BY vec_id),
+         xn AS (SELECT x.vec_id, x.dim, x.w / n.nrm AS wn
+                FROM x JOIN n USING (vec_id)),
+         dots AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                  sum(a.wn * b.wn) AS sim
+           FROM xn a JOIN xn b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < 100
+           GROUP BY 1, 2)
+         SELECT query_id, corpus_id, round(sim, 4) AS sim
+         FROM dots WHERE sim >= 0.4""",
+    "q63_apss_tfidf" ->
+      // brute-force TF-IDF cosine over the SAME distinct-3-gram
+      // vocabulary: ln(N/df) weights, unit-normalized, pairs meet on
+      // shared shingle strings (a no-shared-shingle pair has dot 0 < t)
+      s"""WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(l) - 2),
+               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+           FROM (SELECT doc_id, $toks AS l FROM documents)
+           WHERE len(l) >= 3),
+         e AS (SELECT doc_id, unnest(g) AS shingle FROM sh),
+         corpus AS (SELECT count(*) AS n FROM sh),
+         dfreq AS (SELECT shingle, count(*) AS df FROM e GROUP BY shingle),
+         w AS (SELECT e.doc_id, e.shingle,
+                 ln(corpus.n::DOUBLE / dfreq.df) AS w
+               FROM e JOIN dfreq USING (shingle), corpus),
+         nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+         xn AS (SELECT w.doc_id, w.shingle, w.w / nrm.nrm AS wn
+                FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0),
+         dots AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wn * b.wn) AS sim
+           FROM xn a JOIN xn b ON a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, round(sim, 4) AS sim FROM dots WHERE sim >= 0.6""",
     "q53_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, lang,

@@ -11,10 +11,19 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    def storageBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     (1 to reps).foreach { r =>
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(s"rep$r: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
+      println(f"rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n " +
+        f"gc=${(gcMillis - g0) / 1000.0}%.1fs cachedRdds=${spark.sparkContext.getPersistentRDDs.size} " +
+        f"storage=${storageBytes / 1e6}%.0fMB")
     }
     spark.stop()
   }

@@ -166,6 +166,59 @@ class ApssSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
   }
 
+  test("one-shot probePairs equals buildIndex(openWorld).probe and brute force") {
+    val corpus = sparseCorpus(71, n = 100, dims = 25, nnz = 7)
+    val queries = sparseCorpus(72, n = 30, dims = 25, nnz = 7)
+      .map { case (i, ts) => (i + 1000L, ts) }
+    val cm = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+    val qm = queries.map { case (i, ts) => i -> ts.toMap }.toMap
+    val want = (for {
+      q <- qm.keys; c <- cm.keys
+      s = cosLocal(qm(q), cm(c)) if s >= 0.45
+    } yield (q, c)).toSet
+    val got = Apss.probePairs(toDf(corpus), toDf(queries), "id", "terms", 0.45)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+    val idx = Apss.buildIndex(toDf(corpus), "id", "terms", 0.45, openWorld = true)
+    try {
+      val viaIndex = idx.probe(toDf(queries), "id", "terms")
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(viaIndex == got)
+    } finally idx.release()
+  }
+
+  test("STRING dims (raw term vocabulary) are exact end-to-end") {
+    // the q63 shape: dims are the terms themselves — no int remap. The
+    // keyed attach must carry the string dim through decide/candidates/
+    // verify unchanged; the broadcast attach is int-typed by design, so
+    // string corpora always route keyed (maxBroadcastDims = 0 here to
+    // skip the probe collect).
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(81)
+    val corpus = (0L until 80L).map { i =>
+      val ds = rnd.shuffle(words).take(1 + rnd.nextInt(6))
+      (i, ds.sorted.map(w => (w, rnd.nextGaussian())))
+    }
+    def cosStr(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.iterator.map { case (d, w) => w * b.getOrElse(d, 0.0) }.sum
+      val na = math.sqrt(a.values.map(w => w * w).sum)
+      val nb = math.sqrt(b.values.map(w => w * w).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val maps = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+    val want = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      s = cosStr(maps(a), maps(b)) if s >= 0.5
+    } yield (a, b)).toSet
+    val df = corpus.toDF("id", "terms").select(
+      col("id"),
+      col("terms").cast("array<struct<dim:string,w:double>>").as("terms"))
+    val got = Apss.cosinePairs(df, "id", "terms", 0.5, maxBroadcastDims = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+  }
+
   test("zero-norm vectors are excluded, not crashed on") {
     val df = Seq(
       (1L, Seq((1, 1.0), (2, 1.0))),
