@@ -14,8 +14,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Single-file, single-ROW-GROUP parquet (the test harness's layout;
+    // verified with pyarrow) is unsplittable: the scan yields ONE
+    // partition regardless of core count, so every per-row kernel and
+    // partial aggregate before the first exchange runs single-threaded
+    // — at audit scale that serialized minutes of work. Fan the scan
+    // out when it is under-partitioned for the machine and the table
+    // is not dim-tiny. Predicate pushdown and column pruning both move
+    // through Repartition, so the exchange carries only pruned rows.
+    // On a real cluster reading many splits (parts >= cores) this is a
+    // no-op — it exists to make local single-file inputs behave like
+    // the many-split layout a deployment would have.
+    val target = spark.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > (64L << 10) && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -325,24 +325,45 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       dim: Int,
-      bitsPerTable: Int = 6,
+      bitsPerTable: Int = 0,
       numTables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val tables = (0 until numTables).map { t =>
-      t -> Similarity.hyperplanes(dim, bitsPerTable, seed + t)
-    }
     val v = col(vecCol).cast("array<double>")
-    val bucketed = corpus.select(
-      col(idCol).as("id"),
-      v.as("v"),
+    val base = corpus.select(col(idCol).as("id"), v.as("v"))
+    // bitsPerTable <= 0 → size the buckets from the corpus: expected
+    // occupancy n/2^bits drives candidate volume QUADRATICALLY (each
+    // bucket self-joins), so any fixed bits turns superlinear as the
+    // corpus grows — the sf1.0 audit OOM'd exactly there (6 bits, 20k
+    // vectors: ~300/bucket, ~50M candidates). Bits tracking log2(n)
+    // hold occupancy ~constant, making candidate volume linear in n.
+    // Costs one count job at plan time.
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = math.max(1L, base.count())
+        math.max(3, math.min(24,
+          math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+      }
+    val tables = (0 until numTables).map { t =>
+      t -> Similarity.hyperplanes(dim, bits, seed + t)
+    }
+    // The candidate stage is NARROW — ids only. Carrying the vectors
+    // through the bucket join and pair-dedup multiplies the ~KB array
+    // payload by the candidate count (the other half of the audit OOM);
+    // the verify re-attaches vectors by id, one keyed join per side.
+    val bucketed = base.select(
+      col("id"),
       explode(array(tables.map { case (t, planes) =>
-        struct(lit(t).as("tbl"), Similarity.srpBucket(v, planes).as("bucket"))
+        struct(lit(t).as("tbl"), Similarity.srpBucket(col("v"), planes).as("bucket"))
       }: _*)).as("tb"))
-    val a = bucketed.select(col("tb"), col("id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("tb"), col("id").as("id_b"), col("v").as("vb"))
+    val a = bucketed.select(col("tb"), col("id").as("id_a"))
+    val b = bucketed.select(col("tb"), col("id").as("id_b"))
     a.join(b, Seq("tb"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

@@ -851,9 +851,13 @@ object Queries {
     * recall vs q50 is pinned in DedupSpec.
     */
   val q51EmbeddingNearDupLsh: Q = (s, d) =>
+    // bitsPerTable auto-sized from the corpus (bits ~ log2 n) so bucket
+    // occupancy — and with it candidate volume per vector — stays
+    // constant as the table grows; a fixed bits choice right for one SF
+    // is quadratically wrong ten SFs later (sf1.0 audit finding)
     Dedup.embeddingNearDupLsh(
       Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.35, dim = 64, bitsPerTable = 4, numTables = 12)
+      threshold = 0.35, dim = 64, numTables = 12)
 
   /** APSS exact cosine-threshold self-join with prefix filtering
     * ([[graft.ops.Apss.cosinePairs]]) over top-8-by-magnitude

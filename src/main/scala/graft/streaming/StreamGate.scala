@@ -180,13 +180,19 @@ object StreamGate {
   def stagePairs(pairs: DataFrame, slices: Int): Path = {
     val dir = tempDir("graft_stream_pairs_")
     val t0 = System.currentTimeMillis()
+    // Materialize the pair table ONCE before slicing: the caller's
+    // pairs plan can be a full similarity join, and without this each
+    // slice's write would replay it (slices× the dominant cost).
+    // repartition(1), not coalesce(1), for the single staged part file
+    // — coalesce would collapse that replay into ONE task on top.
     val typed = pairs.select(
-      col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+        col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .localCheckpoint()
     (0 until slices).foreach { i =>
       val scratch = tempDir("graft_stream_pairslice_")
       val out = scratch.resolve("out")
       typed.where(pmod(xxhash64(col("id_a")), lit(slices)) === i)
-        .coalesce(1).write.parquet(out.toString)
+        .repartition(1).write.parquet(out.toString)
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.list(out)) { listing =>
         listing.iterator().asScala
