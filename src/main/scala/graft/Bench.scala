@@ -56,7 +56,9 @@ object Bench {
     "q57_apss_cosine",
     "q58_audio_decode",
     "q62_apss_probe",
-    "q63_apss_tfidf")
+    "q63_apss_tfidf",
+    "q64_decontaminate",
+    "q65_repetition")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -3,11 +3,12 @@ package graft.functions
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd kernels for the shingle/MinHash hot path of the
@@ -138,6 +139,56 @@ object Shingling {
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
+  /** Repetition statistics of the (NON-distinct) n-gram bag of a token
+    * array, one pass: (total grams, distinct grams, max per-gram
+    * frequency). Builds the gram array, sorts it (same binary order as
+    * [[sortedShinglesImpl]]), and walks the runs — no hash map, no
+    * boxing. `len < n` yields (0, 0, 0): a doc too short to have any
+    * n-gram has nothing to repeat.
+    *
+    * These three numbers are exactly what the Gopher-style repetition
+    * quality rules consume: duplicate-gram fraction
+    * `(total - distinct) / total` and top-gram fraction
+    * `maxFreq / total` (Rae et al. 2021, "Scaling Language Models",
+    * table A1 — restated over token counts).
+    */
+  def shingleStatsImpl(toks: ArrayData, n: Int): InternalRow = {
+    val len = toks.numElements()
+    if (len < n) return new GenericInternalRow(Array[Any](0, 0, 0))
+    val total = len - n + 1
+    val grams = new Array[UTF8String](total)
+    if (n == 1) {
+      var i = 0
+      while (i < total) { grams(i) = toks.getUTF8String(i); i += 1 }
+    } else {
+      val sep = UTF8String.fromString(" ")
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < total) {
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        grams(i) = UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(grams, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var distinct = 1
+    var maxFreq = 1
+    var run = 1
+    var i = 1
+    while (i < total) {
+      if (grams(i).equals(grams(i - 1))) {
+        run += 1
+        if (run > maxFreq) maxFreq = run
+      } else {
+        distinct += 1
+        run = 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](total, distinct, maxFreq))
+  }
+
   case class Tokens(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def nullIntolerant: Boolean = true
@@ -178,6 +229,23 @@ object Shingling {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  case class ShingleStats(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("max_freq", IntegerType, nullable = false)))
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override protected def nullSafeEval(toks: Any): Any =
+      shingleStatsImpl(toks.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Shingling.shingleStatsImpl($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Whitespace tokens, codegen'd (see [[Tokens]]). */
   def tokens(text: Column): Column =
     GraftColumnBridge.column(Tokens(GraftColumnBridge.expression(text)))
@@ -191,4 +259,10 @@ object Shingling {
   /** One-pass MinHash signature over a MATERIALIZED shingle array. */
   def minHashSignature(sh: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh), numHashes))
+
+  /** One-pass n-gram repetition stats `(total, n_distinct, max_freq)`
+    * over a MATERIALIZED token array (see [[ShingleStats]]).
+    */
+  def shingleStats(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleStats(GraftColumnBridge.expression(toks), n))
 }

@@ -142,4 +142,40 @@ object TextAnalytics {
         sequence(lit(0), size(toksCol) - k),
         i => xxhash64(concat_ws(" ", slice(toksCol, i + 1, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
+
+  /** Gopher-style REPETITION quality signals over a MATERIALIZED token
+    * array (Rae et al. 2021 table A1, restated over token counts):
+    * duplicate-token fraction, top-2-gram fraction (occurrences of the
+    * single most frequent 2-gram / total 2-grams), and duplicate-3-gram
+    * fraction (share of 3-gram occurrences whose gram appears more than
+    * once). Each stat is one pass of the native
+    * [[Shingling.ShingleStats]] kernel — per-row, shuffle-free, so the
+    * filter runs at scan speed over any corpus size. Fractions are 0.0
+    * for docs too short to have the gram at all, rounded to 4 decimals
+    * so downstream hashing is engine-exact.
+    *
+    * Returns a struct `(dup_tok_frac, top_2gram_frac, dup_3gram_frac,
+    * keep)`; `keep` applies the drop rule `dup_tok_frac <= 0.30 AND
+    * top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18` (Gopher's
+    * thresholds for the corresponding character-fraction rules).
+    */
+  def repetitionStats(toks: Column): Column = {
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 4)).otherwise(lit(0.0))
+    val s1 = Shingling.shingleStats(toks, 1)
+    val s2 = Shingling.shingleStats(toks, 2)
+    val s3 = Shingling.shingleStats(toks, 3)
+    val dupTok = frac(s1.getField("total") - s1.getField("n_distinct"),
+      s1.getField("total"))
+    val top2 = frac(s2.getField("max_freq"), s2.getField("total"))
+    // surplus form: each repeated gram's extra occurrences over one —
+    // what (total, distinct) can express exactly
+    val dup3 = frac(s3.getField("total") - s3.getField("n_distinct"),
+      s3.getField("total"))
+    struct(
+      dupTok.as("dup_tok_frac"),
+      top2.as("top_2gram_frac"),
+      dup3.as("dup_3gram_frac"),
+      (dupTok <= 0.30 && top2 <= 0.20 && dup3 <= 0.18).as("keep"))
+  }
 }

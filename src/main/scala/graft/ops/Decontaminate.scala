@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Shingling, TextAnalytics}
+
+/** Benchmark DECONTAMINATION for a pretraining corpus: flag every
+  * training document that shares at least one n-gram with a held-out
+  * evaluation/benchmark set, so contaminated documents can be dropped
+  * before training (the standard n-gram overlap screen — GPT-3 used
+  * 13-gram matches, The Pile/Gopher variants the same shape with
+  * different widths; Brown et al. 2020 appendix C).
+  *
+  * Plan shape, built for the 100 TB side being the TRAINING side:
+  *
+  *  - The benchmark's distinct n-gram set is built once — benchmarks
+  *    are small (10⁴–10⁷ grams), so this side of the join is
+  *    broadcast-able and Spark's planner broadcasts it under the
+  *    threshold; above it the join degrades gracefully to a keyed
+  *    shuffle on the gram string. Nothing is ever collected to the
+  *    driver.
+  *  - The training side explodes its DISTINCT per-doc grams (the
+  *    [[graft.functions.Shingling.SortedShingles]] kernel dedups
+  *    per-doc, bounding the explode at distinct-gram count) and
+  *    equi-joins on the gram — every shuffle keyed, the pair space
+  *    never materializes, and the hit count re-aggregates on doc_id
+  *    with map-side partials.
+  *  - Clean documents (zero hits) survive via the left join at the
+  *    end: the output has exactly one row per training doc, which is
+  *    what a filter stage consumes.
+  */
+object Decontaminate {
+
+  /** Per-training-document overlap against the benchmark's n-gram set:
+    * `(id, n_grams, n_hit, hit_frac, contaminated)` — `n_grams` the
+    * doc's distinct n-gram count, `n_hit` how many of those occur
+    * anywhere in the benchmark, `hit_frac` their ratio (0.0 for docs
+    * too short to have any n-gram), `contaminated` = any hit at all.
+    */
+  def ngramOverlap(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    def grams(docs: DataFrame) = docs
+      .select(col(idCol).as("id"),
+        Shingling.sortedShingles(
+          TextAnalytics.tokens(col(textCol)), n).as("grams"))
+
+    val benchGrams = grams(bench)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+
+    val trainGrams = grams(train).localCheckpoint(false)
+    val hits = trainGrams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit"))
+
+    trainGrams
+      .select(col("id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("hit_frac"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+}

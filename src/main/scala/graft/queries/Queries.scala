@@ -928,6 +928,39 @@ object Queries {
       threshold = 0.6, maxBroadcastDims = 0)
   }
 
+  /** Benchmark decontamination ([[graft.ops.Decontaminate]]): the
+    * held-out "benchmark" is every 20th document; each remaining
+    * training document reports how many of its distinct 4-grams occur
+    * anywhere in the benchmark (the GPT-3-style n-gram contamination
+    * screen, Brown et al. 2020 appendix C — width shrunk from 13 to 4
+    * for the synthetic corpus's short docs). One row per training doc,
+    * zero-hit docs included — the shape a corpus filter stage consumes.
+    */
+  val q64Decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Decontaminate.ngramOverlap(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", n = 4)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Gopher-style repetition quality filter
+    * ([[TextAnalytics.repetitionStats]]): duplicate-token, top-2-gram
+    * and duplicate-3-gram fractions per document plus the keep/drop
+    * verdict, computed by the one-pass native
+    * [[graft.functions.Shingling.ShingleStats]] kernel — per-row,
+    * shuffle-free, scan-speed at any corpus size. Oracle replays the
+    * gram counting with unnest + GROUP BY.
+    */
+  val q65Repetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalytics.repetitionStats(col("toks")).as("r"))
+      .select(col("doc_id"), col("r.dup_tok_frac"), col("r.top_2gram_frac"),
+        col("r.dup_3gram_frac"), col("r.keep"))
+
   /** BPE-ish token statistics ([[graft.functions.TextAnalytics
     * .bpePieces]]): pre-token piece counts under the GPT-2-style regex —
     * the token-budget estimator a training-data pipeline runs over every
@@ -1216,6 +1249,8 @@ object Queries {
     "q61_components_stream" -> q61ComponentsStream,
     "q62_apss_probe" -> q62ApssProbe,
     "q63_apss_tfidf" -> q63ApssTfidf,
+    "q64_decontaminate" -> q64Decontaminate,
+    "q65_repetition" -> q65Repetition,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -2067,6 +2102,59 @@ object Queries {
              AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b, round(sim, 4) AS sim FROM dots WHERE sim >= 0.6""",
+    "q64_decontaminate" ->
+      // same distinct-4-gram derivation on both sides; training docs
+      // LEFT-join their benchmark hits so zero-hit docs survive
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 3),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS gram
+           FROM t WHERE len(l) >= 4),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+                 WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+         hits AS (SELECT g.doc_id, count(*) AS n_hit
+                  FROM g JOIN bench USING (gram)
+                  WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id)
+         SELECT t.doc_id,
+           coalesce(tot.n_grams, 0) AS n_grams,
+           coalesce(hits.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(tot.n_grams, 0) > 0
+             THEN round(coalesce(hits.n_hit, 0)::DOUBLE / tot.n_grams, 4)
+             ELSE 0.0 END AS hit_frac,
+           coalesce(hits.n_hit, 0) > 0 AS contaminated
+         FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+         WHERE t.doc_id % 20 <> 0""",
+    "q65_repetition" ->
+      // keep is decided on the ROUNDED fractions, mirroring the engine
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         c1 AS (SELECT doc_id, len(l) AS total, len(list_distinct(l)) AS nd FROM t),
+         g2 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i+1])) AS gram
+           FROM t WHERE len(l) >= 2),
+         c2 AS (SELECT doc_id, sum(cnt) AS total, count(*) AS nd, max(cnt) AS mf
+                FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+                GROUP BY doc_id),
+         g3 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 2),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+           FROM t WHERE len(l) >= 3),
+         c3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS nd
+                FROM g3 GROUP BY doc_id),
+         fr AS (SELECT t.doc_id,
+             CASE WHEN c1.total > 0
+               THEN round((c1.total - c1.nd)::DOUBLE / c1.total, 4)
+               ELSE 0.0 END AS dup_tok_frac,
+             coalesce(round(c2.mf::DOUBLE / c2.total, 4), 0.0) AS top_2gram_frac,
+             coalesce(round((c3.total - c3.nd)::DOUBLE / c3.total, 4), 0.0)
+               AS dup_3gram_frac
+           FROM t LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id)
+             LEFT JOIN c3 USING (doc_id))
+         SELECT doc_id, dup_tok_frac, top_2gram_frac, dup_3gram_frac,
+           (dup_tok_frac <= 0.30 AND top_2gram_frac <= 0.20
+             AND dup_3gram_frac <= 0.18) AS keep
+         FROM fr""",
     "q53_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, lang,

@@ -268,4 +268,23 @@ object GraftProperties extends Properties("graft") {
       val r = df.head()
       Prop(r.getSeq[String](0) == r.getSeq[String](1)) :| s"toks=$toks n=$n row=$r"
     }
+
+  property("native shingleStats == local gram-bag counting") =
+    forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "aa", "c", "é", "z9")),
+      Gen.choose(1, 4)) { (toks, n) =>
+      import org.apache.spark.sql.functions._
+      val df = Seq(toks.mkString(" ")).toDF("text")
+        .select(graft.functions.TextAnalytics.tokens(col("text")).as("toks"))
+        .select(graft.functions.Shingling.shingleStats(col("toks"), n).as("s"))
+        .select("s.total", "s.n_distinct", "s.max_freq")
+      val r = df.head()
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val expected =
+        if (grams.isEmpty) (0, 0, 0)
+        else (grams.size, counts.size, counts.values.max)
+      Prop((r.getInt(0), r.getInt(1), r.getInt(2)) == expected) :|
+        s"toks=$toks n=$n got=$r expected=$expected"
+    }
 }

@@ -79,6 +79,63 @@ class ShinglingSpec extends SparkSpec {
     assert(r.getSeq[Any](0) == r.getSeq[Any](1))
   }
 
+  test("shingleStats matches explode/groupBy counting on crafted cases") {
+    val texts = Seq(
+      "a b c d e",
+      "a a a a",
+      "b a b a b",
+      "x",
+      "",
+      "one two three two one",
+      "zz aa zz aa mm zz aa")
+    for (n <- Seq(1, 2, 3, 5, 8)) {
+      val toks = texts.toDF("text")
+        .withColumn("i", monotonically_increasing_id())
+        .select(col("i"), TextAnalytics.tokens(col("text")).as("toks"))
+      val native = toks
+        .select(col("i"), Shingling.shingleStats(col("toks"), n).as("s"))
+        .select(col("i"), col("s.total"), col("s.n_distinct"), col("s.max_freq"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toMap
+      // oracle: explode the NON-distinct gram bag and count
+      // (shinglesOf dedups, so build the raw bag with the HOFs directly)
+      val grams = toks.select(col("i"),
+        explode(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(0), size(col("toks")) - n),
+              j => concat_ws(" ", slice(col("toks"), j + 1, lit(n)))))
+            .otherwise(array())).as("g"))
+      val expected = grams.groupBy("i", "g").count()
+        .groupBy("i")
+        .agg(sum("count").cast("int").as("total"),
+          count(lit(1)).cast("int").as("nd"),
+          max("count").cast("int").as("mf"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toMap
+      toks.select("i").collect().map(_.getLong(0)).foreach { i =>
+        assert(native(i) == expected.getOrElse(i, (0, 0, 0)), s"n=$n i=$i")
+      }
+    }
+  }
+
+  test("repetitionStats fractions and keep rule on crafted docs") {
+    val df = Seq(
+      // 10 distinct tokens: dup fractions 0, top-2-gram 1/9 = 0.1111, keep
+      ("clean", "a b c d e f g h i j"),
+      // "x x x x x": dup_tok 4/5=0.8, top2 4/4=1.0, dup3 2/3=0.6667 -> drop
+      ("loop", "x x x x x"),
+      ("empty", "")).toDF("name", "text")
+      .select(col("name"), TextAnalytics.repetitionStats(
+        TextAnalytics.tokens(col("text"))).as("r"))
+      .select(col("name"), col("r.dup_tok_frac"), col("r.top_2gram_frac"),
+        col("r.dup_3gram_frac"), col("r.keep"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(df("clean") == (0.0, 0.1111, 0.0, true))
+    assert(df("loop") == (0.8, 1.0, 0.6667, false))
+    assert(df("empty") == (0.0, 0.0, 0.0, true))
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     // spark.range source: a local Seq collapses into a LocalRelation at
     // optimize time and never reaches the codegen planner
