@@ -1168,6 +1168,24 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("purchase_us"), col("last_err_us"))
   }
 
+  /** §2.10 stream-static decorate, gated: each micro-batch
+    * broadcast-joins the static customer dimension (the reference's
+    * LUT-enrichment shape on a live stream — `search/decorate.js` —
+    * and the same stream-static join machinery DocStreams' near-dup
+    * screen rides). Stateless, so no sentinels and no watermark: the
+    * streamed answer must equal the batch left join verbatim.
+    */
+  val q66DecorateStream: Q = (s, d) => {
+    import graft.streaming.{EventStreams, StreamGate}
+    val dir = StreamGate.stageEvents(s, d, Seq.empty)
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+    val decorated = EventStreams.decorateStream(
+      StreamGate.streamEvents(s, dir).toDF(), dim, "user_id")
+    StreamGate.runAvailableNow(decorated
+      .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment"))
+  }
+
   /** INCREMENTAL connected components, streamed: q53's exact near-dup
     * pairs are hash-sliced into four files, streamed one file per
     * micro-batch, and folded batch-by-batch through
@@ -1247,6 +1265,7 @@ object Queries {
     "q59_sessionize_stream" -> q59SessionizeStream,
     "q60_asof_stream" -> q60AsofStream,
     "q61_components_stream" -> q61ComponentsStream,
+    "q66_decorate_stream" -> q66DecorateStream,
     "q62_apss_probe" -> q62ApssProbe,
     "q63_apss_tfidf" -> q63ApssTfidf,
     "q64_decontaminate" -> q64Decontaminate,
@@ -2185,5 +2204,10 @@ object Queries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q59_sessionize_stream" -> oraclesBase("q10_sessionize"),
     "q60_asof_stream" -> oraclesBase("q39_asof_join"),
-    "q61_components_stream" -> oraclesBase("q53_dedup_components"))
+    "q61_components_stream" -> oraclesBase("q53_dedup_components"),
+    "q66_decorate_stream" ->
+      // stateless stream-static decorate == the batch left join
+      """SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_mktsegment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""")
 }
