@@ -182,7 +182,6 @@ object GeneTreeRep {
             .view.mapValues(_.sortBy(_.id)).toMap
         val root = ns.find(_.parent == -1L)
           .getOrElse(throw new IllegalArgumentException(s"tree $treeId has no root"))
-        val byId = ns.map(n => n.id -> n).toMap
 
         // pre-order walk (children ascending by id — the reference gets
         // its order from the SQL's left_index sort; any fixed total
@@ -196,30 +195,36 @@ object GeneTreeRep {
         }
         val leaves = preorder.filter(n => !children.contains(n.id)).toArray
 
-        // bottom-up DP (`trees/genetree.js:211-233`): each leaf climbs
-        // toward the root accumulating its distance; a node keeps the
-        // strictly-smallest (score + distance) candidate, and the climb
-        // breaks on the first non-improvement. Processing leaves in
-        // pre-order makes ties keep the first-walked leaf, exactly like
-        // the reference's leaf-index iteration.
-        case class Rep(leafId: Long, gene: String, score: Double)
+        // bottom-up DP (`trees/genetree.js:211-233`): each node keeps
+        // the smallest (leaf score + path distance) over the leaves
+        // below it, ties to the FIRST leaf in pre-order — exactly what
+        // the reference's per-leaf climb with its strict-improvement
+        // break computes (a climb stopped by >= at any node can never
+        // win at an ancestor: the blocker's candidate rides the same
+        // remaining path with a <= value, and on equality the blocker
+        // IS the earlier pre-order leaf). One pass over the reversed
+        // pre-order (all descendants follow their node, so the reverse
+        // is a valid bottom-up order): O(n) per tree, where the climb
+        // was O(leaves x depth) — quadratic on deep caterpillar trees
+        // (surfaced by the 10x scale audit).
+        case class Rep(leafId: Long, gene: String, score: Double, pre: Int)
+        val preIdx = preorder.iterator.zipWithIndex.map {
+          case (n, i) => n.id -> i
+        }.toMap
         val bu = mutable.HashMap.empty[Long, Rep]
-        leaves.foreach { leaf =>
-          bu(leaf.id) = Rep(leaf.id, leaf.geneId, leaf.score)
-          var cur = leaf
-          var climbing = cur.parent != -1L
-          while (climbing) {
-            val parent = byId(cur.parent)
-            val newScore = bu(cur.id).score + cur.dist
-            bu.get(parent.id) match {
-              case Some(r) if newScore >= r.score => climbing = false
-              case _ =>
-                bu(parent.id) = Rep(bu(cur.id).leafId, bu(cur.id).gene, newScore)
+        preorder.reverseIterator.foreach { n =>
+          val kids = children.getOrElse(n.id, Array.empty)
+          if (kids.isEmpty) bu(n.id) = Rep(n.id, n.geneId, n.score, preIdx(n.id))
+          else {
+            var best: Rep = null
+            kids.foreach { c =>
+              val cb = bu(c.id)
+              val s = cb.score + c.dist
+              if (best == null || s < best.score ||
+                  (s == best.score && cb.pre < best.pre))
+                best = Rep(cb.leafId, cb.gene, s, cb.pre)
             }
-            if (climbing) {
-              cur = parent
-              climbing = cur.parent != -1L
-            }
+            bu(n.id) = best
           }
         }
 

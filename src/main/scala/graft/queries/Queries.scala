@@ -46,14 +46,21 @@ object Queries {
     * `maps/load_maps_and_taxonomy.js:259-279`.
     */
   val q01PricingSummary: Q = (s, d) =>
+    // money sums accumulate EXACT SCALED INTEGERS (prices are 2-decimal,
+    // the discounted price 4-decimal): a double sum's value depends on
+    // accumulation order and diverges across engines once groups are
+    // large enough for the error to cross a rounding boundary (the 10x
+    // scale audit caught q32 doing exactly that). quantities are whole
+    // numbers — their double sum is already exact at any order.
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")) / 10000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** P4: conjunctive predicate filter + scalar aggregate (TPC-H Q6
@@ -67,7 +74,8 @@ object Queries {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        (sum(round(col("l_extendedprice") * col("l_discount") * 10000)
+          .cast("long")) / 10000.0).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** J6/J18-pattern: fact table joined through two broadcast dims
@@ -82,7 +90,8 @@ object Queries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(
-        round(sum("o_totalprice"), 2).as("revenue"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** J14/J20: left-semi join ("emit only if key in LUT",
@@ -266,11 +275,13 @@ object Queries {
     */
   val q14SubtreeRollup: Q = (s, d) => {
     val closure = partClosure(s, d)
+    // sum exact retail-price CENTS (see q01's engine-exactness note)
     val facts = Tables.part(s, d)
-      .select(col("p_partkey").as("node"), col("p_retailprice"))
+      .select(col("p_partkey").as("node"),
+        round(col("p_retailprice") * 100).cast("long").as("p_cents"))
     Closure
-      .subtreeSum(closure, facts, "p_retailprice", "subtree_value")
-      .select(col("node"), round(col("subtree_value"), 2).as("subtree_value"))
+      .subtreeSum(closure, facts, "p_cents", "subtree_cents")
+      .select(col("node"), (col("subtree_cents") / 100.0).as("subtree_value"))
   }
 
   /** A3/T1: group-and-collect with in-group ordering (flat rows ->
@@ -376,7 +387,8 @@ object Queries {
     e.groupBy("user_id")
       .agg(
         cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
-        round(sum(when(col("event_type") === "purchase", col("value"))), 2)
+        (sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))) / 100.0)
           .as("purchase_value"))
   }
 
@@ -468,10 +480,16 @@ object Queries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name").as("rname"), col("n_name").as("nname"), col("o_totalprice"))
       .createOrReplaceTempView("q32_base")
+    // revenue sums EXACT INTEGER CENTS (prices are 2-decimal): a double
+    // sum's value depends on accumulation order, and at 10x group sizes
+    // the engines' different orders crossed the 2-decimal rounding
+    // boundary on ~3% of groups (10x scale audit). cents/100.0 is one
+    // deterministic IEEE division — engine-exact at ANY scale.
     s.sql(
       """SELECT coalesce(rname, '(all)') AS r_name,
         |       coalesce(nname, '(all)') AS n_name,
-        |       round(sum(o_totalprice), 2) AS revenue,
+        |       cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS double)
+        |         / 100.0 AS revenue,
         |       count(1) AS n_orders
         |FROM q32_base GROUP BY ROLLUP(rname, nname)""".stripMargin)
   }
@@ -1601,17 +1619,24 @@ object Queries {
            md5(array_to_string(p, ',')) AS thumb_digest,
            (list_sum(p) // 64)::BIGINT AS luma_mean
          FROM px""",
+    // money sums in the q01/q02/q03/q14/q24/q32 family accumulate exact
+    // scaled integers on BOTH sides (see the engine-side note on q01) —
+    // a rounded double sum is accumulation-order-dependent and breaks
+    // hash-exactness once groups get large (10x scale audit).
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           sum(cast(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base_price,
+           sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / 10000.0 AS sum_disc_price,
            count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_filter_pushdown" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT sum(cast(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+             / 10000.0 AS revenue,
            count(*) AS n_rows
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1619,7 +1644,8 @@ object Queries {
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
     "q03_region_revenue" ->
-      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT r_name,
+           sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
            count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
@@ -1708,7 +1734,9 @@ object Queries {
            SELECT node, ancestor FROM anc
            UNION ALL
            SELECT p_partkey, p_partkey FROM part)
-         SELECT pr.ancestor AS node, round(sum(p.p_retailprice), 2) AS subtree_value
+         SELECT pr.ancestor AS node,
+           sum(cast(round(p.p_retailprice * 100) AS BIGINT)) / 100.0
+             AS subtree_value
          FROM pairs pr JOIN part p ON pr.node = p.p_partkey
          GROUP BY pr.ancestor""",
     "q15_collect_sorted" ->
@@ -1769,7 +1797,8 @@ object Queries {
            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
            count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
            count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+           sum(CASE WHEN event_type = 'purchase'
+                 THEN cast(round(value * 100) AS BIGINT) END) / 100.0
              AS purchase_value
          FROM events GROUP BY user_id""",
     "q25_top_priced" ->
@@ -1818,9 +1847,11 @@ object Queries {
            count(*) AS n_events
          FROM events GROUP BY 1, 2""",
     "q32_rollup" ->
+      // exact integer-cent sum, mirroring the engine (order-independent)
       """SELECT coalesce(r_name, '(all)') AS r_name,
            coalesce(n_name, '(all)') AS n_name,
-           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+           sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+           count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
