@@ -979,6 +979,21 @@ object Queries {
       .select(col("doc_id"), col("r.dup_tok_frac"), col("r.top_2gram_frac"),
         col("r.dup_3gram_frac"), col("r.keep"))
 
+  /** Reproducible train/val/test split ([[graft.ops.Splits]]): 90/5/5
+    * by a stable md5-of-id hash (content- and partitioning-independent,
+    * replayable by any engine), summarized as doc + token counts per
+    * (lang, split) — the split manifest a training-data pipeline
+    * publishes alongside the corpus.
+    */
+  val q67HashSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        graft.ops.Splits.splitLabel(
+          col("doc_id"), Seq("train" -> 90, "val" -> 95), "test").as("split"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+
   /** BPE-ish token statistics ([[graft.functions.TextAnalytics
     * .bpePieces]]): pre-token piece counts under the GPT-2-style regex —
     * the token-budget estimator a training-data pipeline runs over every
@@ -1288,6 +1303,7 @@ object Queries {
     "q63_apss_tfidf" -> q63ApssTfidf,
     "q64_decontaminate" -> q64Decontaminate,
     "q65_repetition" -> q65Repetition,
+    "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
@@ -2205,6 +2221,20 @@ object Queries {
            (dup_tok_frac <= 0.30 AND top_2gram_frac <= 0.20
              AND dup_3gram_frac <= 0.18) AS keep
          FROM fr""",
+    "q67_hash_split" ->
+      // same stable md5-of-id bucketing; split decided on the bucket
+      s"""WITH a AS (
+           SELECT lang,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             len($toks) AS n_toks
+           FROM (SELECT lang, text,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS UBIGINT) % 100 AS b
+                 FROM documents))
+         SELECT lang, split, count(*) AS n_docs, sum(n_toks) AS n_tokens
+         FROM a GROUP BY lang, split""",
     "q53_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, lang,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Splits
+
+/** Stable hash splitting: reproducible assignment, correct label
+  * boundaries, roughly-right fractions.
+  */
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labeled(n: Int) =
+    spark.range(n.toLong).select(col("id"),
+      Splits.splitLabel(col("id"), Seq("train" -> 90, "val" -> 95), "test")
+        .as("split"))
+
+  test("assignment is a pure function of the id (stable across runs)") {
+    val a = labeled(2000).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = labeled(2000).orderBy(desc("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("fractions land near 90/5/5 and every label appears") {
+    val counts = labeled(20000).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.90) < 0.02, counts)
+    assert(math.abs(counts("val") / n - 0.05) < 0.02, counts)
+    assert(math.abs(counts("test") / n - 0.05) < 0.02, counts)
+  }
+
+  test("label matches the bucket arithmetic exactly") {
+    val rows = spark.range(500).select(col("id"),
+      (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100).as("b"),
+      Splits.splitLabel(col("id"), Seq("train" -> 90, "val" -> 95), "test")
+        .as("split"))
+      .collect()
+    rows.foreach { r =>
+      val expected =
+        if (r.getLong(1) < 90) "train" else if (r.getLong(1) < 95) "val" else "test"
+      assert(r.getString(2) == expected, r)
+    }
+  }
+}
