@@ -158,8 +158,15 @@ object Shingling {
     val total = len - n + 1
     val grams = new Array[UTF8String](total)
     if (n == 1) {
+      // null elements collapse to "" — exactly what the n >= 2 path's
+      // concatWs yields for an all-null window (and what keeps the
+      // sort comparator null-safe)
       var i = 0
-      while (i < total) { grams(i) = toks.getUTF8String(i); i += 1 }
+      while (i < total) {
+        val t = toks.getUTF8String(i)
+        grams(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        i += 1
+      }
     } else {
       val sep = UTF8String.fromString(" ")
       val parts = new Array[UTF8String](n)

@@ -144,11 +144,17 @@ object TextAnalytics {
       .otherwise(array().cast("array<bigint>"))
 
   /** Gopher-style REPETITION quality signals over a MATERIALIZED token
-    * array (Rae et al. 2021 table A1, restated over token counts):
-    * duplicate-token fraction, top-2-gram fraction (occurrences of the
-    * single most frequent 2-gram / total 2-grams), and duplicate-3-gram
-    * fraction (share of 3-gram occurrences whose gram appears more than
-    * once). Each stat is one pass of the native
+    * array (after Rae et al. 2021 table A1, restated over token
+    * counts): duplicate-token fraction, top-2-gram fraction
+    * (occurrences of the single most frequent 2-gram / total 2-grams),
+    * and duplicate-3-gram fraction. The duplicate fractions use the
+    * SURPLUS form `(total - distinct) / total` — each repeated gram's
+    * occurrences beyond its first — which is what (total, distinct)
+    * expresses exactly; note this is smaller than Gopher's
+    * all-occurrences-of-duplicated-grams share (a gram appearing twice
+    * contributes 1/total here, 2/total there), so the thresholds below
+    * are correspondingly more permissive than a verbatim Gopher
+    * filter. Each stat is one pass of the native
     * [[Shingling.ShingleStats]] kernel — per-row, shuffle-free, so the
     * filter runs at scan speed over any corpus size. Fractions are 0.0
     * for docs too short to have the gram at all, rounded to 4 decimals
@@ -156,8 +162,8 @@ object TextAnalytics {
     *
     * Returns a struct `(dup_tok_frac, top_2gram_frac, dup_3gram_frac,
     * keep)`; `keep` applies the drop rule `dup_tok_frac <= 0.30 AND
-    * top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18` (Gopher's
-    * thresholds for the corresponding character-fraction rules).
+    * top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.18` (thresholds
+    * borrowed from Gopher's corresponding rules).
     */
   def repetitionStats(toks: Column): Column = {
     def frac(num: Column, den: Column): Column =

@@ -20,15 +20,19 @@ import graft.functions.{Shingling, TextAnalytics}
   *    threshold; above it the join degrades gracefully to a keyed
   *    shuffle on the gram string. Nothing is ever collected to the
   *    driver.
-  *  - The training side explodes its DISTINCT per-doc grams (the
+  *  - The training side is read ONCE: `explode_outer` over the
+  *    DISTINCT per-doc grams (the
   *    [[graft.functions.Shingling.SortedShingles]] kernel dedups
-  *    per-doc, bounding the explode at distinct-gram count) and
-  *    equi-joins on the gram — every shuffle keyed, the pair space
-  *    never materializes, and the hit count re-aggregates on doc_id
-  *    with map-side partials.
-  *  - Clean documents (zero hits) survive via the left join at the
-  *    end: the output has exactly one row per training doc, which is
-  *    what a filter stage consumes.
+  *    per-doc, bounding the explode at distinct-gram count) carries
+  *    the doc's gram count alongside, a LEFT equi-join marks benchmark
+  *    hits, and one keyed re-aggregation on the doc id (map-side
+  *    partials) rebuilds the per-doc row. Nothing is checkpointed or
+  *    persisted — at corpus scale a materialized gram table would be
+  *    corpus-sized executor-local state.
+  *  - Clean documents (zero hits) survive: `explode_outer` keeps
+  *    gram-less docs as a null-gram row and the left join leaves all
+  *    misses unmarked, so the output has exactly one row per training
+  *    doc — what a filter stage consumes.
   */
 object Decontaminate {
 
@@ -52,24 +56,20 @@ object Decontaminate {
     val benchGrams = grams(bench)
       .select(explode(col("grams")).as("gram"))
       .distinct()
+      .withColumn("hit", lit(1L))
 
-    val trainGrams = grams(train).localCheckpoint(false)
-    val hits = trainGrams
-      .select(col("id"), explode(col("grams")).as("gram"))
-      .join(benchGrams, Seq("gram"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_hit"))
-
-    trainGrams
-      .select(col("id"), size(col("grams")).cast("long").as("n_grams"))
-      .join(hits, Seq("id"), "left")
+    grams(train)
+      .select(col("id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(benchGrams, Seq("gram"), "left")
+      .groupBy("id", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(
         col("id"),
         col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        when(col("n_grams") > 0,
-          round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4))
+        col("n_hit"),
+        when(col("n_grams") > 0, round(col("n_hit") / col("n_grams"), 4))
           .otherwise(lit(0.0)).as("hit_frac"),
-        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+        (col("n_hit") > 0).as("contaminated"))
   }
 }

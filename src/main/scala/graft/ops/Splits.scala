@@ -24,8 +24,15 @@ object Splits {
     * is a 90/5/5 split.
     */
   def splitLabel(id: Column, cuts: Seq[(String, Int)], rest: String): Column = {
-    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
-      "cuts must be ascending (label, upper-percent) pairs")
+    val uppers = cuts.map(_._2)
+    // strict bounds: equal uppers would ship an empty split silently
+    // (when(b < u, a).otherwise(when(b < u, b)) never reaches b), an
+    // upper <= 0 an empty first split, and an upper >= 100 an
+    // unreachable `rest`
+    require(cuts.nonEmpty &&
+        uppers.zip(uppers.tail).forall { case (a, b) => a < b } &&
+        uppers.head > 0 && uppers.last < 100,
+      s"cuts must be strictly ascending upper-percent bounds in (0, 100), got $uppers")
     val bucket = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
     cuts.foldRight(lit(rest): Column) { case ((label, upper), rhs) =>

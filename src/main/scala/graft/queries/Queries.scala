@@ -50,17 +50,20 @@ object Queries {
     // the discounted price 4-decimal): a double sum's value depends on
     // accumulation order and diverges across engines once groups are
     // large enough for the error to cross a rounding boundary (the 10x
-    // scale audit caught q32 doing exactly that). quantities are whole
-    // numbers — their double sum is already exact at any order.
+    // scale audit caught q32 doing exactly that). The accumulator is
+    // decimal(38,0), not long: Spark's non-ANSI sum(long) WRAPS
+    // silently at 2^63, which a 100 TB-scale group of 4-decimal cents
+    // could actually reach. quantities are whole numbers — their
+    // double sum is already exact at any order.
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+        (sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")) / 100.0)
           .as("sum_base_price"),
         (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
-          .cast("long")) / 10000.0).as("sum_disc_price"),
+          .cast("decimal(38,0)")) / 10000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** P4: conjunctive predicate filter + scalar aggregate (TPC-H Q6
@@ -75,7 +78,7 @@ object Queries {
           col("l_quantity") < 24)
       .agg(
         (sum(round(col("l_extendedprice") * col("l_discount") * 10000)
-          .cast("long")) / 10000.0).as("revenue"),
+          .cast("decimal(38,0)")) / 10000.0).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** J6/J18-pattern: fact table joined through two broadcast dims
@@ -90,7 +93,7 @@ object Queries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(
-        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+        (sum(round(col("o_totalprice") * 100).cast("decimal(38,0)")) / 100.0)
           .as("revenue"),
         count(lit(1)).as("n_orders"))
 
@@ -278,7 +281,7 @@ object Queries {
     // sum exact retail-price CENTS (see q01's engine-exactness note)
     val facts = Tables.part(s, d)
       .select(col("p_partkey").as("node"),
-        round(col("p_retailprice") * 100).cast("long").as("p_cents"))
+        round(col("p_retailprice") * 100).cast("decimal(38,0)").as("p_cents"))
     Closure
       .subtreeSum(closure, facts, "p_cents", "subtree_cents")
       .select(col("node"), (col("subtree_cents") / 100.0).as("subtree_value"))
@@ -388,7 +391,7 @@ object Queries {
       .agg(
         cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
         (sum(when(col("event_type") === "purchase",
-          round(col("value") * 100).cast("long"))) / 100.0)
+          round(col("value") * 100).cast("decimal(38,0)"))) / 100.0)
           .as("purchase_value"))
   }
 
@@ -488,7 +491,7 @@ object Queries {
     s.sql(
       """SELECT coalesce(rname, '(all)') AS r_name,
         |       coalesce(nname, '(all)') AS n_name,
-        |       cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS double)
+        |       cast(sum(cast(round(o_totalprice * 100) AS decimal(38,0))) AS double)
         |         / 100.0 AS revenue,
         |       count(1) AS n_orders
         |FROM q32_base GROUP BY ROLLUP(rname, nname)""".stripMargin)

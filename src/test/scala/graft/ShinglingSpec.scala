@@ -118,6 +118,20 @@ class ShinglingSpec extends SparkSpec {
     }
   }
 
+  test("shingleStats is null-element safe at every width (concat_ws semantics)") {
+    val df = Seq(1).toDF("x")
+      .select(array(lit("a"), lit(null).cast("string"), lit("a"), lit(null).cast("string"))
+        .as("toks"))
+      .select(
+        Shingling.shingleStats(col("toks"), 1).as("s1"),
+        Shingling.shingleStats(col("toks"), 2).as("s2"))
+      .head()
+    // n=1: nulls collapse to "" -> grams (a, "", a, "") -> 4 total, 2 distinct
+    assert(df.getStruct(0).toSeq == Seq(4, 2, 2))
+    // n=2: concatWs skips nulls -> ("a", "a", "a") -> 3 total, 1 distinct
+    assert(df.getStruct(1).toSeq == Seq(3, 1, 3))
+  }
+
   test("repetitionStats fractions and keep rule on crafted docs") {
     val df = Seq(
       // 10 distinct tokens: dup fractions 0, top-2-gram 1/9 = 0.1111, keep

@@ -32,6 +32,22 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(counts("test") / n - 0.05) < 0.02, counts)
   }
 
+  test("degenerate cuts are rejected at construction") {
+    val id = col("id")
+    intercept[IllegalArgumentException] {
+      Splits.splitLabel(id, Seq("train" -> 90, "val" -> 90), "test") // empty val
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitLabel(id, Seq("train" -> 100), "test") // unreachable rest
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitLabel(id, Seq("train" -> 0, "val" -> 50), "test") // empty train
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitLabel(id, Seq.empty, "all") // no cuts at all
+    }
+  }
+
   test("label matches the bucket arithmetic exactly") {
     val rows = spark.range(500).select(col("id"),
       (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
