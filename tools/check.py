@@ -5,7 +5,12 @@ parquet tables, and compare (rows / schema / value-hash with columns
 sorted by name, rows sorted by all columns). Dev tool only — the
 shipped engine is the Scala code under src/.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [q1,q2,...]
+
+The optional third argument restricts the gate to a comma-separated
+query subset — used by the large-SF scale audit, where a handful of
+oracles (brute-force pair joins, deep recursive CTEs) are intractable
+in DuckDB and are gated at the smaller SFs instead.
 """
 import sys, json, glob, os
 import duckdb
@@ -13,6 +18,7 @@ import pyarrow.parquet as pq
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
@@ -28,6 +34,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 fails = 0
 for qdir in sorted(glob.glob(f"{outdir}/q*")):
     name = os.path.basename(qdir)
+    if only is not None and name not in only:
+        continue
     files = glob.glob(f"{qdir}/*.parquet")
     if not files:
         print(f"{name}: NO OUTPUT")
