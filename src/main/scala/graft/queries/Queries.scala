@@ -2236,7 +2236,8 @@ object Queries {
                    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
                      AS UBIGINT) % 100 AS b
                  FROM documents))
-         SELECT lang, split, count(*) AS n_docs, sum(n_toks) AS n_tokens
+         SELECT lang, split, count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens
          FROM a GROUP BY lang, split""",
     "q53_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
