@@ -269,6 +269,29 @@ object GraftProperties extends Properties("graft") {
       Prop(r.getSeq[String](0) == r.getSeq[String](1)) :| s"toks=$toks n=$n row=$r"
     }
 
+  property("decontaminate ngramOverlap == local distinct-gram intersection") =
+    forAll(
+      Gen.listOfN(8, Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))),
+      Gen.listOfN(3, Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))) {
+      (trainTexts, benchTexts) =>
+        import org.apache.spark.sql.functions._
+        val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        val bench = benchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+          .toDF("id", "text")
+        val out = graft.ops.Decontaminate.ngramOverlap(train, bench, "text", "id", n = 2)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        def grams(t: String): Set[String] =
+          t.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+            .map(_.mkString(" ")).toSet
+        val benchSet = benchTexts.flatMap(grams).toSet
+        val expected = trainTexts.zipWithIndex.map { case (t, i) =>
+          val g = grams(t)
+          i.toLong -> (g.size.toLong, g.intersect(benchSet).size.toLong)
+        }.toMap
+        Prop(out == expected) :| s"got=$out expected=$expected"
+    }
+
   property("native shingleStats == local gram-bag counting") =
     forAll(
       Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "aa", "c", "é", "z9")),
