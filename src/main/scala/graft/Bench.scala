@@ -90,21 +90,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // LOAD GUARD: a busy machine inflates every pass uniformly and the
-    // per-query median can't reject it (round 4's recorded bench read
-    // 2.3x slow under loadavg 2.49). If the 1-minute load is high,
-    // wait for it to drain once; if it is STILL high, record the sweep
-    // but flag it so no one compares the numbers against a baseline.
-    val loadFirst = loadavg()
-    if (loadFirst > 1.5) {
+    // per-query median can't reject it (rounds 4 and 6 both shipped
+    // load-contaminated benches under a warn-and-record guard). The
+    // guard now REFUSES: loop sleep-60s-and-recheck up to 10 times
+    // while the 1-minute load is above threshold; if it never drains,
+    // exit non-zero WITHOUT printing the result JSON so a contaminated
+    // sweep can never become BENCH_rN.json.
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAITS", "10").toInt
+    var waits = 0
+    while (loadavg() > 1.5 && waits < maxWaits) {
       System.err.println(
-        s"[bench] loadavg $loadFirst > 1.5 — sleeping 60s for the machine to drain")
+        s"[bench] loadavg ${loadavg()} > 1.5 — sleeping 60s for the machine to drain (${waits + 1}/$maxWaits)")
       Thread.sleep(60000)
+      waits += 1
     }
     val loadStart = loadavg()
-    val loadWarning = loadStart > 1.5
-    if (loadWarning)
+    if (loadStart > 1.5) {
       System.err.println(
-        s"[bench] loadavg still $loadStart — recording anyway, flagged load_warning")
+        s"[bench] loadavg still $loadStart after $maxWaits waits — REFUSING to record a contaminated sweep")
+      spark.stop()
+      sys.exit(2)
+    }
+    val loadWarning = false // structurally false: a high-load sweep exits above
     // Warm the JVM/codegen/shuffle machinery on synthetic data so the
     // first measured query doesn't absorb one-time session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -148,6 +155,8 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // loadavg_end is NOT a contamination signal: the sweep itself drives
+    // loadavg to ~11 on 32 cores. Only loadavg_start reflects ambient load.
     val loadEnd = loadavg()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warning":$loadWarning}""")
     spark.stop()

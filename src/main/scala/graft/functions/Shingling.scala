@@ -151,6 +151,16 @@ object Shingling {
     * `(total - distinct) / total` and top-gram fraction
     * `maxFreq / total` (Rae et al. 2021, "Scaling Language Models",
     * table A1 — restated over token counts).
+    *
+    * Null-ELEMENT semantics differ by width (matching the composed
+    * built-ins each path mirrors): at n = 1 a null token maps to `""`
+    * and is counted as a gram, while at n >= 2 `concatWs` silently
+    * DROPS null tokens inside a window, so a partially-null window
+    * yields a gram of smaller token arity (and an all-null window
+    * yields `""`). [[graft.functions.Shingling.tokensImpl]] never
+    * emits nulls, so none of this triggers on the engine's own text
+    * paths — it only matters if callers feed a hand-built token array
+    * containing nulls.
     */
   def shingleStatsImpl(toks: ArrayData, n: Int): InternalRow = {
     val len = toks.numElements()

@@ -59,7 +59,12 @@ object Decontaminate {
       .withColumn("hit", lit(1L))
 
     grams(train)
-      .select(col("id"), size(col("grams")).cast("long").as("n_grams"),
+      // greatest(size, 0): size() of a null array is -1 (legacy
+      // sizeOfNull) or null — a null-text doc must degrade to
+      // n_grams = 0 exactly like the oracle's coalesced count
+      .select(col("id"),
+        greatest(coalesce(size(col("grams")), lit(0)), lit(0))
+          .cast("long").as("n_grams"),
         explode_outer(col("grams")).as("gram"))
       .join(benchGrams, Seq("gram"), "left")
       .groupBy("id", "n_grams")

@@ -250,6 +250,14 @@ object AsofJoin {
     // next match replaces it — parents that buffer rows must copy
     override def needCopyResult: Boolean = true
 
+    // the produce loop guards on `limitNotReachedCond`, which Spark only
+    // permits for leaf/blocking nodes unless the node opts in. Both
+    // children are fully sorted/materialized inputs here, so checking
+    // the limit early is safe — the same justification (and override)
+    // as SortMergeJoinExec. Without it Spark logs a "[BUG]" WARN per
+    // codegen'd run and THROWS under spark.testing.
+    override def canCheckLimitNotReached: Boolean = true
+
     /** Per-key comparison with the interpreted path's natural-ordering
       * null semantics: nulls first, null == null. Writes into `comp`.
       */

@@ -113,6 +113,36 @@ class AsofJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("codegen is clean under spark.testing: no limitNotReachedCond [BUG]") {
+    // `limitNotReachedCond` in a produce loop is only legal for nodes
+    // that override `canCheckLimitNotReached` (SortMergeJoinExec
+    // precedent). Without the override Spark logs a "[BUG]" WARN in
+    // production and THROWS under the spark.testing system property —
+    // so codegen-compiling the plan with the property set keeps this
+    // whole class of bug caught.
+    System.setProperty("spark.testing", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val l = Seq((1L, 1L, 100L), (1L, 2L, 50L)).toDF("k", "id", "t")
+      val r = Seq((1L, 60L), (1L, 100L)).toDF("rk", "rt")
+      val res = AsofJoin.backward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      val fused = res.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+            if w.collect { case a: AsofJoin.AsofJoinExec => a }.nonEmpty => w
+      }
+      assert(fused.nonEmpty)
+      // doCodeGen invokes doProduce, which calls limitNotReachedCond —
+      // the throw site when the override is missing
+      val (_, source) = fused.head.doCodeGen()
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .compile(source)
+      assert(res.count() === 2)
+    } finally {
+      System.clearProperty("spark.testing")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("survives many partitions and empty right partitions") {
     val l = (0L until 200L).map(i => (i % 7, i, i * 10L))
     val r = (0L until 40L).map(i => (i % 3, i * 37L)) // keys 0..2 only

@@ -32,10 +32,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails = 0
+seen = set()
 for qdir in sorted(glob.glob(f"{outdir}/q*")):
     name = os.path.basename(qdir)
     if only is not None and name not in only:
         continue
+    seen.add(name)
     files = glob.glob(f"{qdir}/*.parquet")
     if not files:
         print(f"{name}: NO OUTPUT")
@@ -83,5 +85,11 @@ for qdir in sorted(glob.glob(f"{outdir}/q*")):
         fails += 1
         continue
     print(f"{name}: OK ({len(a)} rows)")
+# a typo'd subset name (or a query that produced no output dir) must
+# not silently pass the gate
+if only is not None:
+    for missing in sorted(only - seen):
+        print(f"{missing}: SUBSET NAME NEVER SEEN (typo or missing output)")
+        fails += 1
 print(f"\n{'FAIL' if fails else 'PASS'} ({fails} failures)")
 sys.exit(1 if fails else 0)
