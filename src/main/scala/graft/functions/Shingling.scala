@@ -206,6 +206,32 @@ object Shingling {
     new GenericInternalRow(Array[Any](total, distinct, maxFreq))
   }
 
+  /** ORDERED, NON-distinct space-joined n-grams of a token array: the
+    * gram at output index i starts at token offset i — the positional
+    * form [[sortedShinglesImpl]] deliberately destroys (it sorts and
+    * dedups for set-similarity). `posexplode` over this array yields
+    * (token offset, gram) pairs, which is what span-level
+    * decontamination consumes. `len < n` yields an empty array. Null
+    * tokens follow `concatWs` (dropped within a window) at every
+    * width; [[tokensImpl]] never emits nulls.
+    */
+  def shinglesImpl(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val total = len - n + 1
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](total)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < total) {
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   case class Tokens(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def nullIntolerant: Boolean = true
@@ -229,6 +255,20 @@ object Shingling {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.Shingling.sortedShinglesImpl($c, $n)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  case class OrderedShingles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override protected def nullSafeEval(toks: Any): Any =
+      shinglesImpl(toks.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Shingling.shinglesImpl($c, $n)")
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
@@ -272,6 +312,12 @@ object Shingling {
     */
   def sortedShingles(toks: Column, n: Int): Column =
     GraftColumnBridge.column(SortedShingles(GraftColumnBridge.expression(toks), n))
+
+  /** Ordered, non-distinct positional n-gram shingles of a
+    * MATERIALIZED token array (see [[OrderedShingles]]).
+    */
+  def orderedShingles(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(OrderedShingles(GraftColumnBridge.expression(toks), n))
 
   /** One-pass MinHash signature over a MATERIALIZED shingle array. */
   def minHashSignature(sh: Column, numHashes: Int): Column =

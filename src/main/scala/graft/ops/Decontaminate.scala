@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Shingling, TextAnalytics}
@@ -76,5 +77,58 @@ object Decontaminate {
         when(col("n_grams") > 0, round(col("n_hit") / col("n_grams"), 4))
           .otherwise(lit(0.0)).as("hit_frac"),
         (col("n_hit") > 0).as("contaminated"))
+  }
+
+  /** SPAN-LEVEL decontamination: WHERE in each training document the
+    * benchmark hits are, as merged token-offset windows — so a
+    * downstream stage can EXCISE contaminated spans and split the
+    * document instead of dropping it wholesale (Brown et al. 2020
+    * appendix C removes a window around each collision and retrains on
+    * the clean splits).
+    *
+    * A hit at token offset p covers tokens `[p, p+n)`; overlapping and
+    * exactly-adjacent covers merge (classic gaps-and-islands: a new
+    * span starts when the gap to the previous hit exceeds `n`). Output
+    * is one row per merged span — `(id, span_start, span_end, n_hits)`
+    * with `[span_start, span_end)` 0-based token offsets — and no rows
+    * for clean documents, which is exactly the shape an excision join
+    * consumes (left side: corpus; right side: spans).
+    *
+    * Scale shape: same read-once / keyed-join plan as [[ngramOverlap]]
+    * (the explode is NON-distinct here — positions matter — but still
+    * bounded by per-doc gram count); the islands window partitions by
+    * doc id over HITS only, so its per-partition state is bounded by
+    * hits-per-doc, not corpus size.
+    */
+  def ngramHitSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Shingling.sortedShingles(
+        TextAnalytics.tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+
+    val hits = train
+      .select(col(idCol).as("id"),
+        posexplode(Shingling.orderedShingles(
+          TextAnalytics.tokens(col(textCol)), n)).as(Seq("pos", "gram")))
+      .join(benchGrams, Seq("gram"), "inner")
+      .select(col("id"), col("pos"))
+
+    val w = Window.partitionBy("id").orderBy("pos")
+    hits
+      // first hit per doc: lag is null -> comparison null -> otherwise 0
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > n, lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("id", "island")
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select("id", "span_start", "span_end", "n_hits")
   }
 }

@@ -966,6 +966,24 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Span-level decontamination ([[graft.ops.Decontaminate
+    * .ngramHitSpans]]): the same every-20th-doc benchmark split as q64,
+    * but reporting WHERE the 4-gram collisions fall — merged 0-based
+    * token-offset windows per training doc, so an excision stage can
+    * cut the contaminated spans and keep the rest (Brown et al. 2020
+    * appendix C splits documents around collisions). Oracle replays
+    * positional grams with generate_series and the island merge with
+    * window functions.
+    */
+  val q68DecontaminateSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Decontaminate.ngramHitSpans(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", n = 4)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Gopher-style repetition quality filter
     * ([[TextAnalytics.repetitionStats]]): duplicate-token, top-2-gram
     * and duplicate-3-gram fractions per document plus the keep/drop
@@ -1305,6 +1323,7 @@ object Queries {
     "q62_apss_probe" -> q62ApssProbe,
     "q63_apss_tfidf" -> q63ApssTfidf,
     "q64_decontaminate" -> q64Decontaminate,
+    "q68_decontaminate_spans" -> q68DecontaminateSpans,
     "q65_repetition" -> q65Repetition,
     "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
@@ -2194,6 +2213,31 @@ object Queries {
            coalesce(hits.n_hit, 0) > 0 AS contaminated
          FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
          WHERE t.doc_id % 20 <> 0""",
+    "q68_decontaminate_spans" ->
+      // positional 4-grams via generate_series (pos is 0-based), hits
+      // against the benchmark gram set, then gaps-and-islands: a new
+      // span when the gap to the previous hit exceeds the gram width
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 3),
+               i -> {'pos': i - 1,
+                     'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]}))
+               AS pg
+           FROM t WHERE len(l) >= 4),
+         gp AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+         bench AS (SELECT DISTINCT gram FROM gp WHERE doc_id % 20 = 0),
+         hits AS (SELECT gp.doc_id, gp.pos FROM gp JOIN bench USING (gram)
+                  WHERE gp.doc_id % 20 <> 0),
+         isl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM hits),
+         sp AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           count(*) AS n_hits
+         FROM sp GROUP BY doc_id, island""",
     "q65_repetition" ->
       // keep is decided on the ROUNDED fractions, mirroring the engine
       s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),

@@ -42,6 +42,58 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(4L) == (0L, 0L, 0.0, false))
   }
 
+  private def spans(
+      train: Seq[(Long, String)], bench: Seq[(Long, String)], n: Int) =
+    Decontaminate.ngramHitSpans(
+      train.toDF("id", "text"), bench.toDF("id", "text"), "text", "id", n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("ngramHitSpans: single hit covers [pos, pos+n), clean docs emit no rows") {
+    val got = spans(
+      train = Seq(
+        (1L, "a quick brown fox appeared"), // hit at token offset 1
+        (2L, "nothing in common here at all")),
+      bench = Seq((100L, "the quick brown fox jumps")), n = 3)
+    assert(got === Seq((1L, 1L, 4L, 1L)))
+  }
+
+  test("ngramHitSpans: overlapping and adjacent hits merge; distant hits split") {
+    // bench grams (n=2): "p q", "q r", "x y"
+    // train doc: p q r s t u x y v w p q
+    //   hits at pos 0 ("p q"), 1 ("q r") -> overlap, merge to [0, 3)
+    //   hit at pos 6 ("x y"): gap 6-1=5 > 2 -> new span [6, 8)
+    //   hit at pos 10 ("p q"): gap 4 > 2 -> new span [10, 12)
+    val got = spans(
+      train = Seq((1L, "p q r s t u x y v w p q")),
+      bench = Seq((100L, "p q r"), (101L, "x y")), n = 2)
+    assert(got === Seq((1L, 0L, 3L, 2L), (1L, 6L, 8L, 1L), (1L, 10L, 12L, 1L)))
+  }
+
+  test("ngramHitSpans: exactly-adjacent covers merge; one-token gap splits") {
+    // "a b c d" -> hits "a b"@0 and "c d"@2: covers [0,2) and [2,4)
+    // touch (gap 2 == n) -> one span [0,4)
+    val touching = spans(
+      train = Seq((1L, "a b c d")),
+      bench = Seq((100L, "a b"), (101L, "c d")), n = 2)
+    assert(touching === Seq((1L, 0L, 4L, 2L)))
+    // "a b z c d" -> hits @0 and @3: gap 3 > n -> token 2 ("z") stays
+    // uncovered, two spans
+    val split = spans(
+      train = Seq((1L, "a b z c d")),
+      bench = Seq((100L, "a b"), (101L, "c d")), n = 2)
+    assert(split === Seq((1L, 0L, 2L, 1L), (1L, 3L, 5L, 1L)))
+  }
+
+  test("ngramHitSpans: repeated gram hits every occurrence positionally") {
+    val got = spans(
+      train = Seq((1L, "k k x x x k k")),
+      bench = Seq((100L, "k k")), n = 2)
+    // "k k" occurs at pos 0 and pos 5; far apart -> two spans
+    assert(got === Seq((1L, 0L, 2L, 1L), (1L, 5L, 7L, 1L)))
+  }
+
   test("overlap counts distinct grams once however often they repeat") {
     val bench = Seq((9L, "x y x y x y")).toDF("id", "text")
     // "x y" 3-grams: "x y x", "y x y" both appear repeatedly in bench;

@@ -54,6 +54,33 @@ class ShinglingSpec extends SparkSpec {
     }
   }
 
+  test("orderedShingles matches the positional HOF formulation") {
+    // positional HOF: window i joins tokens [i, i+n) in order — no
+    // sort, no dedup; empty when the doc is shorter than n
+    def hofOrdered(toksC: org.apache.spark.sql.Column, n: Int) =
+      when(size(toksC) >= n,
+        transform(sequence(lit(0), size(toksC) - n),
+          i => concat_ws(" ", slice(toksC, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val texts = Seq(
+      "a b c d e",
+      "a a a a",
+      "b a b a b",
+      "x",
+      "",
+      "one two three two one")
+    for (n <- Seq(1, 2, 3, 5, 6)) {
+      val df = texts.toDF("text")
+        .select(TextAnalytics.tokens(col("text")).as("toks"))
+        .select(
+          Shingling.orderedShingles(col("toks"), n).as("native"),
+          hofOrdered(col("toks"), n).as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n row=$r")
+      }
+    }
+  }
+
   test("minHashSignature matches the xxhash64 HOF formulation") {
     val texts = Seq("a b c d e f g", "q w e r t y", "a a a", "single")
     for (k <- Seq(1, 8, 32)) {
