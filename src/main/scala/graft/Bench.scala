@@ -58,7 +58,10 @@ object Bench {
     "q62_apss_probe",
     "q63_apss_tfidf",
     "q64_decontaminate",
-    "q65_repetition")
+    "q65_repetition",
+    "q68_decontaminate_spans",
+    "q69_decontaminate_jaccard",
+    "q70_decontaminate_minhash")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -131,4 +131,139 @@ object Decontaminate {
         count(lit(1)).as("n_hits"))
       .select("id", "span_start", "span_end", "n_hits")
   }
+
+  /** Distinct-shingle table `(id, sh)` of a corpus, empty sets dropped
+    * (sub-shingle-width docs have undefined set similarity — same rule
+    * as [[graft.ops.Dedup.ngramJaccardPairs]]).
+    */
+  private def shingleTable(
+      docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        Shingling.sortedShingles(
+          TextAnalytics.tokens(col(textCol)), n).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** NEAR-duplicate decontamination, EXACT: every (training doc,
+    * benchmark doc) pair whose n-gram Jaccard reaches `threshold` —
+    * the fuzzy complement of the exact-overlap screen ([[ngramOverlap]]
+    * catches verbatim n-gram collisions; this catches lightly-edited
+    * benchmark copies that share few exact long grams but most of
+    * their shingle SET).
+    *
+    * Plan: the CROSS-SET form of the PPJoin prefix-filter join
+    * ([[graft.ops.Dedup.ngramJaccardPairs]] is the self-join form —
+    * same bounds, two tables): under a common total order (ascending
+    * gram frequency over the union), two sets with Jaccard >= t must
+    * share a token inside each side's `|S| - ceil(t*|S|) + 1` prefix,
+    * so candidates come from a keyed equi-join of the two PREFIX
+    * tables — never train × bench — then the size-ratio and positional
+    * overlap bounds prune before the exact sorted-merge verify. All
+    * shuffles are keyed; the benchmark side is small, so its prefix
+    * and shingle tables broadcast under the planner's threshold and
+    * the training side streams through map-side joins.
+    *
+    * Returns `(id, bench_id, jaccard)` — one row per contaminated
+    * (train, bench) pairing, the shape a drop-or-review stage consumes.
+    */
+  def jaccardScreen(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    // both shingle tables feed the freq union, a prefix derivation, and
+    // a verify side — materialize each once
+    val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
+    val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
+
+    def exploded(sh: DataFrame) = sh.select(
+      col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+    val expT = exploded(shT)
+    val expB = exploded(shB)
+    // one COMMON total order for both sides: ascending gram frequency
+    // over the union (any shared order is sound; rarest-first minimizes
+    // prefix collisions)
+    val tokFreq = expT.unionAll(expB).groupBy("tok").agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy("id").orderBy(col("freq"), col("tok"))
+    def prefixes(exp: DataFrame) = exp
+      .join(tokFreq, Seq("tok"))
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .select("id", "sz", "tok", "rn")
+    val candidates = prefixes(expT)
+      .select(col("tok"), col("id"), col("sz"), col("rn"))
+      .join(
+        prefixes(expB).select(col("tok"), col("id").as("bench_id"),
+          col("sz").as("sz_b"), col("rn").as("rn_b")),
+        Seq("tok"))
+      .where(
+        col("sz_b") * threshold <= col("sz") &&
+          col("sz") * threshold <= col("sz_b"))
+      // max positional overlap bound per pair dedups candidates and
+      // prunes before the per-pair merge-walk verify
+      .groupBy("id", "bench_id", "sz", "sz_b")
+      .agg(max(lit(1) + least(col("sz") - col("rn"), col("sz_b") - col("rn_b")))
+        .as("overlap_ub"))
+      .where(col("overlap_ub") >=
+        ceil(lit(threshold) / (1 + threshold) * (col("sz") + col("sz_b"))))
+      .select("id", "bench_id")
+    candidates
+      .join(shT.select(col("id"), col("sh").as("sh_a")), "id")
+      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .withColumn("jaccard",
+        graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
+      .where(col("jaccard") >= threshold)
+      .select(col("id"), col("bench_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** NEAR-duplicate decontamination, MinHash+LSH scale path: the
+    * benchmark's banded signature index is built ONCE (benchmarks are
+    * small — the index broadcasts; at worst it degrades to a keyed
+    * join on the bucket key), each training doc's signature probes it
+    * through a narrow (band, bucket) equi-join, and candidates verify
+    * with the exact sorted-merge Jaccard. The train × bench pair space
+    * never materializes and the training corpus is read once — the
+    * stream-static shape of [[graft.streaming.DocStreams]], batch form.
+    *
+    * Same signature/banding machinery as [[graft.ops.Dedup.minHashLsh]]
+    * (engine-seeded xxhash64 — rows-only under the oracle gate; exact
+    * recall is pinned against [[jaccardScreen]] in DecontaminateSpec).
+    * Returns `(id, bench_id, jaccard)` like the exact screen — missed
+    * pairs are LSH false negatives, rarer as `bands` grows.
+    */
+  def minHashScreen(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 2,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
+    val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
+    def buckets(sh: DataFrame) = sh
+      .select(col("id"),
+        Dedup.minHashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        }: _*)).as("bb"))
+    val candidates = buckets(shT)
+      .join(buckets(shB).select(col("bb"), col("id").as("bench_id")), Seq("bb"))
+      .select("id", "bench_id")
+      .distinct()
+    candidates
+      .join(shT.select(col("id"), col("sh").as("sh_a")), "id")
+      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .withColumn("jaccard",
+        graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
+      .where(col("jaccard") >= threshold)
+      .select(col("id"), col("bench_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
 }

@@ -984,6 +984,39 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Fuzzy decontamination, EXACT side ([[graft.ops.Decontaminate
+    * .jaccardScreen]]): every (training doc, benchmark doc) pair with
+    * 2-gram Jaccard >= 0.5 under the q64/q68 every-20th-doc split —
+    * lightly-edited benchmark copies the exact-overlap screen can
+    * miss. Cross-set PPJoin prefix filtering; oracle replays the
+    * cross-set gram join + Jaccard.
+    */
+  val q69DecontaminateJaccard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Decontaminate.jaccardScreen(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", shingleN = 2, threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Fuzzy decontamination, MinHash+LSH scale path ([[graft.ops
+    * .Decontaminate.minHashScreen]]): the benchmark's banded signature
+    * index probed by each training doc's signature, candidates verified
+    * with exact Jaccard. Engine-seeded xxhash64 banding — rows-only
+    * under the oracle gate; recall vs the exact screen (q69) is pinned
+    * in DecontaminateSpec (mirroring q22<->q26).
+    */
+  val q70DecontaminateMinhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Decontaminate.minHashScreen(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 4,
+      threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Gopher-style repetition quality filter
     * ([[TextAnalytics.repetitionStats]]): duplicate-token, top-2-gram
     * and duplicate-3-gram fractions per document plus the keep/drop
@@ -1324,9 +1357,11 @@ object Queries {
     "q63_apss_tfidf" -> q63ApssTfidf,
     "q64_decontaminate" -> q64Decontaminate,
     "q68_decontaminate_spans" -> q68DecontaminateSpans,
+    "q69_decontaminate_jaccard" -> q69DecontaminateJaccard,
     "q65_repetition" -> q65Repetition,
     "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
+    "q70_decontaminate_minhash" -> q70DecontaminateMinhash,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
     "q42_ivf_ann" -> q42IvfAnn)
@@ -2238,6 +2273,25 @@ object Queries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
            count(*) AS n_hits
          FROM sp GROUP BY doc_id, island""",
+    "q69_decontaminate_jaccard" ->
+      // cross-set distinct-2-gram Jaccard: intersection via the gram
+      // equi-join, union by inclusion-exclusion over the set sizes
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i+1]))) AS gram
+           FROM t WHERE len(l) >= 2),
+         sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_t, b.doc_id AS id_b, count(*) AS ov
+                   FROM g a JOIN g b USING (gram)
+                   WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+                   GROUP BY 1, 2)
+         SELECT id_t AS doc_id, id_b AS bench_id,
+           round(ov::DOUBLE / (sa.sz + sb.sz - ov), 4) AS jaccard
+         FROM inter
+           JOIN sz sa ON sa.doc_id = id_t
+           JOIN sz sb ON sb.doc_id = id_b
+         WHERE ov::DOUBLE / (sa.sz + sb.sz - ov) >= 0.5""",
     "q65_repetition" ->
       // keep is decided on the ROUNDED fractions, mirroring the engine
       s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),

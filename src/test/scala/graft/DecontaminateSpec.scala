@@ -94,6 +94,59 @@ class DecontaminateSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 2L, 1L), (1L, 5L, 7L, 1L)))
   }
 
+  test("jaccardScreen finds exactly the cross-set pairs at-or-above threshold") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "pack my box with five dozen liquor jugs tonight")).toDF("id", "text")
+    val train = Seq(
+      // one word substituted in a copy of bench 100 -> high Jaccard
+      (1L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      // unrelated
+      (2L, "completely different content with no shared phrasing at all"),
+      // verbatim copy of bench 101 -> Jaccard 1.0
+      (3L, "pack my box with five dozen liquor jugs tonight")).toDF("id", "text")
+    val got = Decontaminate.jaccardScreen(
+      train, bench, "text", "id", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 100L), (3L, 101L)))
+    assert(got(1)._3 === 1.0)
+    // doc 1: 12 distinct 2-grams per side, 9 shared ("lazy cat",
+    // "cat near" replace "lazy dog", "dog near"; one substitution hits
+    // 2 grams + sets stay 12) -> 9/15 = 0.6
+    assert(got(0)._3 > 0.5 && got(0)._3 < 1.0)
+  }
+
+  test("minHashScreen recall vs the exact screen on planted near-contaminated docs") {
+    // 30 clean train docs + 3 planted near-copies of benchmark docs;
+    // seeded-xxhash64 banding is deterministic, so this pins recall on
+    // THIS corpus exactly (the q22<->q26 cross-check pattern)
+    val bench = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (201L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("id", "text")
+    val clean = (0 until 30).map(i =>
+      (i.toLong, s"unique$i filler$i words$i nothing$i shared$i here$i at$i all$i"))
+    val planted = Seq(
+      (50L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (51L, "one two three four five six seven eight nine ten eleven thirteen"),
+      (52L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    val train = (clean ++ planted).toDF("id", "text")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Decontaminate.jaccardScreen(
+      train, bench, "text", "id", shingleN = 2, threshold = 0.5))
+    val fuzzy = pairs(Decontaminate.minHashScreen(
+      train, bench, "text", "id", shingleN = 2, bands = 8, rowsPerBand = 4,
+      threshold = 0.5))
+    assert(exact === Set((50L, 200L), (51L, 201L), (52L, 200L)))
+    // LSH may only lose pairs, never invent them (verify is exact)...
+    assert(fuzzy.subsetOf(exact))
+    // ...and at these J levels (>= 0.83) with 8 bands it loses none
+    assert(fuzzy === exact)
+  }
+
   test("overlap counts distinct grams once however often they repeat") {
     val bench = Seq((9L, "x y x y x y")).toDF("id", "text")
     // "x y" 3-grams: "x y x", "y x y" both appear repeatedly in bench;
