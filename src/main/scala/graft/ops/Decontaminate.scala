@@ -178,26 +178,33 @@ object Decontaminate {
     val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
     val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
 
-    def exploded(sh: DataFrame) = sh.select(
-      col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
-    val expT = exploded(shT)
-    val expB = exploded(shB)
+    def exploded(sh: DataFrame, side: Int) = sh.select(
+      lit(side).as("side"), col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
     // one COMMON total order for both sides: ascending gram frequency
-    // over the union (any shared order is sound; rarest-first minimizes
-    // prefix collisions)
-    val tokFreq = expT.unionAll(expB).groupBy("tok").agg(count(lit(1)).as("freq"))
-    val byRarity = Window.partitionBy("id").orderBy(col("freq"), col("tok"))
-    def prefixes(exp: DataFrame) = exp
-      .join(tokFreq, Seq("tok"))
+    // over the UNION (any shared order is sound; rarest-first minimizes
+    // prefix collisions). Frequency attaches via an unbounded COUNT
+    // window — one exchange of the union, not groupBy + rejoin — and
+    // the per-doc rarity window partitions by (side, id) so a train id
+    // colliding with a bench id never mixes windows. Prefix rows carry
+    // the gram as xxhash64: equality-only use, collisions only add
+    // verify-discarded candidates (same reasoning as
+    // [[graft.ops.Dedup.ngramJaccardPairs]]).
+    val wFreq = Window.partitionBy("tok")
+    val byRarity = Window.partitionBy("side", "id").orderBy(col("freq"), col("tok"))
+    val prefixes = exploded(shT, 0).unionAll(exploded(shB, 1))
+      .withColumn("freq", count(lit(1)).over(wFreq))
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select("id", "sz", "tok", "rn")
-    val candidates = prefixes(expT)
-      .select(col("tok"), col("id"), col("sz"), col("rn"))
+      .select(col("side"), col("id"), col("sz"),
+        xxhash64(col("tok")).as("htok"), col("rn"))
+      .localCheckpoint(false)
+    val candidates = prefixes.where(col("side") === 0)
+      .select(col("htok"), col("id"), col("sz"), col("rn"))
       .join(
-        prefixes(expB).select(col("tok"), col("id").as("bench_id"),
-          col("sz").as("sz_b"), col("rn").as("rn_b")),
-        Seq("tok"))
+        prefixes.where(col("side") === 1).select(col("htok"),
+          col("id").as("bench_id"), col("sz").as("sz_b"), col("rn").as("rn_b")),
+        Seq("htok"))
       .where(
         col("sz_b") * threshold <= col("sz") &&
           col("sz") * threshold <= col("sz_b"))

@@ -148,19 +148,28 @@ object Dedup {
     // FREQUENCY order (rarest shingles first) — the PPJoin ordering: any
     // common total order is correct, but frequency order makes prefixes
     // collide least, which is what bounds candidates when the vocabulary
-    // is small. Pair rows stay narrow: (block, shingle, id, size).
+    // is small. Frequency attaches via an unbounded COUNT window over
+    // (block, tok) — one exchange of the gram table, where the
+    // groupBy-then-rejoin formulation shuffled it twice. The prefix
+    // rows then carry the gram as xxhash64 (htok): the candidate
+    // equi-join only needs gram EQUALITY, a hash collision merely adds
+    // a candidate the exact verify discards, and the shuffled pair
+    // rows stay fixed-width. The ORDER stays (freq, tok) — computed
+    // before the hash, identical on both sides, so the prefix bound's
+    // common-total-order requirement is untouched.
     val exploded = sh.select(
       col("block"), col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
-    val tokFreq = exploded.groupBy("block", "tok").agg(count(lit(1)).as("freq"))
+    val wFreq = org.apache.spark.sql.expressions.Window.partitionBy("block", "tok")
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("block", "id").orderBy(col("freq"), col("tok"))
     val prefixes = exploded
-      .join(tokFreq, Seq("block", "tok"))
+      .withColumn("freq", count(lit(1)).over(wFreq))
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select("block", "id", "sz", "tok", "rn")
+      .select(col("block"), col("id"), col("sz"),
+        xxhash64(col("tok")).as("htok"), col("rn"))
       // both sides of the candidate self-join read this table; without
-      // materialization the freq join + rarity window run twice
+      // materialization the freq window + rarity window run twice
       .localCheckpoint(false)
     // Positional filter (PPJoin): jaccard >= t implies overlap >=
     // ceil(t/(1+t) * (|A|+|B|)), and a pair's overlap is bounded by
@@ -168,12 +177,12 @@ object Dedup {
     // Aggregating the max bound per pair both dedups candidates and
     // prunes most spurious ones before the array-intersect verify.
     val candidates = prefixes
-      .select(col("block"), col("tok"),
+      .select(col("block"), col("htok"),
         col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(
-        prefixes.select(col("block"), col("tok"),
+        prefixes.select(col("block"), col("htok"),
           col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b")),
-        Seq("block", "tok"))
+        Seq("block", "htok"))
       .where(
         col("id_a") < col("id_b") &&
           col("sz_b") * threshold <= col("sz_a") &&

@@ -11,27 +11,31 @@ import org.apache.spark.sql.expressions.Window
   * plan) should win: it shuffles each side once with NO window buffer
   * and a codegen'd single-pass merge, and its advantage widens with
   * payload width (the window plan drags every payload column through
-  * `last(_, ignoreNulls)` columns). Usage:
-  * runMain graft.tools.AsofScaleBench [leftRows] [rightRows] [keys]
+  * its own `last(_, ignoreNulls)` window column AND unions the left
+  * side with a null column per payload). The recorded crossover table
+  * lives in NOTES_r7.md. Usage:
+  * runMain graft.tools.AsofScaleBench [leftRows] [rightRows] [keys] [payloadCols]
   */
 object AsofScaleBench {
   def main(args: Array[String]): Unit = {
     val nLeft = args.lift(0).map(_.toLong).getOrElse(20000000L)
     val nRight = args.lift(1).map(_.toLong).getOrElse(4000000L)
     val nKeys = args.lift(2).map(_.toLong).getOrElse(100000L)
+    val nPayload = args.lift(3).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val payloadNames = (0 until nPayload).map(i => s"p$i")
     val left = spark.range(nLeft).select(
       (col("id") % nKeys).as("k"), col("id").as("lid"),
       ((col("id") * 2654435761L) % 1000000L).as("t"))
     val right = spark.range(nRight).select(
-      (col("id") % nKeys).as("rk"),
-      ((col("id") * 40503L) % 1000000L).as("rt"),
-      (col("id") * 7L).as("payload"))
+      (col("id") % nKeys).as("rk") +:
+        ((col("id") * 40503L) % 1000000L).as("rt") +:
+        payloadNames.map(p => (col("id") * 7L).as(p)): _*)
 
     // consume the joined values (checksum), so Catalyst can't prune the
     // window/merge work away the way a bare count() would
@@ -41,27 +45,35 @@ object AsofScaleBench {
         println(f"$tag pass$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (sum=$n)")
       }
 
+    val payloadSum = payloadNames
+      .map(p => coalesce(col(p), lit(0L)))
+      .foldLeft(coalesce(col("rt"), lit(0L)))(_ + _)
     timeIt("asof-custom") {
       graft.plans.AsofJoin.backward(
           left, right, Seq("k"), Seq("rk"), "t", "rt")
-        .agg(sum(coalesce(col("rt"), lit(0L)) +
-          coalesce(col("payload"), lit(0L)))).head().getLong(0)
+        .agg(sum(payloadSum)).head().getLong(0)
     }
     timeIt("union-window") {
-      val l2 = left.select(col("k"), col("lid"), col("t"),
-        lit(null).cast("long").as("rt"),
-        lit(null).cast("long").as("payload"), lit(1).as("tag"))
-      val r2 = right.select(col("rk").as("k"),
-        lit(null).cast("long").as("lid"), col("rt").as("t"),
-        col("rt"), col("payload"), lit(0).as("tag"))
+      val l2 = left.select(
+        col("k") +: col("lid") +: col("t") +:
+          lit(null).cast("long").as("rt") +:
+          payloadNames.map(p => lit(null).cast("long").as(p)) :+
+          lit(1).as("tag"): _*)
+      val r2 = right.select(
+        col("rk").as("k") +: lit(null).cast("long").as("lid") +:
+          col("rt").as("t") +: col("rt") +:
+          payloadNames.map(col) :+ lit(0).as("tag"): _*)
       val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      l2.unionByName(r2)
-        .withColumn("last_rt", last("rt", ignoreNulls = true).over(w))
-        .withColumn("last_payload", last("payload", ignoreNulls = true).over(w))
+      val lastPayload = ("rt" +: payloadNames).foldLeft(l2.unionByName(r2)) {
+        (df, p) => df.withColumn(s"last_$p", last(p, ignoreNulls = true).over(w))
+      }
+      val lastSum = payloadNames
+        .map(p => coalesce(col(s"last_$p"), lit(0L)))
+        .foldLeft(coalesce(col("last_rt"), lit(0L)))(_ + _)
+      lastPayload
         .where(col("tag") === 1)
-        .agg(sum(coalesce(col("last_rt"), lit(0L)) +
-          coalesce(col("last_payload"), lit(0L)))).head().getLong(0)
+        .agg(sum(lastSum)).head().getLong(0)
     }
     spark.stop()
   }
