@@ -65,6 +65,52 @@ class StreamComponentsSpec extends SparkSpec {
     assert(asMap(acc.snapshot) == want)
   }
 
+  test("skew: a giant component in adversarial order keeps per-batch work node-bounded") {
+    // 99% of nodes end up in ONE component, built as a DESCENDING
+    // chain (the component minimum drops in nearly every batch, so
+    // almost every already-clustered node must relabel — the worst
+    // case for an incremental fold) with 4x redundant intra-component
+    // pairs layered on top so the cumulative pair count far exceeds
+    // the node count. The bound under test: the state the next batch
+    // folds is the STAR FOREST (<= one edge per clustered node),
+    // never the pair history — i.e. per-batch work ∝ batch + clustered
+    // nodes, not ∝ pairs consumed so far.
+    val n = 1000
+    val giant = (10 until n).map(_.toLong) // nodes 10..999, min 10
+    val chain = (n - 1 to 11 by -1).map(i => (i.toLong, (i - 1).toLong))
+    val rnd = new scala.util.Random(7)
+    val redundant = (1 to 4 * n).map { _ =>
+      (giant(rnd.nextInt(giant.size)), giant(rnd.nextInt(giant.size)))
+    }.filter { case (u, v) => u != v }
+    // interleave: every batch extends the chain downward AND replays
+    // redundant pairs of the already-built cluster
+    val batches = chain.grouped(99).toSeq.zipAll(
+      redundant.grouped(400).toSeq, Seq.empty, Seq.empty)
+      .map { case (c, r) => c ++ r }
+
+    val acc = new StreamComponents.IncrementalComponents(spark)
+    var consumed = 0L
+    batches.foreach { b =>
+      acc.update(b.toDF("u", "v"))
+      consumed += b.size
+      // ROW-COUNT BOUND: the star forest the next fold consumes has at
+      // most one edge per clustered node — independent of how many
+      // (redundant) pairs the stream has replayed
+      val starEdges =
+        acc.snapshot.where(col("id") =!= col("component")).count()
+      assert(starEdges < n, s"star forest $starEdges >= node count $n")
+    }
+    // the adversarial stream replayed ~5x more pairs than nodes…
+    assert(consumed > 4L * n)
+    // …but the state never grew past the node count, and is correct:
+    val state = asMap(acc.snapshot)
+    val want = asMap(Components.components(
+      (chain ++ redundant).toDF("u", "v")))
+    assert(state == want)
+    // the giant component really is giant (99% of its nodes, min 10)
+    assert(giant.forall(g => state(g) == 10L))
+  }
+
   test("ids survive round-trips: components of star edges are the state itself") {
     // the state is a star forest — feeding it back through the batch
     // operator must be a no-op (the connectivity-equivalence invariant
