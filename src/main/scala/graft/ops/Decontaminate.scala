@@ -132,6 +132,57 @@ object Decontaminate {
       .select("id", "span_start", "span_end", "n_hits")
   }
 
+  /** EXCISION: apply a span table (the [[ngramHitSpans]] output shape)
+    * to the corpus — cut every `[span_start, span_end)` token window
+    * out of its document and emit the SURVIVING segments as rows,
+    * splitting documents at the cuts instead of dropping them (the
+    * downstream half of Brown et al. 2020 appendix C: remove a window
+    * around each collision, keep the clean pieces). Spans must be
+    * disjoint per doc ([[ngramHitSpans]] merges them by construction).
+    *
+    * Output: `(id, seg_start, seg_end, seg_text)` — one row per
+    * non-empty surviving segment, `[seg_start, seg_end)` 0-based token
+    * offsets into the original doc. Clean documents emit one full-span
+    * segment; fully-excised (and token-less) documents emit none.
+    *
+    * Per-row HOFs end to end: the complement intervals come from
+    * zipping `0 :: span ends` with `span starts :: doc length` — no
+    * shuffle beyond the one keyed join of docs to their (tiny) span
+    * lists, no UDFs, whole-stage codegen throughout.
+    */
+  def exciseSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol).as("id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e")))).as("spans"))
+    docs
+      .select(col(idCol).as("id"), TextAnalytics.tokens(col(textCol)).as("toks"))
+      .join(sp, Seq("id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("starts",
+        concat(array(lit(0L)), transform(col("spans"), s => s("e"))))
+      .withColumn("ends",
+        concat(transform(col("spans"), s => s("s")),
+          array(size(col("toks")).cast("long"))))
+      .select(col("id"), col("toks"),
+        explode(filter(
+          zip_with(col("starts"), col("ends"),
+            (a, b) => struct(a.as("s"), b.as("e"))),
+          seg => seg("e") > seg("s"))).as("seg"))
+      .select(
+        col("id"),
+        col("seg.s").as("seg_start"),
+        col("seg.e").as("seg_end"),
+        concat_ws(" ", slice(col("toks"),
+          (col("seg.s") + 1).cast("int"),
+          (col("seg.e") - col("seg.s")).cast("int"))).as("seg_text"))
+  }
+
   /** Distinct-shingle table `(id, sh)` of a corpus, empty sets dropped
     * (sub-shingle-width docs have undefined set similarity — same rule
     * as [[graft.ops.Dedup.ngramJaccardPairs]]).

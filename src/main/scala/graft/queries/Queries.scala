@@ -984,6 +984,25 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Excision ([[graft.ops.Decontaminate.exciseSpans]]): apply q68's
+    * merged hit spans back to the training corpus — cut each
+    * contaminated token window, emit the surviving segments as rows
+    * (clean docs pass through as one full-span segment). The cleaned,
+    * split corpus a post-decontamination training run would read.
+    * Oracle rebuilds the spans (q68's derivation) and replays the
+    * complement-interval split with window functions + list slicing.
+    */
+  val q71ExciseSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val spans = graft.ops.Decontaminate.ngramHitSpans(
+      train, docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", n = 4)
+      .withColumnRenamed("id", "doc_id")
+    graft.ops.Decontaminate.exciseSpans(train, spans, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Fuzzy decontamination, EXACT side ([[graft.ops.Decontaminate
     * .jaccardScreen]]): every (training doc, benchmark doc) pair with
     * 2-gram Jaccard >= 0.5 under the q64/q68 every-20th-doc split —
@@ -1358,6 +1377,7 @@ object Queries {
     "q64_decontaminate" -> q64Decontaminate,
     "q68_decontaminate_spans" -> q68DecontaminateSpans,
     "q69_decontaminate_jaccard" -> q69DecontaminateJaccard,
+    "q71_excise_spans" -> q71ExciseSpans,
     "q65_repetition" -> q65Repetition,
     "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
@@ -2273,6 +2293,47 @@ object Queries {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
            count(*) AS n_hits
          FROM sp GROUP BY doc_id, island""",
+    "q71_excise_spans" ->
+      // q68's span derivation, then the complement-interval split:
+      // segment k spans [prev span end, this span start), plus a tail
+      // (last span end, doc length) per doc — clean docs get (0, len)
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 3),
+               i -> {'pos': i - 1,
+                     'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]}))
+               AS pg
+           FROM t WHERE len(l) >= 4),
+         gp AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+         bench AS (SELECT DISTINCT gram FROM gp WHERE doc_id % 20 = 0),
+         hits AS (SELECT gp.doc_id, gp.pos FROM gp JOIN bench USING (gram)
+                  WHERE gp.doc_id % 20 <> 0),
+         isl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM hits),
+         spp AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+                   FROM spp GROUP BY doc_id, island),
+         tt AS (SELECT doc_id, l, len(l)::BIGINT AS n FROM t
+                WHERE doc_id % 20 <> 0),
+         mid AS (SELECT doc_id,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS seg_start,
+             s AS seg_end
+           FROM spans),
+         tail AS (SELECT tt.doc_id, coalesce(mx.me, 0) AS seg_start,
+             tt.n AS seg_end
+           FROM tt LEFT JOIN (SELECT doc_id, max(e) AS me FROM spans
+                              GROUP BY doc_id) mx USING (doc_id)),
+         segs AS (SELECT * FROM mid UNION ALL SELECT * FROM tail)
+         SELECT segs.doc_id, seg_start::BIGINT AS seg_start,
+           seg_end::BIGINT AS seg_end,
+           array_to_string(list_slice(tt.l, seg_start + 1, seg_end), ' ')
+             AS seg_text
+         FROM segs JOIN tt USING (doc_id)
+         WHERE seg_end > seg_start""",
     "q69_decontaminate_jaccard" ->
       // cross-set distinct-2-gram Jaccard: intersection via the gram
       // equi-join, union by inclusion-exclusion over the set sizes

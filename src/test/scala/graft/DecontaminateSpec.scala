@@ -94,6 +94,49 @@ class DecontaminateSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 2L, 1L), (1L, 5L, 7L, 1L)))
   }
 
+  test("exciseSpans: cuts windows, splits docs, passes clean docs through whole") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // spans [2,4) and [6,8) -> 3 cuts, middle+head survive
+      (2L, "x y z"),           // no spans -> whole doc, one segment
+      (3L, "p q r s"),         // span [0,4) covers everything -> no segments
+      (4L, "")                 // token-less -> no segments
+    ).toDF("id", "text")
+    val spans = Seq(
+      (1L, 2L, 4L), (1L, 6L, 8L),
+      (3L, 0L, 4L)).toDF("id", "span_start", "span_end")
+    val got = Decontaminate.exciseSpans(docs, spans, "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq.sorted
+    assert(got === Seq(
+      (1L, 0L, 2L, "a b"),
+      (1L, 4L, 6L, "e f"),
+      (2L, 0L, 3L, "x y z"),
+      (3L, 0L, 0L, "")).filter(s => s._3 > s._2))
+    assert(got === Seq(
+      (1L, 0L, 2L, "a b"),
+      (1L, 4L, 6L, "e f"),
+      (2L, 0L, 3L, "x y z")))
+  }
+
+  test("exciseSpans composes with ngramHitSpans: excised corpus has zero hits left") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val train = Seq(
+      (1L, "intro words the quick brown fox jumps and a clean tail here"),
+      (2L, "totally unrelated content stays untouched")).toDF("id", "text")
+    val spans = Decontaminate.ngramHitSpans(train, bench, "text", "id", n = 3)
+    val cleaned = Decontaminate.exciseSpans(train, spans, "text", "id")
+    // re-screening the surviving segments finds nothing: excision is
+    // complete by construction (every hit window was cut)
+    val rescreen = Decontaminate.ngramHitSpans(
+      cleaned.select(col("id"), col("seg_text").as("text")),
+      bench, "text", "id", n = 3)
+    assert(rescreen.count() === 0)
+    // the clean doc survived verbatim as one segment
+    val seg2 = cleaned.where(col("id") === 2).collect()
+    assert(seg2.length === 1 && seg2.head.getString(3) ===
+      "totally unrelated content stays untouched")
+  }
+
   test("jaccardScreen finds exactly the cross-set pairs at-or-above threshold") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
