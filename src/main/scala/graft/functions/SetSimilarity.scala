@@ -38,7 +38,10 @@ object SetSimilarity {
       if (inter + math.min(na - i, nb - j) < needed) return -1.0
       val x = a.getUTF8String(i)
       val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
+      // binaryCompare, NOT compareTo: same byte order, but Spark 4.1's
+      // compareTo does a System.getenv isTesting check per call (and
+      // throws under spark.testing) — fatal in this per-candidate walk
+      val c = x.binaryCompare(y)
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -148,7 +151,8 @@ object SetSimilarity {
     while (i < na && j < nb) {
       val sa = a.getStruct(i, 2)
       val sb = b.getStruct(j, 2)
-      val c = sa.getUTF8String(0).compareTo(sb.getUTF8String(0))
+      // binaryCompare — see the getenv-per-call note in jaccardSortedGE
+      val c = sa.getUTF8String(0).binaryCompare(sb.getUTF8String(0))
       if (c == 0) { dot += sa.getDouble(1) * sb.getDouble(1); i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1

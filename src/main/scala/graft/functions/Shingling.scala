@@ -86,12 +86,17 @@ object Shingling {
       out(i) = UTF8String.concatWs(sep, parts: _*)
       i += 1
     }
-    java.util.Arrays.sort(out, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    // binaryCompare, NOT compareTo: identical byte order, but Spark
+    // 4.1's compareTo guards every call with SparkEnvUtils.isTesting —
+    // a System.getenv PER COMPARISON (the 100x audit caught one sort
+    // task burning 15 CPU-minutes in getenv) — and THROWS under
+    // spark.testing
+    java.util.Arrays.sort(out, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
     // dedup adjacent (sorted): count uniques, then copy
     var uniq = 1
     i = 1
     while (i < out.length) {
-      if (!out(i).equals(out(i - 1))) uniq += 1
+      if (!out(i).binaryEquals(out(i - 1))) uniq += 1
       i += 1
     }
     if (uniq == out.length) return new GenericArrayData(out.asInstanceOf[Array[Any]])
@@ -100,7 +105,7 @@ object Shingling {
     var d = 1
     i = 1
     while (i < out.length) {
-      if (!out(i).equals(out(i - 1))) { dedup(d) = out(i); d += 1 }
+      if (!out(i).binaryEquals(out(i - 1))) { dedup(d) = out(i); d += 1 }
       i += 1
     }
     new GenericArrayData(dedup)
@@ -188,13 +193,15 @@ object Shingling {
         i += 1
       }
     }
-    java.util.Arrays.sort(grams, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    // binaryCompare/binaryEquals, NOT compareTo/equals — see the
+    // getenv-per-comparison note in [[sortedShinglesImpl]]
+    java.util.Arrays.sort(grams, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
     var distinct = 1
     var maxFreq = 1
     var run = 1
     var i = 1
     while (i < total) {
-      if (grams(i).equals(grams(i - 1))) {
+      if (grams(i).binaryEquals(grams(i - 1))) {
         run += 1
         if (run > maxFreq) maxFreq = run
       } else {

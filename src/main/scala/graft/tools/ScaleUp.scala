@@ -107,10 +107,20 @@ object ScaleUp {
 
     val docs = read("documents")
     val dSpan = keySpan(docs, "doc_id")
+    // per-copy AFFINE cipher i -> (a*i + b) mod 26 (a coprime to 26):
+    // 12 multipliers x 26 shifts = 312 distinct letter bijections, so
+    // no two copies share a mapping at any copy count used here. The
+    // earlier plain Caesar rotation wrapped at 26 — copies k and k+26
+    // were byte-identical text, which saturates the 100x corpus with
+    // exact duplicates and turns the near-dup audit into a different
+    // (duplicate-quadratic) workload instead of a bigger one.
+    require(copies <= 312, s"affine perturbation distinct for <=312 copies, got $copies")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     write(scale(docs, Map("doc_id" -> dSpan)) { (d, k) =>
-      val rot = k % 26
-      val to = alpha.drop(rot) + alpha.take(rot)
+      val a = coprimes(k / 26 % coprimes.size)
+      val b = k % 26
+      val to = alpha.indices.map(i => alpha((a * i + b) % 26)).mkString
       d.withColumn("text",
         translate(col("text"), alpha + alpha.toUpperCase,
           to + to.toUpperCase))
@@ -118,12 +128,17 @@ object ScaleUp {
 
     val emb = read("embeddings")
     val vSpan = keySpan(emb, "vec_id")
+    // rotate by k MOD dim — k can exceed the embedding dimension at
+    // high copy counts (the 100x audit's copies 64..99 hit a negative
+    // slice length here before the pmod)
     write(scale(emb, Map("vec_id" -> vSpan)) { (d, k) =>
-      if (k == 0) d
-      else d.withColumn("embedding",
-        concat(
-          slice(col("embedding"), lit(k + 1), size(col("embedding")) - lit(k)),
-          slice(col("embedding"), 1, k)))
+      val dsz = size(col("embedding"))
+      val rot = pmod(lit(k), dsz)
+      d.withColumn("embedding",
+        when(rot === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), rot + 1, dsz - rot),
+            slice(col("embedding"), lit(1), rot))))
     }, "embeddings")
 
     println(s"wrote ${copies}x of $src to $dst")
