@@ -250,6 +250,9 @@ object Decontaminate {
       .select(col("side"), col("id"), col("sz"),
         xxhash64(col("tok")).as("htok"), col("rn"))
       .localCheckpoint(false)
+    // positional overlap bound checked per match row, map-side, before
+    // the dedup shuffle — same pair decisions, only qualifying matches
+    // travel (see the note in [[graft.ops.Dedup.ngramJaccardPairs]])
     val candidates = prefixes.where(col("side") === 0)
       .select(col("htok"), col("id"), col("sz"), col("rn"))
       .join(
@@ -258,18 +261,18 @@ object Decontaminate {
         Seq("htok"))
       .where(
         col("sz_b") * threshold <= col("sz") &&
-          col("sz") * threshold <= col("sz_b"))
-      // max positional overlap bound per pair dedups candidates and
-      // prunes before the per-pair merge-walk verify
-      .groupBy("id", "bench_id", "sz", "sz_b")
-      .agg(max(lit(1) + least(col("sz") - col("rn"), col("sz_b") - col("rn_b")))
-        .as("overlap_ub"))
-      .where(col("overlap_ub") >=
-        ceil(lit(threshold) / (1 + threshold) * (col("sz") + col("sz_b"))))
+          col("sz") * threshold <= col("sz_b") &&
+          lit(1) + least(col("sz") - col("rn"), col("sz_b") - col("rn_b")) >=
+            ceil(lit(threshold) / (1 + threshold) * (col("sz") + col("sz_b"))))
       .select("id", "bench_id")
+      .distinct()
+    // hash-join verify attachments — the array-carrying intermediate
+    // streams instead of sorting (see Dedup.ngramJaccardPairs)
     candidates
-      .join(shT.select(col("id"), col("sh").as("sh_a")), "id")
-      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .join(shT.select(col("id"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id")
+      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "bench_id")
       .withColumn("jaccard",
         graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
       .where(col("jaccard") >= threshold)
@@ -317,8 +320,10 @@ object Decontaminate {
       .select("id", "bench_id")
       .distinct()
     candidates
-      .join(shT.select(col("id"), col("sh").as("sh_a")), "id")
-      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b")), "bench_id")
+      .join(shT.select(col("id"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id")
+      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "bench_id")
       .withColumn("jaccard",
         graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
       .where(col("jaccard") >= threshold)

@@ -95,10 +95,14 @@ object Dedup {
       .distinct()
 
     // Verify candidates with exact Jaccard: re-join the shingle table
-    // (small vs the pair space) on each side of the pair.
+    // (small vs the pair space) on each side of the pair — hash joins,
+    // so the array-carrying intermediate is never sorted (see
+    // [[ngramJaccardPairs]]'s verify note).
     candidates
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
       .where(col("jaccard") >= threshold)
@@ -173,9 +177,13 @@ object Dedup {
       .localCheckpoint(false)
     // Positional filter (PPJoin): jaccard >= t implies overlap >=
     // ceil(t/(1+t) * (|A|+|B|)), and a pair's overlap is bounded by
-    // 1 + min(|A|-posA, |B|-posB) at its earliest matching prefix token.
-    // Aggregating the max bound per pair both dedups candidates and
-    // prunes most spurious ones before the array-intersect verify.
+    // 1 + min(|A|-posA, |B|-posB) at its earliest matching prefix
+    // token. The bound is checked PER MATCH ROW, map-side, BEFORE the
+    // dedup shuffle: a row whose own bound fails can never be the max
+    // that passes, so dropping it pre-shuffle decides every pair
+    // identically while only qualifying matches travel the wire (the
+    // earlier post-aggregation filter shuffled every join match — the
+    // dominant cost of the candidate stage on df-heavy corpora).
     val candidates = prefixes
       .select(col("block"), col("htok"),
         col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
@@ -186,16 +194,22 @@ object Dedup {
       .where(
         col("id_a") < col("id_b") &&
           col("sz_b") * threshold <= col("sz_a") &&
-          col("sz_a") * threshold <= col("sz_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(max(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")))
-        .as("overlap_ub"))
-      .where(col("overlap_ub") >=
-        ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
+          col("sz_a") * threshold <= col("sz_b") &&
+          lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+            ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
       .select("id_a", "id_b")
+      .distinct()
+    // SHUFFLE_HASH on the shingle side of both attachments: sort-merge
+    // would SORT the candidate×array intermediate (KBs per row — on
+    // df-heavy corpora the 100x audit measured multi-GB sort spills
+    // per task exactly here); the hash join streams it instead, and
+    // the build side is one hash-partition of the shingle table —
+    // bounded by partition sizing at any corpus size.
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       // native merge-walk verify on the sorted arrays (early-exit
       // below threshold) — the per-candidate hot kernel
       .withColumn("jaccard",

@@ -107,23 +107,30 @@ object ScaleUp {
 
     val docs = read("documents")
     val dSpan = keySpan(docs, "doc_id")
-    // per-copy AFFINE cipher i -> (a*i + b) mod 26 (a coprime to 26):
-    // 12 multipliers x 26 shifts = 312 distinct letter bijections, so
-    // no two copies share a mapping at any copy count used here. The
-    // earlier plain Caesar rotation wrapped at 26 — copies k and k+26
-    // were byte-identical text, which saturates the 100x corpus with
-    // exact duplicates and turns the near-dup audit into a different
-    // (duplicate-quadratic) workload instead of a bigger one.
-    require(copies <= 312, s"affine perturbation distinct for <=312 copies, got $copies")
+    // Per-copy text transform: Caesar-rotate by k mod 26 AND append a
+    // 2-letter copy tag to every token. The suffix makes copies
+    // INJECTIVE at the token level by construction (no token of copy
+    // k ever equals a token of copy j != k), so the n-gram df table of
+    // the scaled corpus is exactly `copies` disjoint images of the
+    // base table — gram-join candidate volume scales LINEARLY in
+    // copies, the "same workload, bigger" property the audit needs.
+    // Two earlier schemes failed it: plain rotation wraps at 26
+    // (copies k and k+26 byte-identical -> duplicate-saturated
+    // corpus), and an affine cipher's letter bijections collide on
+    // this short random-token vocabulary (measured: distinct grams
+    // grew only 2.3x at 100 copies while df grew ~43x -> Σdf²
+    // candidate blowup ~1900x instead of 100x).
+    require(copies <= 676, s"2-letter copy tag distinct for <=676 copies, got $copies")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     write(scale(docs, Map("doc_id" -> dSpan)) { (d, k) =>
-      val a = coprimes(k / 26 % coprimes.size)
-      val b = k % 26
-      val to = alpha.indices.map(i => alpha((a * i + b) % 26)).mkString
+      val rot = k % 26
+      val to = alpha.drop(rot) + alpha.take(rot)
+      val tag = s"${alpha(k % 26)}${alpha(k / 26 % 26)}"
       d.withColumn("text",
-        translate(col("text"), alpha + alpha.toUpperCase,
-          to + to.toUpperCase))
+        regexp_replace(
+          translate(col("text"), alpha + alpha.toUpperCase,
+            to + to.toUpperCase),
+          "(\\S+)", s"$$1$tag"))
     }, "documents")
 
     val emb = read("embeddings")
