@@ -127,6 +127,17 @@ object Dedup {
     * and the exact Jaccard verification. This is the standard exact
     * set-similarity-join plan at corpus scale: every shuffle is keyed
     * (prefix token, then id), nothing quadratic materializes.
+    *
+    * DATA-REGIME PRECONDITION (measured in the 100× audit, NOTES_r7):
+    * prefix filtering prunes only when the rare end of the vocabulary
+    * stays rare as the corpus grows — Heaps'-law growth, true of
+    * natural corpora. On a CLOSED vocabulary (the synthetic generator:
+    * 4.6k distinct in-block 2-grams at any size, avg df 55), candidate
+    * volume scales as Σdf² — ~10⁹ candidates at a 100× scale for ~8k
+    * true pairs — and no exact plan avoids touching every co-occurring
+    * pair. For such df-heavy corpora use the MinHash-LSH screen
+    * ([[minHashLsh]]): its candidate volume is driven by signature
+    * collisions (∝ true similarity), not gram frequency.
     */
   def ngramJaccardPairs(
       docs: DataFrame,

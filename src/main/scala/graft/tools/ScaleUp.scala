@@ -135,17 +135,26 @@ object ScaleUp {
 
     val emb = read("embeddings")
     val vSpan = keySpan(emb, "vec_id")
-    // rotate by k MOD dim — k can exceed the embedding dimension at
-    // high copy counts (the 100x audit's copies 64..99 hit a negative
-    // slice length here before the pmod)
+    // Per-copy SIGN-FLIP pattern (an orthogonal diagonal transform):
+    // coordinate i negates when bit (i mod 32) of a k-derived hash is
+    // set. Norms and all WITHIN-copy dot products are exactly
+    // preserved (the same flips cancel), while CROSS-copy dot products
+    // decorrelate under the differing patterns — so near-dup/ANN
+    // output scales with copies instead of exploding. The earlier
+    // rotation wrapped at the 64-dim boundary: copies k and k+64 were
+    // IDENTICAL vectors, and the 100x audit's q57 drowned in
+    // cross-copy duplicate pairs (77s/341k rows at 10x, disk-filling
+    // at 100x). Copy 0 keeps hash 0 = no flips = the base table.
+    val embDim = emb.selectExpr("size(embedding)").head().getInt(0)
     write(scale(emb, Map("vec_id" -> vSpan)) { (d, k) =>
-      val dsz = size(col("embedding"))
-      val rot = pmod(lit(k), dsz)
-      d.withColumn("embedding",
-        when(rot === 0, col("embedding"))
-          .otherwise(concat(
-            slice(col("embedding"), rot + 1, dsz - rot),
-            slice(col("embedding"), lit(1), rot))))
+      if (k == 0) d
+      else {
+        val bits = (k * 0x9E3779B97F4A7C15L) ^ (k.toLong << 17)
+        val flips = Array.tabulate(embDim)(i =>
+          if (((bits >> (i % 32)) & 1L) == 1L) -1.0f else 1.0f)
+        d.withColumn("embedding",
+          zip_with(col("embedding"), typedlit(flips), (v, s) => v * s))
+      }
     }, "embeddings")
 
     println(s"wrote ${copies}x of $src to $dst")
