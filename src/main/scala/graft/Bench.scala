@@ -59,9 +59,11 @@ object Bench {
     "q63_apss_tfidf",
     "q64_decontaminate",
     "q65_repetition",
+    "q67_hash_split",
     "q68_decontaminate_spans",
     "q69_decontaminate_jaccard",
-    "q70_decontaminate_minhash")
+    "q70_decontaminate_minhash",
+    "q71_excise_spans")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load
@@ -99,13 +101,20 @@ object Bench {
     // while the 1-minute load is above threshold; if it never drains,
     // exit non-zero WITHOUT printing the result JSON so a contaminated
     // sweep can never become BENCH_rN.json.
-    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAITS", "10").toInt
+    // a malformed env var falls back to the default rather than
+    // aborting the sweep with a NumberFormatException
+    val maxWaits = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAITS")
+      .flatMap(_.toIntOption).getOrElse(10)
     var waits = 0
-    while (loadavg() > 1.5 && waits < maxWaits) {
+    // read loadavg ONCE per iteration so the value logged is the value
+    // the condition actually tested
+    var load = loadavg()
+    while (load > 1.5 && waits < maxWaits) {
       System.err.println(
-        s"[bench] loadavg ${loadavg()} > 1.5 — sleeping 60s for the machine to drain (${waits + 1}/$maxWaits)")
+        s"[bench] loadavg $load > 1.5 — sleeping 60s for the machine to drain (${waits + 1}/$maxWaits)")
       Thread.sleep(60000)
       waits += 1
+      load = loadavg()
     }
     val loadStart = loadavg()
     if (loadStart > 1.5) {

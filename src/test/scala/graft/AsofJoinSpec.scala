@@ -120,6 +120,10 @@ class AsofJoinSpec extends SparkSpec {
     // production and THROWS under the spark.testing system property —
     // so codegen-compiling the plan with the property set keeps this
     // whole class of bug caught.
+    // save the prior value: the surrounding harness may legitimately
+    // run with spark.testing set, and a blind clearProperty in finally
+    // would change behavior for every later test in this JVM
+    val priorTesting = Option(System.getProperty("spark.testing"))
     System.setProperty("spark.testing", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -138,7 +142,10 @@ class AsofJoinSpec extends SparkSpec {
         .compile(source)
       assert(res.count() === 2)
     } finally {
-      System.clearProperty("spark.testing")
+      priorTesting match {
+        case Some(v) => System.setProperty("spark.testing", v)
+        case None    => System.clearProperty("spark.testing")
+      }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
