@@ -164,8 +164,20 @@ object Bench {
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, false) => k }
+    // ERROR GUARD, same contract as the load guard above: a sweep with
+    // ANY errored query exits non-zero WITHOUT printing the result
+    // JSON. Round 8 shipped a BENCH json whose "errors" listed 9
+    // broken queries and whose total silently excluded them — an
+    // artifact that looked 9 queries faster than reality. A partial
+    // sweep is not a shippable benchmark.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}) — REFUSING to record a partial sweep")
+      spark.stop()
+      sys.exit(3)
+    }
+    val errs = "[]"
     val total = results.collect { case (_, v, true) => v }.sum
     // loadavg_end is NOT a contamination signal: the sweep itself drives
     // loadavg to ~11 on 32 cores. Only loadavg_start reflects ambient load.

@@ -14,8 +14,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Canonical-schema rule: every timestamp column downstream of the
+    * registry is tz-aware TimestampType. The driver's generator writes
+    * `timestamp[us]` WITHOUT timezone markers (pandas/pyarrow default),
+    * which Spark 4 reads as TIMESTAMP_NTZ — a type half the
+    * timestamp function surface (`unix_micros`, watermarks, ...)
+    * rejects at analysis time. The values were produced as UTC
+    * instants and every entrypoint pins the session timezone to UTC,
+    * so casting NTZ → TimestampType re-labels the same instant
+    * losslessly (TablesSpec asserts the invariant per table).
+    * Top-level columns only: no generated table nests timestamps.
+    */
+  private def canonicalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = canonicalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
     // Single-file, single-ROW-GROUP parquet (the test harness's layout;
     // verified with pyarrow) is unsplittable: the scan yields ONE
     // partition regardless of core count, so every per-row kernel and
@@ -41,20 +60,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default. The values are whole microseconds (verified in
-    * the test data), so reading nanos as long and truncating to micros
-    * is lossless; downstream code sees a normal TimestampType column.
-    * A table that already carries a standard timestamp (e.g. the
-    * ScaleUp-synthesized copies, or any real deployment writing micros)
-    * passes through untouched.
+  /** Physical-type adapter for events.ts. The driver's generator has
+    * shipped this column three ways across regenerations — parquet
+    * TIMESTAMP(NANOS) (whole-microsecond values; Spark 4 refuses it
+    * unless read nanos-as-long), `timestamp[us]` without timezone
+    * (TIMESTAMP_NTZ — normalized by [[load]] like every table), and
+    * plain tz-aware micros (ScaleUp-synthesized copies, real
+    * deployments). All three carry the same instants; the extra branch
+    * here handles only the nanos-as-long shape, truncating whole-
+    * microsecond nano values losslessly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

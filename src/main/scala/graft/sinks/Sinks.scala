@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
   * TSV-report sinks become file writes. All writers go through the
   * DataFrame writer so they distribute (one file per partition) —
   * no driver-side collect.
+  *
+  * ==MongoDB connector seam==
+  * A deployment that must land in a live MongoDB (the reference's
+  * `collection.insert` / `update({_id},doc,{upsert:true})` edges,
+  * `search/decorate.js:145-165`, `trees/speciesTree.js:230-252`) swaps
+  * the parquet writer here for the public `mongo-spark-connector`
+  * (`org.mongodb.spark:mongo-spark-connector`, Maven Central) —
+  * `df.write.format("mongodb").option("collection", …)` with
+  * `operationType=insert` for [[writeTable]] and
+  * `operationType=replace` + `idFieldList=<keyCol>` for
+  * [[upsertByKey]]; everything upstream of these two functions is
+  * unchanged. The connector can't resolve in this zero-egress
+  * environment, so the binding stays a documented one-line seam
+  * rather than a dependency; semantics (idempotent replace-by-key,
+  * distributed per-partition writes) are what these parquet writers
+  * already implement and test.
   */
 object Sinks {
 

@@ -62,76 +62,75 @@ object StreamGate {
   private def tempDir(prefix: String): Path =
     Files.createTempDirectory(scratchRoot, prefix)
 
-  /** The events table's read schema, probed from the actual file (with
-    * the `nanosAsLong` conf set, mirroring Tables.events): the driver's
-    * TIMESTAMP(NANOS) table reads ts as long, a standard-timestamp
-    * table (ScaleUp copies, real deployments) reads TimestampType —
-    * the gate adapts to either physical shape.
+  /** Write a single-part parquet copy of `df` and move the part file to
+    * `staged`. `repartition(1)` (a shuffle) rather than `coalesce(1)` so
+    * the upstream plan still runs in parallel before the single write
+    * task.
     */
-  private def eventsSchemaOf(s: SparkSession, eventsFile: String): StructType = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(eventsFile).schema
+  private def writeStagedPart(df: DataFrame, staged: Path): Unit = {
+    val scratch = tempDir("graft_stream_part_")
+    val out = scratch.resolve("out")
+    df.repartition(1).write.parquet(out.toString)
+    import scala.jdk.CollectionConverters._
+    val part = scala.util.Using.resource(Files.list(out)) { listing =>
+      listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $out"))
+    }
+    Files.copy(part, staged)
+    deleteRecursively(scratch) // staged copy taken; scratch is dead weight
   }
 
-  private def tsIsLong(schema: StructType): Boolean =
-    schema("ts").dataType == LongType
-
-  /** Stage the events parquet into a fresh stream-source directory,
+  /** Stage the events table into a fresh stream-source directory,
     * optionally followed by one single-row sentinel file per entry of
     * `sentinelTsNs` — mtimes strictly increase in argument order so the
     * file source forms one micro-batch per file in exactly this order.
+    *
+    * Staging goes THROUGH [[graft.core.Tables.events]], not a raw file
+    * copy: the batch adapter normalizes every physical ts layout the
+    * driver has shipped (nanos-as-long, TIMESTAMP_NTZ micros, tz-aware
+    * micros) to one canonical TimestampType schema, so the gate never
+    * re-adapts and a future physical drift in the generated parquet
+    * breaks exactly one seam (Tables + its spec), not every streaming
+    * suite.
     */
   def stageEvents(s: SparkSession, d: String, sentinelTsNs: Seq[Long]): Path = {
     val dir = tempDir("graft_stream_src_")
     val data = dir.resolve("00_events.parquet")
-    Files.copy(Paths.get(d, "events.parquet"), data)
-    val schema = eventsSchemaOf(s, data.toString)
+    val events = graft.core.Tables.events(s, d)
+    writeStagedPart(events, data)
+    val schema = events.schema
     val t0 = System.currentTimeMillis()
     Files.setLastModifiedTime(data, FileTime.fromMillis(t0))
     sentinelTsNs.zipWithIndex.foreach { case (ns, i) =>
-      val scratch = tempDir("graft_stream_sentinel_")
-      val out = scratch.resolve("out")
-      val tsValue: Any =
-        if (tsIsLong(schema)) ns
-        else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          java.lang.Math.floorDiv(ns, 1000000000L),
-          java.lang.Math.floorMod(ns, 1000000000L)))
-      s.createDataFrame(
+      val tsValue = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        java.lang.Math.floorDiv(ns, 1000000000L),
+        java.lang.Math.floorMod(ns, 1000000000L)))
+      val staged = dir.resolve(f"zz_sentinel_$i%02d.parquet")
+      writeStagedPart(
+        s.createDataFrame(
           java.util.Arrays.asList(
             Row(-(i + 1).toLong, tsValue, SentinelUser, "sentinel", 0.0, "")),
-          schema)
-        .coalesce(1).write.parquet(out.toString)
-      import scala.jdk.CollectionConverters._
-      val part = scala.util.Using.resource(Files.list(out)) { listing =>
-        listing.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $out"))
-      }
-      val staged = dir.resolve(f"zz_sentinel_$i%02d.parquet")
-      Files.copy(part, staged)
-      deleteRecursively(scratch) // staged copy taken; scratch is dead weight
+          schema),
+        staged)
       // 60s spacing dwarfs any filesystem mtime granularity
       Files.setLastModifiedTime(staged, FileTime.fromMillis(t0 + (i + 1) * 60000L))
     }
     dir
   }
 
-  /** The staged events as a stream with batch `Tables.events` column
-    * semantics (nanos → microsecond timestamps), one file per
-    * micro-batch, projected to the [[EventStreams.Event]] shape.
+  /** The staged events as a stream (already in canonical batch-table
+    * shape — see [[stageEvents]]), one file per micro-batch, projected
+    * to the [[EventStreams.Event]] shape.
     */
   def streamEvents(s: SparkSession, dir: Path): Dataset[Event] = {
     import s.implicits._
-    val schema = eventsSchemaOf(s, dir.resolve("00_events.parquet").toString)
-    val tsCol =
-      if (tsIsLong(schema)) timestamp_micros(expr("ts div 1000"))
-      else col("ts")
+    val schema = s.read.parquet(dir.resolve("00_events.parquet").toString).schema
     s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        tsCol.as("ts"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .as[Event]
   }
 

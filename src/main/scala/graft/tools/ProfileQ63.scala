@@ -11,6 +11,7 @@ object ProfileQ63 {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timed[T](label: String)(f: => T): T = {

@@ -28,6 +28,7 @@ object ScaleUp {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -93,13 +94,12 @@ object ScaleUp {
       "l_orderkey" -> oSpan, "l_partkey" -> pSpan, "l_suppkey" -> sSpan))(),
       "lineitem")
 
-    // the driver's ts is TIMESTAMP(NANOS) (read as long under the
-    // legacy conf); the copy stores standard micros timestamps — the
-    // values are whole micros so this is lossless, and both Spark
-    // (Tables.events passthrough) and the DuckDB oracles (epoch_us)
-    // read the two shapes identically
-    val events = read("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // go through the Tables adapter: it normalizes every physical ts
+    // layout the driver has shipped (nanos-as-long, TIMESTAMP_NTZ
+    // micros, tz-aware micros) to canonical TimestampType, so the
+    // copy stores standard micros timestamps regardless of which
+    // shape the source regen carried
+    val events = graft.core.Tables.events(spark, src)
     val eSpan = keySpan(events, "event_id")
     val uSpan = keySpan(events, "user_id")
     write(scale(events, Map("event_id" -> eSpan, "user_id" -> uSpan))(),
@@ -121,6 +121,18 @@ object ScaleUp {
     // grew only 2.3x at 100 copies while df grew ~43x -> Σdf²
     // candidate blowup ~1900x instead of 100x).
     require(copies <= 676, s"2-letter copy tag distinct for <=676 copies, got $copies")
+    // Copy 0 IS tagged, deliberately asymmetric with the embeddings
+    // branch (where copy 0 = base): injectivity needs every token to
+    // carry its tag at the SAME position. With copy 0 untagged, a
+    // natural copy-0 token "xyzab" would equal copy-26's "xyz"+tag
+    // "ab" — base tokens vary in length, so only a uniform append
+    // keeps cross-copy token sets provably disjoint (equal total
+    // length forces equal tag position forces equal copy index).
+    // Embeddings need no such guard: the k=0 sign-flip hash is the
+    // identity by construction and flips can't collide across k.
+    // Cost: the scaled corpus's copy 0 is not byte-identical to the
+    // base corpus — fine for the audit, which measures how the SAME
+    // workload scales with copies, not equality with the base run.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     write(scale(docs, Map("doc_id" -> dSpan)) { (d, k) =>
       val rot = k % 26

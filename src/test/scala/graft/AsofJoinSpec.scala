@@ -124,6 +124,7 @@ class AsofJoinSpec extends SparkSpec {
     // run with spark.testing set, and a blind clearProperty in finally
     // would change behavior for every later test in this JVM
     val priorTesting = Option(System.getProperty("spark.testing"))
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     System.setProperty("spark.testing", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -146,7 +147,7 @@ class AsofJoinSpec extends SparkSpec {
         case Some(v) => System.setProperty("spark.testing", v)
         case None    => System.clearProperty("spark.testing")
       }
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
     }
   }
 

@@ -18,12 +18,12 @@ class CustomerDecorateSpec extends SparkSpec {
     val golden =
       """{"name":"Customer#000000001","geo":{"nation":"NATION_19","region":"MIDDLE EAST"},""" +
       """"acctbal_bin":2,"n_orders":5,"lifetime_value":615196.44,""" +
-      """"first_order":{"id":176,"date":"1996-07-19T00:00:00.000","priority":"4-NOT SPECIFIED"},""" +
-      """"orders":[{"date":"1996-07-19T00:00:00.000","id":176,"total":201666.9,"priority":"4-NOT SPECIFIED"},""" +
-      """{"date":"1996-12-10T00:00:00.000","id":571,"total":13090.45,"priority":"2-HIGH"},""" +
-      """{"date":"1997-01-09T00:00:00.000","id":812,"total":65309.82,"priority":"5-LOW"},""" +
-      """{"date":"1998-06-11T00:00:00.000","id":132,"total":202733.95,"priority":"1-URGENT"},""" +
-      """{"date":"1999-06-30T00:00:00.000","id":51,"total":132395.32,"priority":"2-HIGH"}],""" +
+      """"first_order":{"id":176,"date":"1996-07-19T00:00:00.000Z","priority":"4-NOT SPECIFIED"},""" +
+      """"orders":[{"date":"1996-07-19T00:00:00.000Z","id":176,"total":201666.9,"priority":"4-NOT SPECIFIED"},""" +
+      """{"date":"1996-12-10T00:00:00.000Z","id":571,"total":13090.45,"priority":"2-HIGH"},""" +
+      """{"date":"1997-01-09T00:00:00.000Z","id":812,"total":65309.82,"priority":"5-LOW"},""" +
+      """{"date":"1998-06-11T00:00:00.000Z","id":132,"total":202733.95,"priority":"1-URGENT"},""" +
+      """{"date":"1999-06-30T00:00:00.000Z","id":51,"total":132395.32,"priority":"2-HIGH"}],""" +
       """"n_sessions":51,"n_events":51}"""
     assert(doc == golden)
   }
