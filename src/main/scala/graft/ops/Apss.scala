@@ -213,7 +213,19 @@ object Apss {
       buildSide: DataFrame,
       ordered: Boolean,
       dimCap: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
+    // PRE-FLIGHT GUARD: the posting lists carry per-dim frequencies;
+    // predict the posting join's row volume (self: Σ df·(df−1)/2,
+    // cross: Σ df_probe·df_build — salting redistributes but does not
+    // change it) and refuse a high-df-regime launch up front. See
+    // [[SimilarityGuard]].
+    SimilarityGuard.check(
+      if (ordered) SimilarityGuard.selfJoinVolume(buildSide, Seq("dim"))
+      else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim")),
+      maxCandidates, "Apss.candidatesOf",
+      "Sparsify harder (Apss.sparsifyTopM with smaller m), raise the " +
+        "threshold, or re-route to an LSH/IVF screen (Similarity/Dedup)")
     val groups = buildSide.groupBy("dim")
       .agg(ceil(count(lit(1)) / lit(dimCap)).cast("int").as("g"))
     val a = probeSide.join(groups, Seq("dim"))
@@ -305,13 +317,15 @@ object Apss {
       idCol: String,
       termsCol: String,
       threshold: Double,
-      maxBroadcastDims: Int = DefaultMaxBroadcastDims): DataFrame = {
+      maxBroadcastDims: Int = DefaultMaxBroadcastDims,
+      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val perVec =
       perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
         .localCheckpoint(false)
     val posted = postingsOf(perVec)
-    verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
+    verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold,
+        maxCandidates),
       perVec, perVec, threshold)
   }
 
@@ -329,7 +343,8 @@ object Apss {
       queries: DataFrame,
       idCol: String,
       termsCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val c = perVecOf(corpus, idCol, termsCol, threshold / 2, mw = None)
       .localCheckpoint(false)
@@ -337,7 +352,7 @@ object Apss {
       .localCheckpoint(false)
     verify(
       candidatesOf(postingsOf(q), postingsOf(c), ordered = false,
-        dimCap = 4096, threshold),
+        dimCap = 4096, threshold, maxCandidates),
       q, c, threshold)
       .withColumnRenamed("id_a", "query_id")
       .withColumnRenamed("id_b", "corpus_id")

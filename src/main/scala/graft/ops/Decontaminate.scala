@@ -223,7 +223,8 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       shingleN: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
     // both shingle tables feed the freq union, a prefix derivation, and
     // a verify side — materialize each once
     val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
@@ -250,6 +251,17 @@ object Decontaminate {
       .select(col("side"), col("id"), col("sz"),
         xxhash64(col("tok")).as("htok"), col("rn"))
       .localCheckpoint(false)
+    // PRE-FLIGHT GUARD: predict the train×bench candidate join's row
+    // volume (Σ over gram of df_train·df_bench) from the prefix tables
+    // and refuse a closed-vocabulary blow-up before launching — see
+    // [[SimilarityGuard]].
+    SimilarityGuard.check(
+      SimilarityGuard.crossJoinVolume(
+        prefixes.where(col("side") === 0), prefixes.where(col("side") === 1),
+        Seq("htok")),
+      maxCandidates, "Decontaminate.jaccardScreen",
+      "Re-route this corpus to Decontaminate.minHashScreen (signature-" +
+        "collision-driven candidates)")
     // positional overlap bound checked per match row, map-side, before
     // the dedup shuffle — same pair decisions, only qualifying matches
     // travel (see the note in [[graft.ops.Dedup.ngramJaccardPairs]])

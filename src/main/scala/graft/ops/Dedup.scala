@@ -145,7 +145,8 @@ object Dedup {
       idCol: String,
       blockCol: String,
       shingleN: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
     val sh = docs
       .select(
         col(blockCol).as("block"),
@@ -186,6 +187,15 @@ object Dedup {
       // both sides of the candidate self-join read this table; without
       // materialization the freq window + rarity window run twice
       .localCheckpoint(false)
+    // PRE-FLIGHT GUARD (the engine-behavior form of the data-regime
+    // precondition above): predict the candidate join's row volume
+    // from the prefix dfs and refuse the launch past the cap instead
+    // of shuffling a quadratic blow-up to disk.
+    SimilarityGuard.check(
+      SimilarityGuard.selfJoinVolume(prefixes, Seq("block", "htok")),
+      maxCandidates, "Dedup.ngramJaccardPairs",
+      "Re-route this corpus to Dedup.minHashLsh (signature-collision-" +
+        "driven candidates) and keep the exact join for Heaps-law corpora")
     // Positional filter (PPJoin): jaccard >= t implies overlap >=
     // ceil(t/(1+t) * (|A|+|B|)), and a pair's overlap is bounded by
     // 1 + min(|A|-posA, |B|-posB) at its earliest matching prefix
