@@ -63,7 +63,8 @@ object Bench {
     "q68_decontaminate_spans",
     "q69_decontaminate_jaccard",
     "q70_decontaminate_minhash",
-    "q71_excise_spans")
+    "q71_excise_spans",
+    "q72_decontam_pipeline")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -1036,6 +1036,61 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** The COMPOSED decontamination pipeline — the LLM-data analog of
+    * q54's gene pipeline: every stage is the already-gated operator,
+    * chained the way a training-data run would actually execute it.
+    *
+    *   1. fuzzy SCREEN ([[graft.ops.Decontaminate.jaccardScreen]],
+    *      q69): training docs that are near-dups of a benchmark doc
+    *      are dropped whole — excision can't fix a wholesale copy;
+    *   2. verbatim SPANS ([[graft.ops.Decontaminate.ngramHitSpans]],
+    *      q68) over the survivors;
+    *   3. EXCISION ([[graft.ops.Decontaminate.exciseSpans]], q71) —
+    *      cut the collision windows, keep the clean segments;
+    *   4. exact DEDUP ([[graft.ops.Dedup.exact]], q17) of the
+    *      surviving segments by content (a synthetic
+    *      `doc_id·10⁵ + seg_start` segment id makes the canonical
+    *      pick the lexicographic (doc, offset) minimum);
+    *   5. reproducible SPLITS ([[graft.ops.Splits]], q67) keyed on the
+    *      ORIGINAL doc id, so all of a document's segments land in one
+    *      split and the assignment survives re-runs and re-sharding.
+    *
+    * Output is the publishable manifest: per (lang, split) segment,
+    * token and excised-duplicate counts. Scale shape: the benchmark
+    * side broadcasts, every join is keyed, dedup is one hash shuffle,
+    * the manifest aggregation is map-side-combinable — no stage
+    * inspects more than one doc's tokens at a time.
+    * Oracle: the q69 + q68 + q71 + q17 + q67 SQL chained as CTEs.
+    */
+  val q72DecontamPipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val contaminated = graft.ops.Decontaminate.jaccardScreen(
+        train, bench, "text", "doc_id", shingleN = 2, threshold = 0.5)
+      .select(col("id").as("doc_id")).distinct()
+    val survivors = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val spans = graft.ops.Decontaminate.ngramHitSpans(
+        survivors, bench, "text", "doc_id", n = 4)
+      .withColumnRenamed("id", "doc_id")
+    val segs = graft.ops.Decontaminate
+      .exciseSpans(survivors, spans, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("seg_id", col("doc_id") * lit(100000L) + col("seg_start"))
+    val canon = Dedup.exact(segs, "seg_text", "seg_id")
+    canon
+      .join(segs, canon("canonical_id") === segs("seg_id"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"), col("n_copies"))
+      .withColumn("split", graft.ops.Splits.splitLabel(
+        col("doc_id"), Seq("train" -> 90, "val" -> 95), "test"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("seg_end") - col("seg_start")).as("n_tokens"),
+        sum(col("n_copies") - 1).as("n_dup_segs"))
+  }
+
   /** Gopher-style repetition quality filter
     * ([[TextAnalytics.repetitionStats]]): duplicate-token, top-2-gram
     * and duplicate-3-gram fractions per document plus the keep/drop
@@ -1378,6 +1433,7 @@ object Queries {
     "q68_decontaminate_spans" -> q68DecontaminateSpans,
     "q69_decontaminate_jaccard" -> q69DecontaminateJaccard,
     "q71_excise_spans" -> q71ExciseSpans,
+    "q72_decontam_pipeline" -> q72DecontamPipeline,
     "q65_repetition" -> q65Repetition,
     "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
@@ -2398,6 +2454,77 @@ object Queries {
          SELECT lang, split, count(*) AS n_docs,
            sum(n_toks)::BIGINT AS n_tokens
          FROM a GROUP BY lang, split""",
+    "q72_decontam_pipeline" ->
+      // the q69 screen, q68 spans, q71 excision, q17 dedup and q67
+      // split replayed as one CTE chain over the same corpus split
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS l FROM documents),
+         g2 AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i+1]))) AS gram
+           FROM t WHERE len(l) >= 2),
+         sz AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_t, b.doc_id AS id_b, count(*) AS ov
+                   FROM g2 a JOIN g2 b USING (gram)
+                   WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+                   GROUP BY 1, 2),
+         contaminated AS (SELECT DISTINCT id_t AS doc_id FROM inter
+             JOIN sz sa ON sa.doc_id = id_t JOIN sz sb ON sb.doc_id = id_b
+           WHERE ov::DOUBLE / (sa.sz + sb.sz - ov) >= 0.5),
+         tt AS (SELECT doc_id, lang, l, len(l)::BIGINT AS n FROM t
+                WHERE doc_id % 20 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         g4 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 3),
+               i -> {'pos': i - 1,
+                     'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]}))
+               AS pg
+           FROM t WHERE len(l) >= 4),
+         gp AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g4),
+         bench AS (SELECT DISTINCT gram FROM gp WHERE doc_id % 20 = 0),
+         hits AS (SELECT gp.doc_id, gp.pos FROM gp JOIN bench USING (gram)
+                  WHERE gp.doc_id IN (SELECT doc_id FROM tt)),
+         isl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM hits),
+         spp AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+                   FROM spp GROUP BY doc_id, island),
+         mid AS (SELECT doc_id,
+             lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS seg_start,
+             s AS seg_end
+           FROM spans),
+         tail AS (SELECT tt.doc_id, coalesce(mx.me, 0) AS seg_start,
+             tt.n AS seg_end
+           FROM tt LEFT JOIN (SELECT doc_id, max(e) AS me FROM spans
+                              GROUP BY doc_id) mx USING (doc_id)),
+         segs AS (SELECT * FROM mid UNION ALL SELECT * FROM tail),
+         segx AS (SELECT segs.doc_id, seg_start::BIGINT AS seg_start,
+             seg_end::BIGINT AS seg_end,
+             array_to_string(list_slice(tt.l, seg_start + 1, seg_end), ' ')
+               AS seg_text
+           FROM segs JOIN tt USING (doc_id)
+           WHERE seg_end > seg_start),
+         ded AS (SELECT doc_id, seg_start, seg_end, n_copies FROM (
+             SELECT segx.*, count(*) OVER (PARTITION BY seg_text) AS n_copies,
+               row_number() OVER (PARTITION BY seg_text
+                                  ORDER BY doc_id * 100000 + seg_start) AS rn
+             FROM segx) WHERE rn = 1),
+         sp2 AS (SELECT doc_id, seg_start, seg_end, n_copies,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT ded.*,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS UBIGINT) % 100 AS b
+                 FROM ded))
+         SELECT t.lang AS lang, sp2.split AS split, count(*) AS n_segs,
+           sum(seg_end - seg_start)::BIGINT AS n_tokens,
+           sum(n_copies - 1)::BIGINT AS n_dup_segs
+         FROM sp2 JOIN t USING (doc_id)
+         GROUP BY 1, 2""",
     "q53_dedup_components" ->
       s"""WITH RECURSIVE sh AS (
            SELECT doc_id, lang,
