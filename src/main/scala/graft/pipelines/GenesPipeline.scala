@@ -33,7 +33,11 @@ object GenesPipeline {
     import spark.implicits._
     val w = Window.partitionBy("treeId").orderBy("pk")
     val ranked = Tables.part(spark, dir)
-      .select(col("p_partkey").as("pk"), (col("p_partkey") % 50).cast("long").as("treeId"))
+      // DIV keying: bounded tree size, corpus-proportional tree count
+      // (q44's scaffold note — a scaled corpus adds trees, real gene
+      // families don't deepen with corpus size)
+      .select(col("p_partkey").as("pk"),
+        expr("p_partkey DIV 40").cast("long").as("treeId"))
       .withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("treeId")))
     val leaves = ranked.select(

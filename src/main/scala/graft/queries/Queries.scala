@@ -678,18 +678,24 @@ object Queries {
     * ([[graft.ops.GeneTreeRep.leafAttrs]] — `trees/genetree.js:211-233`
     * bottom-up DP, `search/genetree_adder.js:139-173` top-down 0.8
     * override + ath tracking + duplication tagging) over a caterpillar
-    * forest derived from the part table: tree k holds the parts with
-    * `p_partkey % 50 = k`, ranked into leaves L_1..L_n hanging off an
-    * internal chain I_1→I_(n-1). All distances/scores are exact binary
-    * quarters so the DuckDB recursive-CTE oracle hash-matches bit-for-
-    * bit. One shuffle (nodes by tree id); each tree folds executor-local.
+    * forest derived from the part table: tree k holds the ≤40
+    * consecutive parts with `p_partkey DIV 40 = k`, ranked into leaves
+    * L_1..L_n hanging off an internal chain I_1→I_(n-1). The DIV
+    * keying (was `% 50` through round 8) bounds TREE SIZE while tree
+    * COUNT grows with the corpus — real gene families are bounded, so
+    * a scaled corpus must add trees, not deepen each one 100× (the
+    * round-7 audit's q54 OOM was the modulo scaffold, not the DP).
+    * All distances/scores are exact binary quarters so the DuckDB
+    * recursive-CTE oracle hash-matches bit-for-bit. One shuffle (nodes
+    * by tree id); each tree folds executor-local.
     */
   val q44GenetreeRep: Q = (s, d) => {
     import s.implicits._
     import graft.ops.GeneTreeRep
     val w = Window.partitionBy("treeId").orderBy("pk")
     val ranked = Tables.part(s, d)
-      .select(col("p_partkey").as("pk"), (col("p_partkey") % 50).cast("long").as("treeId"))
+      .select(col("p_partkey").as("pk"),
+        expr("p_partkey DIV 40").cast("long").as("treeId"))
       .withColumn("r", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("treeId")))
     val leaves = ranked.select(
@@ -1602,10 +1608,10 @@ object Queries {
     */
   private val treeRepCtes =
     """base AS (
-           SELECT p_partkey AS pk, (p_partkey % 50)::BIGINT AS tree,
-                  row_number() OVER (PARTITION BY p_partkey % 50
+           SELECT p_partkey AS pk, (p_partkey // 40)::BIGINT AS tree,
+                  row_number() OVER (PARTITION BY p_partkey // 40
                                      ORDER BY p_partkey) AS r,
-                  count(*) OVER (PARTITION BY p_partkey % 50) AS n
+                  count(*) OVER (PARTITION BY p_partkey // 40) AS n
            FROM part),
          leaves AS (
            SELECT tree, r,
