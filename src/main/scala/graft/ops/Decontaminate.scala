@@ -306,6 +306,22 @@ object Decontaminate {
     * Returns `(id, bench_id, jaccard)` like the exact screen — missed
     * pairs are LSH false negatives, rarer as `bands` grows.
     */
+  /** [[minHashScreen]] with the banding derived from the threshold via
+    * [[graft.ops.Dedup.lshBanding]] (S-curve inflection closest to the
+    * threshold, ties toward recall).
+    */
+  def minHashScreenAuto(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 2,
+      threshold: Double = 0.5,
+      numHashes: Int = 32): DataFrame = {
+    val (b, r) = Dedup.lshBanding(threshold, numHashes)
+    minHashScreen(train, bench, textCol, idCol, shingleN, b, r, threshold)
+  }
+
   def minHashScreen(
       train: DataFrame,
       bench: DataFrame,

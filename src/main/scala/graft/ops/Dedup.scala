@@ -45,6 +45,50 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
+  /** Candidate probability of the (bands, rowsPerBand) banding for a
+    * pair of true Jaccard `s`: `1 − (1 − s^r)^b` — the LSH S-curve.
+    */
+  def lshCandidateProb(bands: Int, rowsPerBand: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Derive (bands, rowsPerBand) from the target threshold: among the
+    * divisor pairs b·r = numHashes, pick the one whose S-curve
+    * inflection `(1/b)^(1/r)` (where candidate probability crosses
+    * ~1−1/e) sits closest to the threshold — pairs below waste work on
+    * sub-threshold candidates, pairs above lose recall at the
+    * threshold. Ties break toward MORE bands (recall over precision:
+    * LSH false positives are removed by the exact verify, false
+    * negatives are gone forever). The fixed defaults used through
+    * round 8 (8 bands × 4 rows at t = 0.5, 32 hashes) are exactly
+    * what this returns, so auto-tuned call sites keep their recall.
+    */
+  def lshBanding(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    val pairs = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r)) // (bands, rowsPerBand)
+    pairs.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
+  /** [[minHashLsh]] with the banding derived from the threshold via
+    * [[lshBanding]] — the self-service form of the measured scale
+    * path (a caller states WHAT similarity matters; the S-curve picks
+    * HOW to bucket it).
+    */
+  def minHashLshAuto(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32): DataFrame = {
+    val (b, r) = lshBanding(threshold, numHashes)
+    minHashLsh(docs, textCol, idCol, shingleN, b, r, threshold)
+  }
+
   def minHashLsh(
       docs: DataFrame,
       textCol: String,

@@ -1034,11 +1034,11 @@ object Queries {
     */
   val q70DecontaminateMinhash: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    graft.ops.Decontaminate.minHashScreen(
+    // auto-tuned banding — resolves to the same (8, 4) at t = 0.5/32
+    graft.ops.Decontaminate.minHashScreenAuto(
       docs.where(col("doc_id") % 20 =!= 0),
       docs.where(col("doc_id") % 20 === 0),
-      "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 4,
-      threshold = 0.5)
+      "text", "doc_id", shingleN = 2, threshold = 0.5, numHashes = 32)
       .withColumnRenamed("id", "doc_id")
   }
 
@@ -1246,9 +1246,11 @@ object Queries {
     * cross-check against q22's exact pairs.
     */
   val q26MinHashLsh: Q = (s, d) =>
-    Dedup.minHashLsh(
+    // auto-tuned banding: lshBanding(0.5, 32) = (8, 4), the measured
+    // round-7 scale path's parameters, now derived instead of pinned
+    Dedup.minHashLshAuto(
       Tables.documents(s, d), "text", "doc_id",
-      shingleN = 2, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      shingleN = 2, threshold = 0.5, numHashes = 32)
 
   /** SimHash 64-bit fingerprints per document. */
   val q27SimHash: Q = (s, d) =>
