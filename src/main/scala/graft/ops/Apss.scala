@@ -214,16 +214,19 @@ object Apss {
       ordered: Boolean,
       dimCap: Int,
       threshold: Double,
-      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
+      nVecs: => Long,
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     // PRE-FLIGHT GUARD: the posting lists carry per-dim frequencies;
     // predict the posting join's row volume (self: Σ df·(df−1)/2,
     // cross: Σ df_probe·df_build — salting redistributes but does not
-    // change it) and refuse a high-df-regime launch up front. See
+    // change it) and refuse a high-df-regime launch up front (cap
+    // auto-scales with the probe-side vector count). See
     // [[SimilarityGuard]].
     SimilarityGuard.check(
       if (ordered) SimilarityGuard.selfJoinVolume(buildSide, Seq("dim"))
       else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim")),
-      maxCandidates, "Apss.candidatesOf",
+      SimilarityGuard.resolveCap(maxCandidates, nVecs),
+      "Apss.candidatesOf",
       "Sparsify harder (Apss.sparsifyTopM with smaller m), raise the " +
         "threshold, or re-route to an LSH/IVF screen (Similarity/Dedup)")
     val groups = buildSide.groupBy("dim")
@@ -318,14 +321,14 @@ object Apss {
       termsCol: String,
       threshold: Double,
       maxBroadcastDims: Int = DefaultMaxBroadcastDims,
-      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val perVec =
       perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
         .localCheckpoint(false)
     val posted = postingsOf(perVec)
     verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold,
-        maxCandidates),
+        perVec.count(), maxCandidates),
       perVec, perVec, threshold)
   }
 
@@ -344,7 +347,7 @@ object Apss {
       idCol: String,
       termsCol: String,
       threshold: Double,
-      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     val c = perVecOf(corpus, idCol, termsCol, threshold / 2, mw = None)
       .localCheckpoint(false)
@@ -352,7 +355,7 @@ object Apss {
       .localCheckpoint(false)
     verify(
       candidatesOf(postingsOf(q), postingsOf(c), ordered = false,
-        dimCap = 4096, threshold, maxCandidates),
+        dimCap = 4096, threshold, q.count(), maxCandidates),
       q, c, threshold)
       .withColumnRenamed("id_a", "query_id")
       .withColumnRenamed("id_b", "corpus_id")
@@ -395,7 +398,8 @@ object Apss {
       */
     def selfPairs(): DataFrame = {
       val posted = postingsOf(perVec)
-      verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold),
+      verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold,
+          perVec.count()),
         perVec, perVec, threshold)
     }
 
@@ -419,7 +423,7 @@ object Apss {
         .localCheckpoint(false)
       val candidates = candidatesOf(
         postingsOf(q), postingsOf(perVec), ordered = false, dimCap = 4096,
-        threshold)
+        threshold, q.count())
       verify(candidates, q, perVec, threshold)
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "corpus_id")

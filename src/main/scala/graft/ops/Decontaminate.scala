@@ -224,7 +224,7 @@ object Decontaminate {
       idCol: String,
       shingleN: Int,
       threshold: Double,
-      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     // both shingle tables feed the freq union, a prefix derivation, and
     // a verify side — materialize each once
     val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
@@ -259,7 +259,8 @@ object Decontaminate {
       SimilarityGuard.crossJoinVolume(
         prefixes.where(col("side") === 0), prefixes.where(col("side") === 1),
         Seq("htok")),
-      maxCandidates, "Decontaminate.jaccardScreen",
+      SimilarityGuard.resolveCap(maxCandidates, shT.count()),
+      "Decontaminate.jaccardScreen",
       "Re-route this corpus to Decontaminate.minHashScreen (signature-" +
         "collision-driven candidates)")
     // positional overlap bound checked per match row, map-side, before

@@ -190,7 +190,7 @@ object Dedup {
       blockCol: String,
       shingleN: Int,
       threshold: Double,
-      maxCandidates: Long = SimilarityGuard.DefaultMaxCandidates): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     val sh = docs
       .select(
         col(blockCol).as("block"),
@@ -237,7 +237,8 @@ object Dedup {
     // of shuffling a quadratic blow-up to disk.
     SimilarityGuard.check(
       SimilarityGuard.selfJoinVolume(prefixes, Seq("block", "htok")),
-      maxCandidates, "Dedup.ngramJaccardPairs",
+      SimilarityGuard.resolveCap(maxCandidates, sh.count()),
+      "Dedup.ngramJaccardPairs",
       "Re-route this corpus to Dedup.minHashLsh (signature-collision-" +
         "driven candidates) and keep the exact join for Heaps-law corpora")
     // Positional filter (PPJoin): jaccard >= t implies overlap >=

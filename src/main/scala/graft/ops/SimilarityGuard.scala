@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   * refuse a quadratic-regime launch up front — minutes of cluster time
   * and a clear message instead of a disk-filling shuffle.
   *
-  * The caps are per-call-site overridable; `Long.MaxValue` opts out.
-  * The refusal names the measured volume and the documented re-route
-  * (the LSH screens, whose candidate volume is driven by signature
+  * The default cap is AUTO: `max(floor, perDoc · corpusSize)` — scale-
+  * free, so a launch whose per-document amplification is constant (the
+  * linear regime prefix filtering is designed for) passes at any
+  * corpus size, while a closed vocabulary's per-doc volume grows with
+  * the corpus and refuses past the budget. An explicit positive
+  * `maxCandidates` is a hard cap; `Long.MaxValue` opts out. The
+  * refusal names the measured volume and the documented re-route (the
+  * LSH screens, whose candidate volume is driven by signature
   * collisions ∝ true similarity, not gram frequency).
   */
 object SimilarityGuard {
@@ -45,12 +50,42 @@ object SimilarityGuard {
         s"true-pair count). $reroute, or raise maxCandidates explicitly if the " +
         s"volume is intended.")
 
-  /** Default cap: generous for any corpus where prefix filtering works
-    * (the sf0.1 bench's df-heavy synthetic corpus predicts ~3 orders
-    * of magnitude below it — see GuardProbe in tools), refused well
-    * before the 100× audit's measured ~10⁹-candidate blow-up.
+  /** Sentinel for the default `maxCandidates` parameter: resolve the
+    * cap from corpus size ([[autoCap]]). An explicit positive value is
+    * a hard cap.
     */
-  val DefaultMaxCandidates: Long = 200L * 1000 * 1000
+  val Auto: Long = 0L
+
+  /** Auto-mode per-document candidate budget. Calibrated on the
+    * driver's df-heavy synthetic corpus — the heaviest gated workload
+    * (q63's TF-IDF posting join) runs ~12k join rows per doc at ANY
+    * scale of that corpus, and the 100× audit's exact screens hold
+    * per-doc volume constant (tagged copies keep dfs disjoint), so
+    * 20k/doc passes every same-workload-bigger launch while a closed
+    * vocabulary (per-doc volume ∝ corpus size) still crosses it and
+    * refuses once the corpus outgrows the floor.
+    */
+  val DefaultPerDocCandidates: Double = 20000.0
+
+  /** Auto-mode floor: corpora small enough that even a quadratic
+    * candidate stage is cheap never refuse — the guard exists to stop
+    * cluster-scale blow-ups, not unit tests.
+    */
+  val DefaultFloor: Long = 50L * 1000 * 1000
+
+  /** The auto cap: scale-free in corpus size, so a workload whose
+    * per-doc amplification is constant (the linear regime prefix
+    * filtering is designed for) passes at ANY scale — the round-9
+    * 100× audit measured q22 at 406M predicted rows on 500k docs
+    * (812/doc, identical to its sf0.1 ratio) and the earlier absolute
+    * default wrongly refused it. Quadratic regimes grow per-doc volume
+    * with the corpus and cross the per-doc budget instead.
+    */
+  def autoCap(nDocs: Long): Long =
+    math.max(DefaultFloor, (DefaultPerDocCandidates * nDocs).toLong)
+
+  def resolveCap(maxCandidates: Long, nDocs: => Long): Long =
+    if (maxCandidates > 0) maxCandidates else autoCap(nDocs)
 
   /** Predicted candidate volume of a SELF equi-join on `keys`:
     * Σ over key of df·(df−1)/2 — the join rows surviving the

@@ -55,6 +55,21 @@ class SimilarityGuardSpec extends SparkSpec {
     assert(SimilarityGuard.selfJoinVolume(prefixes.limit(0), Seq("htok")) === 0L)
   }
 
+  test("auto cap scales with the corpus; explicit cap is hard") {
+    // below the floor the floor rules; past it the per-doc budget does
+    assert(SimilarityGuard.autoCap(100L) === SimilarityGuard.DefaultFloor)
+    val big = 500L * 1000
+    assert(SimilarityGuard.autoCap(big) ===
+      (SimilarityGuard.DefaultPerDocCandidates * big).toLong)
+    // the 100x audit's measured linear point: q22 predicted 406M rows
+    // on 500k docs (812/doc) — auto must ALLOW what an absolute
+    // default refused
+    assert(SimilarityGuard.autoCap(big) > 406L * 1000 * 1000)
+    assert(SimilarityGuard.resolveCap(SimilarityGuard.Auto, big) ===
+      SimilarityGuard.autoCap(big))
+    assert(SimilarityGuard.resolveCap(123L, big) === 123L)
+  }
+
   test("ngramJaccardPairs refuses the closed-vocab regime and names the re-route") {
     val docs = closedVocabDocs(60)
     val e = intercept[SimilarityGuard.CandidateVolumeExceeded] {
