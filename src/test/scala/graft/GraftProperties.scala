@@ -310,4 +310,33 @@ object GraftProperties extends Properties("graft") {
       Prop((r.getInt(0), r.getInt(1), r.getInt(2)) == expected) :|
         s"toks=$toks n=$n got=$r expected=$expected"
     }
+
+  private val genPrefixRows: Gen[List[(String, Long)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.oneOf("k1", "k2", "k3", "k4", "k5")
+      id <- Gen.chooseNum(0L, 30L)
+    } yield (k, id))
+
+  property("similarity-guard volume predictors == actual join-row counts") =
+    forAll(genPrefixRows, genPrefixRows) { (as, bs) =>
+      import org.apache.spark.sql.functions.col
+      import graft.ops.SimilarityGuard
+      val a = as.toDF("htok", "id")
+      val b = bs.toDF("htok", "id")
+      // self: join rows surviving id_a < id_b — but selfJoinVolume
+      // counts UNORDERED pairs including equal-id meetings once per
+      // key, so compare against the full a×a join minus diagonal,
+      // halved: that is exactly sum df*(df-1)/2 per key.
+      val selfActual = a.select(col("htok"), col("id").as("id_a"))
+        .join(a.select(col("htok"), col("id").as("id_b")), "htok")
+        .count() // df^2 per key, includes diagonal df
+      val dfSq = SimilarityGuard.selfJoinVolume(a, Seq("htok")) * 2 +
+        as.length // 2*C(df,2) + df == df^2 per key
+      val crossActual = a.select(col("htok"), col("id").as("id_a"))
+        .join(b.select(col("htok"), col("id").as("id_b")), "htok")
+        .count()
+      val crossPred = SimilarityGuard.crossJoinVolume(a, b, Seq("htok"))
+      Prop(selfActual == dfSq && crossActual == crossPred) :|
+        s"self actual=$selfActual pred_df2=$dfSq cross actual=$crossActual pred=$crossPred"
+    }
 }
