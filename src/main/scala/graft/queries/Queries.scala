@@ -1344,6 +1344,18 @@ object Queries {
     * screen rides). Stateless, so no sentinels and no watermark: the
     * streamed answer must equal the batch left join verbatim.
     */
+  /** STREAMING decontamination screen ([[graft.streaming.StreamGate
+    * .decontaminateScreenAvailableNow]]): training docs as a file
+    * stream probing the benchmark's static MinHash index, exact-Jaccard
+    * verify, watermark-bounded multi-band dedup — the incremental form
+    * of q70 (screen every newly crawled batch against the benchmark
+    * index forever). Rows-only under the driver's gate like its batch
+    * twin; StreamGateSpec pins exact equality to
+    * [[graft.ops.Decontaminate.minHashScreen]] on the bounded input.
+    */
+  val q73DecontaminateStream: Q = (s, d) =>
+    graft.streaming.StreamGate.decontaminateScreenAvailableNow(s, d)
+
   val q66DecorateStream: Q = (s, d) => {
     import graft.streaming.{EventStreams, StreamGate}
     val dir = StreamGate.stageEvents(s, d, Seq.empty)
@@ -1435,6 +1447,7 @@ object Queries {
     "q60_asof_stream" -> q60AsofStream,
     "q61_components_stream" -> q61ComponentsStream,
     "q66_decorate_stream" -> q66DecorateStream,
+    "q73_decontaminate_stream" -> q73DecontaminateStream,
     "q62_apss_probe" -> q62ApssProbe,
     "q63_apss_tfidf" -> q63ApssTfidf,
     "q64_decontaminate" -> q64Decontaminate,

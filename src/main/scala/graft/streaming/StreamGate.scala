@@ -177,33 +177,99 @@ object StreamGate {
     * reproducible; empty slices are simply not staged).
     */
   def stagePairs(pairs: DataFrame, slices: Int): Path = {
-    val dir = tempDir("graft_stream_pairs_")
-    val t0 = System.currentTimeMillis()
     // Materialize the pair table ONCE before slicing: the caller's
     // pairs plan can be a full similarity join, and without this each
     // slice's write would replay it (slices× the dominant cost).
-    // repartition(1), not coalesce(1), for the single staged part file
-    // — coalesce would collapse that replay into ONE task on top.
     val typed = pairs.select(
         col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
       .localCheckpoint()
+    stageSlices(typed, col("id_a"), slices, "pairs")
+  }
+
+  /** Stage `df` as up to `slices` hash-sliced parquet files (slice =
+    * xxhash64 of `sliceKey` mod `slices`) with strictly increasing
+    * mtimes — a deterministic multi-micro-batch stream source (slice
+    * membership is content-hashed, so the batch split is reproducible;
+    * empty slices are simply not staged). Callers materialize `df`
+    * first if its plan is expensive — each slice's write replays it.
+    */
+  def stageSlices(
+      df: DataFrame, sliceKey: org.apache.spark.sql.Column,
+      slices: Int, prefix: String): Path = {
+    val dir = tempDir(s"graft_stream_${prefix}_")
+    val t0 = System.currentTimeMillis()
     (0 until slices).foreach { i =>
-      val scratch = tempDir("graft_stream_pairslice_")
+      val scratch = tempDir("graft_stream_slice_")
       val out = scratch.resolve("out")
-      typed.where(pmod(xxhash64(col("id_a")), lit(slices)) === i)
+      // repartition(1), not coalesce(1), for the single staged part
+      // file — coalesce would collapse the slice filter into ONE task
+      df.where(pmod(xxhash64(sliceKey), lit(slices)) === i)
         .repartition(1).write.parquet(out.toString)
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(Files.list(out)) { listing =>
         listing.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
       }.foreach { part =>
-        val staged = dir.resolve(f"pairs_$i%02d.parquet")
+        val staged = dir.resolve(f"${prefix}_$i%02d.parquet")
         Files.copy(part, staged)
         Files.setLastModifiedTime(staged, FileTime.fromMillis(t0 + i * 60000L))
       }
       deleteRecursively(scratch)
     }
     dir
+  }
+
+  /** The STREAMING decontamination screen, gated: training documents
+    * arrive as a file stream (hash-sliced for a deterministic
+    * multi-micro-batch run), the benchmark's MinHash index is the
+    * static side ([[DocStreams.minHashIndex]] — built once, broadcast
+    * or bucket-joined per micro-batch), candidates verify with the
+    * exact Jaccard, and watermark-bounded state dedups multi-band
+    * re-matches ([[DocStreams.nearDupStream]]). On the bounded staged
+    * input the result must EQUAL the batch screen
+    * ([[graft.ops.Decontaminate.minHashScreen]] with the same
+    * parameters — same engine-seeded signatures, banding and verify),
+    * which is how StreamGateSpec pins it; the driver's gate records it
+    * rows-only like its batch twin q70.
+    *
+    * The synthesized event time (`timestamp_micros(doc_id)`) spreads
+    * all stamps well inside one watermark, so the dedup state never
+    * expires mid-run and the streaming dedup is exact — the same
+    * bounded-input determinism argument as [[stageEvents]]' sentinels.
+    */
+  def decontaminateScreenAvailableNow(
+      s: SparkSession, d: String, slices: Int = 4): DataFrame = {
+    val docs = graft.core.Tables.documents(s, d)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val train = docs
+      .where(col("doc_id") % 20 =!= 0)
+      .withColumn("ts", timestamp_micros(col("doc_id")))
+      .localCheckpoint(false)
+    val dir = stageSlices(train, col("doc_id"), slices, "docs")
+    val index = DocStreams
+      .minHashIndex(bench, "text", "doc_id", shingleN = 2,
+        bands = 8, rowsPerBand = 4)
+      .localCheckpoint(false)
+    // probe any staged slice for the schema (slice 0 may be empty and
+    // therefore unstaged — slice membership is content-hashed)
+    val schema = {
+      import scala.jdk.CollectionConverters._
+      val first = scala.util.Using.resource(Files.list(dir)) { l =>
+        l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no staged doc slices under $dir"))
+      }
+      s.read.parquet(first.toString).schema
+    }
+    val stream = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val out = DocStreams.nearDupStream(
+      stream, index, "text", "doc_id", "ts",
+      threshold = 0.5, shingleN = 2, bands = 8, rowsPerBand = 4)
+    runAvailableNow(out)
+      .select(col("doc_id"), col("corpus_id").as("bench_id"), col("jaccard"))
   }
 
   /** Run the staged pair slices through the INCREMENTAL components

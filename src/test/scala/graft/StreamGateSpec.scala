@@ -38,6 +38,16 @@ class StreamGateSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("q73: streamed decontamination screen equals batch minHashScreen exactly") {
+    // sf0.01: the sf0.001 corpus plants no cross-set near-dups, and an
+    // empty == empty equality would prove nothing
+    val dir = "/root/testdata/sf0.01"
+    val stream = rows(Queries.q73DecontaminateStream(spark, dir))
+    val batch = rows(Queries.q70DecontaminateMinhash(spark, dir))
+    assert(stream.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("q59/q60/q61 are wired into the catalog with their twins' oracles") {
     assert(Queries.all.contains("q59_sessionize_stream"))
     assert(Queries.all.contains("q60_asof_stream"))
