@@ -113,7 +113,15 @@ object SimilarityGuard {
       .head().getLong(0)
   }
 
-  def check(predicted: Long, cap: Long, site: String, reroute: String): Unit =
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def check(predicted: Long, cap: Long, site: String, reroute: String): Unit = {
+    // allowed launches log their headroom at INFO: at cluster scale an
+    // operator watching the ratio creep toward 1 sees the df regime
+    // shifting BEFORE the first refusal
+    log.info(s"$site: predicted candidate volume $predicted / cap $cap " +
+      f"(${predicted.toDouble / cap}%.3f of budget)")
     if (predicted > cap)
       throw new CandidateVolumeExceeded(predicted, cap, site, reroute)
+  }
 }
