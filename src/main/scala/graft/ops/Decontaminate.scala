@@ -331,7 +331,8 @@ object Decontaminate {
       shingleN: Int = 2,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Int = 4096): DataFrame = {
     val numHashes = bands * rowsPerBand
     val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
     val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
@@ -344,8 +345,25 @@ object Decontaminate {
             lit(b).as("band"),
             hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
         }: _*)).as("bb"))
-    val candidates = buckets(shT)
-      .join(buckets(shB).select(col("bb"), col("id").as("bench_id")), Seq("bb"))
+    // SKEW GUARD ([[graft.ops.Dedup.simHashPairs]] pattern, cross-set
+    // form): a hot bucket on the TRAIN side — boilerplate mass-
+    // duplicated across the corpus — concentrates dfT×dfB pair work in
+    // one task. Split train buckets over `bucketCap` rows into g salt
+    // groups (train keeps its own salt, the small bench side fans out
+    // to all g): per-task work drops to (dfT/g)·dfB, the pair set is
+    // unchanged.
+    val bT = buckets(shT).localCheckpoint(false)
+    val groups = bT.groupBy("bb")
+      .agg(ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
+    val candidates = bT.join(groups, Seq("bb"))
+      .select(col("bb"),
+        pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"), col("id"))
+      .join(
+        buckets(shB).join(groups, Seq("bb"))
+          .select(col("bb"),
+            explode(sequence(lit(0), col("g") - 1)).as("salt"),
+            col("id").as("bench_id")),
+        Seq("bb", "salt"))
       .select("id", "bench_id")
       .distinct()
     candidates

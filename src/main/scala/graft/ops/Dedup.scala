@@ -96,7 +96,8 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketCap: Int = 4096): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Materialize shingles in their own projection so the signature's k
     // transforms reference one computed array instead of k inlined copies.
@@ -130,10 +131,24 @@ object Dedup {
       // bucket rows are narrow (bucket key + id), so this is cheap
       .localCheckpoint(false)
 
-    val a = buckets.select(col("bb").as("bb"), col("id").as("id_a"))
-    val b = buckets.select(col("bb").as("bb"), col("id").as("id_b"))
+    // SKEW GUARD (the [[simHashPairs]] pattern): a hot bucket — e.g.
+    // mass-duplicated boilerplate hashing every band identically —
+    // makes one join task quadratic. Buckets over `bucketCap` rows
+    // split into g = ceil(n/cap) salt groups: probe keeps its own
+    // salt, build fans out to all g, every pair still meets exactly
+    // once per shared bucket. Pure work redistribution — the pair set
+    // is unchanged (spec-pinned by the cap-forcing invariance test).
+    val groups = buckets.groupBy("bb")
+      .agg(ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
+    val sized = buckets.join(groups, Seq("bb"))
+    val a = sized.select(col("bb"),
+      pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
+      col("id").as("id_a"))
+    val b = sized.select(col("bb"),
+      explode(sequence(lit(0), col("g") - 1)).as("salt"),
+      col("id").as("id_b"))
     val candidates = a
-      .join(b, Seq("bb"))
+      .join(b, Seq("bb", "salt"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()

@@ -188,6 +188,12 @@ class DecontaminateSpec extends SparkSpec {
     assert(fuzzy.subsetOf(exact))
     // ...and at these J levels (>= 0.83) with 8 bands it loses none
     assert(fuzzy === exact)
+    // the train-side bucket skew guard redistributes work only:
+    // forcing every bucket to salt-split reproduces the pair set
+    val salted = pairs(Decontaminate.minHashScreen(
+      train, bench, "text", "id", shingleN = 2, bands = 8, rowsPerBand = 4,
+      threshold = 0.5, bucketCap = 1))
+    assert(salted === fuzzy)
   }
 
   test("overlap counts distinct grams once however often they repeat") {

@@ -75,6 +75,15 @@ class DedupSpec extends SparkSpec {
     // positives; with 8 bands recall on >=0.5 pairs is ~1 at this size.
     assert(lsh.subsetOf(exact))
     assert((exact -- lsh).isEmpty, s"LSH missed: ${exact -- lsh}")
+
+    // the bucket skew guard is pure work redistribution: forcing every
+    // bucket to salt-split (cap 1 -> g = bucket size) must reproduce
+    // the identical pair set
+    val salted = Dedup
+      .minHashLsh(docs, "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 4,
+        threshold = 0.5, bucketCap = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(salted === lsh)
   }
 
   test("simhash: identical docs collide, near-dups are close, determinism") {
