@@ -396,10 +396,11 @@ object Apss {
     /** Exact (id_a < id_b, sim) pairs within the indexed corpus —
       * [[cosinePairs]] semantics off the persisted index.
       */
-    def selfPairs(): DataFrame = {
+    def selfPairs(
+        maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
       val posted = postingsOf(perVec)
       verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold,
-          perVec.count()),
+          perVec.count(), maxCandidates),
         perVec, perVec, threshold)
     }
 
@@ -414,7 +415,8 @@ object Apss {
     def probe(
         queries: DataFrame,
         idCol: String,
-        termsCol: String): DataFrame = {
+        termsCol: String,
+        maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
       require(openWorld,
         "probe needs an open-world index: buildIndex(..., openWorld = true)")
       // query-side index feeds both the candidate join and the verify —
@@ -423,7 +425,7 @@ object Apss {
         .localCheckpoint(false)
       val candidates = candidatesOf(
         postingsOf(q), postingsOf(perVec), ordered = false, dimCap = 4096,
-        threshold, q.count())
+        threshold, q.count(), maxCandidates)
       verify(candidates, q, perVec, threshold)
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "corpus_id")

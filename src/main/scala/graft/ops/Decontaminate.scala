@@ -292,21 +292,6 @@ object Decontaminate {
       .select(col("id"), col("bench_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** NEAR-duplicate decontamination, MinHash+LSH scale path: the
-    * benchmark's banded signature index is built ONCE (benchmarks are
-    * small — the index broadcasts; at worst it degrades to a keyed
-    * join on the bucket key), each training doc's signature probes it
-    * through a narrow (band, bucket) equi-join, and candidates verify
-    * with the exact sorted-merge Jaccard. The train × bench pair space
-    * never materializes and the training corpus is read once — the
-    * stream-static shape of [[graft.streaming.DocStreams]], batch form.
-    *
-    * Same signature/banding machinery as [[graft.ops.Dedup.minHashLsh]]
-    * (engine-seeded xxhash64 — rows-only under the oracle gate; exact
-    * recall is pinned against [[jaccardScreen]] in DecontaminateSpec).
-    * Returns `(id, bench_id, jaccard)` like the exact screen — missed
-    * pairs are LSH false negatives, rarer as `bands` grows.
-    */
   /** [[minHashScreen]] with the banding derived from the threshold via
     * [[graft.ops.Dedup.lshBanding]] (S-curve inflection closest to the
     * threshold, ties toward recall).
@@ -323,6 +308,21 @@ object Decontaminate {
     minHashScreen(train, bench, textCol, idCol, shingleN, b, r, threshold)
   }
 
+  /** NEAR-duplicate decontamination, MinHash+LSH scale path: the
+    * benchmark's banded signature index is built ONCE (benchmarks are
+    * small — the index broadcasts; at worst it degrades to a keyed
+    * join on the bucket key), each training doc's signature probes it
+    * through a narrow (band, bucket) equi-join, and candidates verify
+    * with the exact sorted-merge Jaccard. The train × bench pair space
+    * never materializes and the training corpus is read once — the
+    * stream-static shape of [[graft.streaming.DocStreams]], batch form.
+    *
+    * Same signature/banding machinery as [[graft.ops.Dedup.minHashLsh]]
+    * (engine-seeded xxhash64 — rows-only under the oracle gate; exact
+    * recall is pinned against [[jaccardScreen]] in DecontaminateSpec).
+    * Returns `(id, bench_id, jaccard)` like the exact screen — missed
+    * pairs are LSH false negatives, rarer as `bands` grows.
+    */
   def minHashScreen(
       train: DataFrame,
       bench: DataFrame,

@@ -35,16 +35,6 @@ object Dedup {
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
     graft.functions.Shingling.minHashSignature(shingleCol, numHashes)
 
-  /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands
-    * of `rowsPerBand` hashes; docs sharing any (band, band-hash) bucket
-    * become a candidate pair, then candidates are verified with the
-    * exact Jaccard over shingle sets. The only shuffles are the bucket
-    * groupBy-style self-join and the final distinct — the all-pairs
-    * space is never materialized, which is what makes this viable on
-    * billions of documents.
-    *
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    */
   /** Candidate probability of the (bands, rowsPerBand) banding for a
     * pair of true Jaccard `s`: `1 − (1 − s^r)^b` — the LSH S-curve.
     */
@@ -89,6 +79,16 @@ object Dedup {
     minHashLsh(docs, textCol, idCol, shingleN, b, r, threshold)
   }
 
+  /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands
+    * of `rowsPerBand` hashes; docs sharing any (band, band-hash) bucket
+    * become a candidate pair, then candidates are verified with the
+    * exact Jaccard over shingle sets. The only shuffles are the bucket
+    * groupBy-style self-join and the final distinct — the all-pairs
+    * space is never materialized, which is what makes this viable on
+    * billions of documents.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
   def minHashLsh(
       docs: DataFrame,
       textCol: String,

@@ -95,12 +95,19 @@ object SimilarityGuard {
     * materialized) prefix table — O(|prefixes|), vs the join it
     * guards being O(result).
     */
+  /** Saturating double→Long: volumes near/over 2⁶³ mean "refuse" — a
+    * silent Long wrap would flip `predicted > cap` to false in exactly
+    * the catastrophic regime the guard exists for. Doubles lose ULP
+    * precision above 2⁵³, irrelevant for a threshold comparison.
+    */
+  private def toVolume(d: Double): Long =
+    if (d >= Long.MaxValue.toDouble) Long.MaxValue else d.toLong
+
   def selfJoinVolume(prefixes: DataFrame, keys: Seq[String]): Long =
-    prefixes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
-      // DIV, not "/": Spark's "/" on longs is double division, and the
-      // caller reads a Long
-      .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
-      .head().getLong(0)
+    toVolume(prefixes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+      // double arithmetic: df ~1e9 makes df² overflow Long per-key
+      .agg(coalesce(sum(expr("CAST(df AS DOUBLE) * (df - 1) / 2")), lit(0.0)))
+      .head().getDouble(0))
 
   /** Predicted candidate volume of a CROSS equi-join on `keys`:
     * Σ over key of df_a·df_b.
@@ -108,9 +115,9 @@ object SimilarityGuard {
   def crossJoinVolume(a: DataFrame, b: DataFrame, keys: Seq[String]): Long = {
     def dfs(t: DataFrame, name: String) =
       t.groupBy(keys.map(col): _*).agg(count(lit(1)).as(name))
-    dfs(a, "dfa").join(dfs(b, "dfb"), keys)
-      .agg(coalesce(sum(col("dfa") * col("dfb")), lit(0L)))
-      .head().getLong(0)
+    toVolume(dfs(a, "dfa").join(dfs(b, "dfb"), keys)
+      .agg(coalesce(sum(col("dfa").cast("double") * col("dfb")), lit(0.0)))
+      .head().getDouble(0))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

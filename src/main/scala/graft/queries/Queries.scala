@@ -1055,7 +1055,7 @@ object Queries {
     *      cut the collision windows, keep the clean segments;
     *   4. exact DEDUP ([[graft.ops.Dedup.exact]], q17) of the
     *      surviving segments by content (a synthetic
-    *      `doc_id·10⁵ + seg_start` segment id makes the canonical
+    *      `doc_id·2³² + seg_start` segment id makes the canonical
     *      pick the lexicographic (doc, offset) minimum);
     *   5. reproducible SPLITS ([[graft.ops.Splits]], q67) keyed on the
     *      ORIGINAL doc id, so all of a document's segments land in one
@@ -1075,14 +1075,26 @@ object Queries {
     val contaminated = graft.ops.Decontaminate.jaccardScreen(
         train, bench, "text", "doc_id", shingleN = 2, threshold = 0.5)
       .select(col("id").as("doc_id")).distinct()
+    // survivors feed BOTH the span derivation and the excision, and
+    // segs feed BOTH the dedup and the canonical re-join — without
+    // materialization the screen's candidate join and the excision
+    // replay per consumer (the same materialize-once rule every
+    // composed op in this engine follows)
     val survivors = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     val spans = graft.ops.Decontaminate.ngramHitSpans(
         survivors, bench, "text", "doc_id", n = 4)
       .withColumnRenamed("id", "doc_id")
+    // seg id packs (doc, offset) as doc_id·2³² + seg_start: collision-
+    // free for doc_id < 2³¹ and any realistic token offset (< 2³²),
+    // and its Long order is the (doc, offset) lexicographic order the
+    // canonical pick needs
     val segs = graft.ops.Decontaminate
       .exciseSpans(survivors, spans, "text", "doc_id")
       .withColumnRenamed("id", "doc_id")
-      .withColumn("seg_id", col("doc_id") * lit(100000L) + col("seg_start"))
+      .withColumn("seg_id",
+        col("doc_id") * lit(4294967296L) + col("seg_start"))
+      .localCheckpoint(false)
     val canon = Dedup.exact(segs, "seg_text", "seg_id")
     canon
       .join(segs, canon("canonical_id") === segs("seg_id"))
@@ -1337,13 +1349,6 @@ object Queries {
       .select(col("user_id"), col("event_id"), col("purchase_us"), col("last_err_us"))
   }
 
-  /** §2.10 stream-static decorate, gated: each micro-batch
-    * broadcast-joins the static customer dimension (the reference's
-    * LUT-enrichment shape on a live stream — `search/decorate.js` —
-    * and the same stream-static join machinery DocStreams' near-dup
-    * screen rides). Stateless, so no sentinels and no watermark: the
-    * streamed answer must equal the batch left join verbatim.
-    */
   /** STREAMING decontamination screen ([[graft.streaming.StreamGate
     * .decontaminateScreenAvailableNow]]): training docs as a file
     * stream probing the benchmark's static MinHash index, exact-Jaccard
@@ -1356,6 +1361,13 @@ object Queries {
   val q73DecontaminateStream: Q = (s, d) =>
     graft.streaming.StreamGate.decontaminateScreenAvailableNow(s, d)
 
+  /** §2.10 stream-static decorate, gated: each micro-batch
+    * broadcast-joins the static customer dimension (the reference's
+    * LUT-enrichment shape on a live stream — `search/decorate.js` —
+    * and the same stream-static join machinery DocStreams' near-dup
+    * screen rides). Stateless, so no sentinels and no watermark: the
+    * streamed answer must equal the batch left join verbatim.
+    */
   val q66DecorateStream: Q = (s, d) => {
     import graft.streaming.{EventStreams, StreamGate}
     val dir = StreamGate.stageEvents(s, d, Seq.empty)
@@ -2531,7 +2543,7 @@ object Queries {
          ded AS (SELECT doc_id, seg_start, seg_end, n_copies FROM (
              SELECT segx.*, count(*) OVER (PARTITION BY seg_text) AS n_copies,
                row_number() OVER (PARTITION BY seg_text
-                                  ORDER BY doc_id * 100000 + seg_start) AS rn
+                                  ORDER BY doc_id * 4294967296 + seg_start) AS rn
              FROM segx) WHERE rn = 1),
          sp2 AS (SELECT doc_id, seg_start, seg_end, n_copies,
              CASE WHEN b < 90 THEN 'train'

@@ -59,11 +59,11 @@ class TablesSpec extends SparkSpec {
     assert(canonical.keySet == Tables.names.toSet,
       "TablesSpec canonical map out of sync with Tables.names")
     for (dir <- sfDirs; name <- Tables.names) {
-      val got = Tables.load(spark, dir, name) match {
-        // events goes through its dedicated adapter (nanos branch)
-        case _ if name == "events" => Tables.events(spark, dir)
-        case df => df
-      }
+      // events must go through its dedicated adapter ONLY — a raw load
+      // of nanos-era data throws before the adapter's conf is set
+      val got =
+        if (name == "events") Tables.events(spark, dir)
+        else Tables.load(spark, dir, name)
       val actual = got.schema.fields.toSeq.map(f =>
         f.name -> (f.dataType match {
           // embeddings element nullability varies by writer; the
@@ -97,18 +97,22 @@ class TablesSpec extends SparkSpec {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case TimestampNTZType =>
-        // The raw naive wall-clock string must equal the canonical
-        // instant rendered in UTC — i.e. the cast re-labeled, not
-        // shifted, every value. Checking the min/max/sum triple over
-        // epoch micros catches any per-row shift.
-        val rawAgg = raw
-          .select(unix_micros(col("ts").cast(TimestampType)).as("us"))
-          .agg(min("us"), max("us"), sum("us")).head()
-        val canonAgg = Tables.events(spark, dir)
-          .select(unix_micros(col("ts")).as("us"))
-          .agg(min("us"), max("us"), sum("us")).head()
-        assert(rawAgg == canonAgg,
-          s"NTZ cast shifted values: raw=$rawAgg canonical=$canonAgg")
+        // INDEPENDENT derivation on each side (re-applying the same
+        // cast on both would be a tautology): the raw NTZ max collects
+        // as a JVM LocalDateTime — naive wall-clock fields, untouched
+        // by any session timezone — and the canonical max as an
+        // Instant. The cast is value-preserving iff the naive fields
+        // read AS UTC name the same instant. A session tz drift or a
+        // shifting cast moves the Instant side only, failing this.
+        val rawMax = raw.agg(max(col("ts"))).head()
+          .getAs[java.time.LocalDateTime](0) // NTZ always collects naive
+        val canonMax = Tables.events(spark, dir)
+          .agg(max(col("ts"))).head().get(0) match {
+            case t: java.sql.Timestamp => t.toInstant // java8API off
+            case i: java.time.Instant  => i           // java8API on
+          }
+        assert(rawMax.toInstant(java.time.ZoneOffset.UTC) == canonMax,
+          s"NTZ cast shifted values: raw(naive)=$rawMax canonical=$canonMax")
       case TimestampType => succeed // driver regenerated tz-aware: nothing to prove
       case other =>
         // nanos-as-long era data, or a new drift: the schema test
