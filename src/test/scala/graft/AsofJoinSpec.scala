@@ -87,6 +87,7 @@ class AsofJoinSpec extends SparkSpec {
   test("merge loop runs inside whole-stage codegen, no fallback") {
     // AQE hides the stage tree behind leaf QueryStage nodes; turn it
     // off here so the WholeStageCodegen node is directly collectible
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val l = Seq((1L, 1L, 100L), (1L, 2L, 50L), (2L, 3L, 10L)).toDF("k", "id", "t")
@@ -110,7 +111,7 @@ class AsofJoinSpec extends SparkSpec {
         .sortBy(r => (r._1, r._2))
       assert(got === Seq(
         (1L, 1L, Some(100L)), (1L, 2L, None), (2L, 3L, Some(5L))))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 
   test("codegen is clean under spark.testing: no limitNotReachedCond [BUG]") {
