@@ -64,7 +64,13 @@ object Bench {
     "q69_decontaminate_jaccard",
     "q70_decontaminate_minhash",
     "q71_excise_spans",
-    "q72_decontam_pipeline")
+    "q72_decontam_pipeline",
+    "q74_sequence_pack",
+    "q75_doc_chunks",
+    "q76_stratified_sample",
+    "q77_vocab_build",
+    "q78_corpus_stats",
+    "q79_greedy_pack")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

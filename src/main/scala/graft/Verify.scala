@@ -20,7 +20,13 @@ object Verify {
     // output already committed (the driver never sets it, so gate runs
     // always recompute everything)
     val skipExisting = sys.env.get("SPARK_GRAFT_VERIFY_SKIP_EXISTING").contains("1")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // developer knob: restrict to a comma-separated query subset (the
+    // driver never sets it, so gate runs always cover the catalog)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): both yield the single part
       // file the gate reads, but coalesce collapses the query's whole
       // final stage (often a large hash aggregate) into one task —

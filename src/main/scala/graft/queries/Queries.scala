@@ -1399,6 +1399,122 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Training-set assembly: sequence packing, chunking, sampling, vocab
+  // ---------------------------------------------------------------------
+
+  /** Offset-based sequence packing ([[graft.ops.Packing.packByOffset]]):
+    * documents concatenated per language in doc_id order, every document
+    * assigned to the `budget`-token training sequence its start offset
+    * falls into. The layout is a DISTRIBUTED two-level prefix sum (shard
+    * subtotals → shard-table scan → bounded local windows), not the
+    * one-task-per-language window a naive `sum OVER (PARTITION BY lang)`
+    * plans — the difference between working and not working at 100 TB
+    * with five languages. Output: the per-sequence packing manifest.
+    */
+  val q74SequencePack: Q = (s, d) =>
+    graft.ops.Packing.packByOffset(
+      Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks")),
+      "lang", "doc_id", "n_toks", budget = 512L, shardSpan = 64L)
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  /** Fixed-size token chunking with overlap (window 32, stride 16) —
+    * the context-window slicer every embedding/pretraining pipeline runs
+    * over long documents. Pure per-row `sequence`/`explode` codegen'd
+    * expressions; no shuffle at all before the sink.
+    */
+  val q75DocChunks: Q = (s, d) => {
+    val (win, stride) = (32L, 16L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("l"))
+      .withColumn("n", size(col("l")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("l"),
+        explode(sequence(lit(0L), col("n") - 1L, lit(stride))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / stride).cast("long").as("chunk_id"),
+        col("st").as("chunk_start"),
+        (least(col("st") + win, col("n")) - col("st")).as("chunk_len"),
+        element_at(col("l"), (col("st") + 1L).cast("int")).as("first_token"))
+  }
+
+  /** Deterministic stratified sampling: the k=3 smallest md5-of-id
+    * hashes per (lang, source) stratum — reproducible across runs and
+    * engines like q67's splits, and executed by the typed
+    * [[graft.ops.TopK.TopKAggregator]] so the shuffle carries at most k
+    * rows per (map partition, stratum) instead of whole strata (the
+    * map-side-combine plan a per-stratum sample needs when one stratum
+    * is half the corpus).
+    */
+  val q76StratifiedSample: Q = (s, d) => {
+    import s.implicits._
+    val hash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"),
+        negate(hash).cast("double").as("score"))
+      .as[(String, String, Long, Double)]
+      .groupByKey { case (lang, source, _, _) => (lang, source) }
+      .mapValues { case (_, _, id, sc) => graft.ops.TopK.Scored(id, sc) }
+      .agg(graft.ops.TopK.topK(3).toColumn.name("top"))
+      .flatMap { case ((lang, source), top) => top.map(t => (lang, source, t.id)) }
+      .toDF("lang", "source", "doc_id")
+  }
+
+  /** Vocabulary build for tokenizer training: global term + document
+    * frequencies, top 50 by (occurrences desc, token) — a total order,
+    * so the cut is deterministic. Partial aggregation absorbs the heavy
+    * hitters map-side; the final top-k is TakeOrderedAndProject, never a
+    * global sort.
+    */
+  val q77VocabBuild: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
+  /** Per-language corpus length statistics with EXACT percentiles
+    * (`percentile`, not `percentile_approx` — the oracle hash-compares
+    * values, and the linear-interpolation arithmetic is identical to
+    * DuckDB's `quantile_cont`). The manifest a data curation run
+    * publishes before/after filtering.
+    */
+  val q78CorpusStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        expr("percentile(n, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        max("n").as("max_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"), col("max_tokens"))
+
+  /** Greedy first-fit-with-reset packing
+    * ([[graft.ops.Packing.packGreedyShards]]): no sequence exceeds the
+    * 256-token budget unless a single document does. Sequential by
+    * nature, so packed independently within 32-doc shards — a pure
+    * Catalyst `aggregate` fold over bounded group buffers (no UDF). The
+    * oracle replays the fold as a rank-lockstep recursive CTE.
+    */
+  val q79GreedyPack: Q = (s, d) =>
+    graft.ops.Packing.packGreedyShards(
+      Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).as("n_toks")),
+      "lang", "doc_id", "n_toks", budget = 256L, shardSpan = 32L)
+      .groupBy(col("lang"), col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
@@ -1473,7 +1589,13 @@ object Queries {
     "q70_decontaminate_minhash" -> q70DecontaminateMinhash,
     "q27_simhash" -> q27SimHash,
     "q28_lsh_ann" -> q28LshAnn,
-    "q42_ivf_ann" -> q42IvfAnn)
+    "q42_ivf_ann" -> q42IvfAnn,
+    "q74_sequence_pack" -> q74SequencePack,
+    "q75_doc_chunks" -> q75DocChunks,
+    "q76_stratified_sample" -> q76StratifiedSample,
+    "q77_vocab_build" -> q77VocabBuild,
+    "q78_corpus_stats" -> q78CorpusStats,
+    "q79_greedy_pack" -> q79GreedyPack)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2579,7 +2701,76 @@ object Queries {
            UNION
            SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
          SELECT src AS doc_id, min(node) AS component
-         FROM reach GROUP BY src""")
+         FROM reach GROUP BY src""",
+    "q74_sequence_pack" ->
+      // the naive per-stratum window IS the oracle: the engine's
+      // distributed two-level prefix sum must equal it exactly
+      s"""WITH t AS (SELECT lang, doc_id, len($toks)::BIGINT AS w
+                     FROM documents),
+         c AS (SELECT lang, doc_id, w,
+                 (sum(w) OVER (PARTITION BY lang ORDER BY doc_id) - w)::BIGINT
+                   AS so
+               FROM t)
+         SELECT lang, so // 512 AS seq_id, count(*) AS n_docs,
+           sum(w)::BIGINT AS n_tokens, min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+         FROM c GROUP BY lang, so // 512""",
+    "q75_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         s AS (SELECT doc_id, l, len(l)::BIGINT AS n,
+                 unnest(generate_series(0, len(l) - 1, 16))::BIGINT AS st
+               FROM t WHERE len(l) > 0)
+         SELECT doc_id, st // 16 AS chunk_id, st AS chunk_start,
+           least(st + 32, n) - st AS chunk_len,
+           l[(st + 1)::INT] AS first_token
+         FROM s""",
+    "q76_stratified_sample" ->
+      // same stable md5-of-id ranking as q67's buckets; k smallest per
+      // stratum, ties (impossible for distinct ids, pinned anyway) by id
+      """SELECT lang, source, doc_id FROM (
+           SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                 AS UBIGINT), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 3""",
+    "q77_vocab_build" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         GROUP BY token
+         ORDER BY n_occurrences DESC, token LIMIT 50""",
+    "q78_corpus_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(w)::BIGINT AS n_tokens,
+           quantile_cont(w, 0.5) AS p50, quantile_cont(w, 0.9) AS p90,
+           quantile_cont(w, 0.99) AS p99, max(w) AS max_tokens
+         FROM (SELECT lang, len($toks)::BIGINT AS w FROM documents)
+         GROUP BY lang""",
+    "q79_greedy_pack" ->
+      // rank-lockstep recursion: every (lang, shard) group advances one
+      // row per iteration, so depth = max group size = the 32-doc shard
+      s"""WITH RECURSIVE t AS (
+           SELECT lang, doc_id // 32 AS shard, doc_id,
+             len($toks)::BIGINT AS w
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang, shard
+                                            ORDER BY doc_id) AS rn
+               FROM t),
+         g AS (
+           SELECT lang, shard, rn, doc_id, w,
+             0::BIGINT AS seq, w AS running
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT n.lang, n.shard, n.rn, n.doc_id, n.w,
+             CASE WHEN g.running > 0 AND g.running + n.w > 256
+                  THEN g.seq + 1 ELSE g.seq END,
+             CASE WHEN g.running > 0 AND g.running + n.w > 256
+                  THEN n.w ELSE g.running + n.w END
+           FROM g JOIN r n
+             ON n.lang = g.lang AND n.shard = g.shard AND n.rn = g.rn + 1)
+         SELECT lang, shard, seq, count(*) AS n_docs,
+           sum(w)::BIGINT AS n_tokens, min(doc_id) AS first_doc
+         FROM g GROUP BY lang, shard, seq""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of
