@@ -37,6 +37,8 @@ import graft.functions.{Shingling, TextAnalytics}
   */
 object Decontaminate {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-training-document overlap against the benchmark's n-gram set:
     * `(id, n_grams, n_hit, hit_frac, contaminated)` — `n_grams` the
     * doc's distinct n-gram count, `n_hit` how many of those occur
@@ -224,7 +226,10 @@ object Decontaminate {
       idCol: String,
       shingleN: Int,
       threshold: Double,
-      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto,
+      verifyStrategy: String = Dedup.VerifyAuto): DataFrame = {
+    require(Dedup.VerifyStrategies.contains(verifyStrategy),
+      s"verifyStrategy must be one of ${Dedup.VerifyStrategies}, got $verifyStrategy")
     // both shingle tables feed the freq union, a prefix derivation, and
     // a verify side — materialize each once
     val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
@@ -255,18 +260,28 @@ object Decontaminate {
     // volume (Σ over gram of df_train·df_bench) from the prefix tables
     // and refuse a closed-vocabulary blow-up before launching — see
     // [[SimilarityGuard]].
+    def sideStats(sh: DataFrame) = {
+      val st = sh
+        .agg(count(lit(1)), coalesce(sum(size(col("sh"))), lit(0L))).head()
+      (st.getLong(0), st.getLong(1))
+    }
+    val (nTrain, totalGramsT) = sideStats(shT)
+    val (nBench, totalGramsB) = sideStats(shB)
+    val avgT = totalGramsT.toDouble / math.max(nTrain, 1L)
+    val avgB = totalGramsB.toDouble / math.max(nBench, 1L)
+    val predictedCandidates = SimilarityGuard.crossJoinVolume(
+      prefixes.where(col("side") === 0), prefixes.where(col("side") === 1),
+      Seq("htok"))
     SimilarityGuard.check(
-      SimilarityGuard.crossJoinVolume(
-        prefixes.where(col("side") === 0), prefixes.where(col("side") === 1),
-        Seq("htok")),
-      SimilarityGuard.resolveCap(maxCandidates, shT.count()),
+      predictedCandidates,
+      SimilarityGuard.resolveCap(maxCandidates, nTrain),
       "Decontaminate.jaccardScreen",
       "Re-route this corpus to Decontaminate.minHashScreen (signature-" +
         "collision-driven candidates)")
     // positional overlap bound checked per match row, map-side, before
     // the dedup shuffle — same pair decisions, only qualifying matches
     // travel (see the note in [[graft.ops.Dedup.ngramJaccardPairs]])
-    val candidates = prefixes.where(col("side") === 0)
+    val candidatesRaw = prefixes.where(col("side") === 0)
       .select(col("htok"), col("id"), col("sz"), col("rn"))
       .join(
         prefixes.where(col("side") === 1).select(col("htok"),
@@ -279,15 +294,87 @@ object Decontaminate {
             ceil(lit(threshold) / (1 + threshold) * (col("sz") + col("sz_b"))))
       .select("id", "bench_id")
       .distinct()
-    // hash-join verify attachments — the array-carrying intermediate
-    // streams instead of sorting (see Dedup.ngramJaccardPairs)
-    candidates
-      .join(shT.select(col("id"), col("sh").as("sh_a"))
-        .hint("shuffle_hash"), "id")
-      .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b"))
-        .hint("shuffle_hash"), "bench_id")
+    // narrow; materializing buys an exact candidate count for the
+    // verify-strategy decision — only paid when the decision runs
+    // (same element-bound gate as the self-join form: predicted
+    // candidate upper bound × both sides' average array length)
+    val needDecision = verifyStrategy == Dedup.VerifyAuto &&
+      predictedCandidates * (avgT + avgB) > Dedup.VerifyDecisionMinElements
+    val candidates =
+      if (needDecision) candidatesRaw.localCheckpoint(false) else candidatesRaw
+
+    // VERIFY-STRATEGY DECISION — the cross-set form of the
+    // [[graft.ops.Dedup.ngramJaccardPairs]] decision: array verify
+    // ships candidates × (|train doc| + |bench doc|) array elements;
+    // count verify ships Σ over grams of df_train·df_bench NARROW
+    // rows. Same exact-measurement comparison, same result-identical
+    // guarantee (spec-pinned both ways in DecontaminateSpec).
+    def posts(sh: DataFrame) = sh.select(
+      col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+    val useCount = verifyStrategy match {
+      case Dedup.VerifyCount => true
+      case Dedup.VerifyArray => false
+      case _ if !needDecision => false
+      case _ =>
+        val nCand = candidates.count()
+        val gramVolume =
+          SimilarityGuard.crossJoinVolume(posts(shT), posts(shB), Seq("tok"))
+        val arrayElems = nCand * (avgT + avgB)
+        val chooseCount = gramVolume < arrayElems
+        log.warn(s"jaccardScreen verify decision: $nCand candidates x " +
+          f"(${avgT}%.0f + ${avgB}%.0f) grams = ${arrayElems}%.3g array " +
+          s"elements vs $gramVolume gram-join rows -> " +
+          (if (chooseCount) "COUNT verify" else "ARRAY verify"))
+        chooseCount
+    }
+    if (useCount)
+      gramCountCrossVerify(posts(shT), posts(shB), threshold)
+    else
+      // hash-join verify attachments — the array-carrying intermediate
+      // streams instead of sorting (see Dedup.ngramJaccardPairs)
+      candidates
+        .join(shT.select(col("id"), col("sh").as("sh_a"))
+          .hint("shuffle_hash"), "id")
+        .join(shB.select(col("id").as("bench_id"), col("sh").as("sh_b"))
+          .hint("shuffle_hash"), "bench_id")
+        .withColumn("jaccard",
+          graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
+        .where(col("jaccard") >= threshold)
+        .select(col("id"), col("bench_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Cross-set count verify (see [[graft.ops.Dedup]]'s self-join
+    * twin): join the two NARROW posting tables per gram, count shared
+    * grams per (train, bench) pair, jaccard = ov / (szT + szB − ov) —
+    * the identical double division the sorted-merge kernel performs.
+    * Hot grams salt-split by the TRAIN-side df (the big side): train
+    * rows keep their own salt, bench rows fan out to all g =
+    * ceil(df_train/cap) salts, so every (train, bench) pair still
+    * meets exactly once per shared gram; bench grams absent from the
+    * training corpus drop in the df join (they cannot contribute
+    * overlap). The benchmark side is small by design — a benchmark
+    * gram hot on BOTH sides would need the bench df salted too.
+    */
+  private def gramCountCrossVerify(
+      postsT: DataFrame,
+      postsB: DataFrame,
+      threshold: Double,
+      bucketCap: Int = 4096): DataFrame = {
+    val groups = postsT.groupBy("tok")
+      .agg(ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
+    val t = postsT.join(groups, Seq("tok"))
+      .select(col("tok"),
+        pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
+        col("id"), col("sz"))
+    val b = postsB.join(groups, Seq("tok"))
+      .select(col("tok"),
+        explode(sequence(lit(0), col("g") - 1)).as("salt"),
+        col("id").as("bench_id"), col("sz").as("sz_b"))
+    t.join(b, Seq("tok", "salt"))
+      .groupBy("id", "bench_id", "sz", "sz_b")
+      .agg(count(lit(1)).as("ov"))
       .withColumn("jaccard",
-        graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
+        col("ov").cast("double") / (col("sz") + col("sz_b") - col("ov")))
       .where(col("jaccard") >= threshold)
       .select(col("id"), col("bench_id"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -205,7 +205,10 @@ object Dedup {
       blockCol: String,
       shingleN: Int,
       threshold: Double,
-      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto,
+      verifyStrategy: String = VerifyAuto): DataFrame = {
+    require(VerifyStrategies.contains(verifyStrategy),
+      s"verifyStrategy must be one of $VerifyStrategies, got $verifyStrategy")
     val sh = docs
       .select(
         col(blockCol).as("block"),
@@ -250,9 +253,15 @@ object Dedup {
     // precondition above): predict the candidate join's row volume
     // from the prefix dfs and refuse the launch past the cap instead
     // of shuffling a quadratic blow-up to disk.
+    val corpusStats = sh
+      .agg(count(lit(1)), coalesce(sum(size(col("sh"))), lit(0L))).head()
+    val (nDocs, totalGrams) = (corpusStats.getLong(0), corpusStats.getLong(1))
+    val avgSz = totalGrams.toDouble / math.max(nDocs, 1L)
+    val predictedCandidates =
+      SimilarityGuard.selfJoinVolume(prefixes, Seq("block", "htok"))
     SimilarityGuard.check(
-      SimilarityGuard.selfJoinVolume(prefixes, Seq("block", "htok")),
-      SimilarityGuard.resolveCap(maxCandidates, sh.count()),
+      predictedCandidates,
+      SimilarityGuard.resolveCap(maxCandidates, nDocs),
       "Dedup.ngramJaccardPairs",
       "Re-route this corpus to Dedup.minHashLsh (signature-collision-" +
         "driven candidates) and keep the exact join for Heaps-law corpora")
@@ -265,7 +274,7 @@ object Dedup {
     // identically while only qualifying matches travel the wire (the
     // earlier post-aggregation filter shuffled every join match — the
     // dominant cost of the candidate stage on df-heavy corpora).
-    val candidates = prefixes
+    val candidatesRaw = prefixes
       .select(col("block"), col("htok"),
         col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(
@@ -280,21 +289,150 @@ object Dedup {
             ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
       .select("id_a", "id_b")
       .distinct()
-    // SHUFFLE_HASH on the shingle side of both attachments: sort-merge
-    // would SORT the candidate×array intermediate (KBs per row — on
-    // df-heavy corpora the 100x audit measured multi-GB sort spills
-    // per task exactly here); the hash join streams it instead, and
-    // the build side is one hash-partition of the shingle table —
-    // bounded by partition sizing at any corpus size.
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-        .hint("shuffle_hash"), "id_b")
-      // native merge-walk verify on the sorted arrays (early-exit
-      // below threshold) — the per-candidate hot kernel
+    // narrow (two longs per row); materializing buys an exact candidate
+    // count for the verify-strategy decision without recomputing the
+    // candidate join — only paid when the decision actually runs. The
+    // gate is the PREDICTED array-verify volume (candidate upper bound
+    // × both arrays), free from the guard's aggregation: posting COUNT
+    // is the wrong dimension (the 100× audit corpus holds only 25M
+    // postings yet a catastrophic Σdf² candidate set).
+    val needDecision = verifyStrategy == VerifyAuto &&
+      predictedCandidates * 2.0 * avgSz > VerifyDecisionMinElements
+    val candidates =
+      if (needDecision) candidatesRaw.localCheckpoint(false) else candidatesRaw
+
+    // VERIFY-STRATEGY DECISION. The array verify ships each candidate
+    // pair's two full shingle arrays through a shuffle — candidates ×
+    // 2·avgSz elements, which is what out-scratched the 100× audit box
+    // (>75 GB for q22: per-pair cost ∝ document length). The count
+    // verify never touches arrays: it re-joins the NARROW posting
+    // table with itself per (block, gram) and counts shared grams per
+    // pair — Σ df·(df−1)/2 rows over ALL grams. Neither dominates
+    // universally: natural corpora have hot stopword grams (df ∝ n
+    // makes the count join quadratic — exactly what PPJoin's
+    // rarest-prefix order avoids) but few candidates; df-heavy
+    // near-duplicate corpora have moderate dfs but candidate × length
+    // products that dwarf the gram volume. Both inputs to the
+    // comparison are EXACT and already cheap to measure here: the
+    // candidate count (above) and the same df aggregation the guard
+    // runs. Both paths compute identical pairs and identical
+    // double-division jaccard, so the choice is invisible to results
+    // (spec-pinned both ways).
+    val useCount = verifyStrategy match {
+      case VerifyCount => true
+      case VerifyArray => false
+      // below the element floor even a pessimal array verify is a few
+      // GB of shuffle — the decision's extra jobs (candidate count +
+      // gram-df aggregation) would cost more than they could save, so
+      // small launches take the array path with zero overhead and the
+      // decision runs only where the stake is real
+      case _ if !needDecision => false
+      case _ =>
+        val nCand = candidates.count()
+        val gramVolume =
+          SimilarityGuard.selfJoinVolume(exploded, Seq("block", "tok"))
+        val arrayElems = nCand * 2.0 * avgSz
+        val chooseCount = gramVolume < arrayElems
+        log.warn(s"ngramJaccardPairs verify decision: $nCand candidates × " +
+          f"2×$avgSz%.0f grams = $arrayElems%.3g array elements vs " +
+          s"$gramVolume gram-join rows → " +
+          (if (chooseCount) "COUNT verify" else "ARRAY verify"))
+        chooseCount
+    }
+    if (useCount)
+      gramCountSelfVerify(exploded, threshold)
+    else
+      // SHUFFLE_HASH on the shingle side of both attachments: sort-merge
+      // would SORT the candidate×array intermediate (KBs per row — on
+      // df-heavy corpora the 100x audit measured multi-GB sort spills
+      // per task exactly here); the hash join streams it instead, and
+      // the build side is one hash-partition of the shingle table —
+      // bounded by partition sizing at any corpus size.
+      candidates
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+          .hint("shuffle_hash"), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+          .hint("shuffle_hash"), "id_b")
+        // native merge-walk verify on the sorted arrays (early-exit
+        // below threshold) — the per-candidate hot kernel
+        .withColumn("jaccard",
+          graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  val VerifyAuto = "auto"
+  val VerifyArray = "array"
+  val VerifyCount = "count"
+  val VerifyStrategies: Set[String] = Set(VerifyAuto, VerifyArray, VerifyCount)
+
+  /** Array-element floor below which the auto verify decision
+    * short-circuits to the array path: the gate compares the
+    * PREDICTED candidate volume (an upper bound on candidates, already
+    * computed for the guard) times both arrays' average length against
+    * this; under a billion elements (~20 GB pessimal, and the
+    * prediction typically overshoots the true candidate count by an
+    * order) the array verify cannot be the binding resource, so the
+    * decision's own jobs aren't worth running.
+    */
+  val VerifyDecisionMinElements: Double = 1e9
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Exact-similarity verify WITHOUT arrays: self-join the narrow
+    * posting table per (block, gram), count shared grams per id pair,
+    * and compute jaccard = ov / (szA + szB − ov) — the identical
+    * double division the sorted-merge kernel performs, so results are
+    * bit-equal to the array verify. Work is Σ df·(df−1)/2 NARROW rows
+    * (~tens of bytes each) instead of candidates × document-length
+    * array elements — the winning regime for df-heavy corpora whose
+    * candidate sets are large but gram volume linear (the 100× audit
+    * shape). Per-gram salting (the [[simHashPairs]] bucket-guard
+    * idiom) keeps a single hot gram from becoming one quadratic task:
+    * the probe side keeps its own salt, the build side fans out to all
+    * g = ceil(df/cap) salts, so every pair still meets exactly once
+    * per shared gram.
+    */
+  /** Test hook: the count verify over a docs frame with a forced salt
+    * cap — pins pair-set invariance under hot-gram splitting.
+    */
+  private[graft] def gramCountSelfVerifyForTest(
+      docs: DataFrame,
+      bucketCap: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      blockCol: String = "lang",
+      shingleN: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val posts = docs
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        graft.functions.Shingling.sortedShingles(
+          TextAnalytics.tokens(col(textCol)), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("block"), col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("tok"))
+    gramCountSelfVerify(posts, threshold, bucketCap)
+  }
+
+  private def gramCountSelfVerify(
+      posts: DataFrame,
+      threshold: Double,
+      bucketCap: Int = 4096): DataFrame = {
+    val groups = posts.groupBy("block", "tok")
+      .agg(ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
+    val sized = posts.join(groups, Seq("block", "tok"))
+    val aSide = sized.select(col("block"), col("tok"),
+      pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
+      col("id").as("id_a"), col("sz").as("sz_a"))
+    val bSide = sized.select(col("block"), col("tok"),
+      explode(sequence(lit(0), col("g") - 1)).as("salt"),
+      col("id").as("id_b"), col("sz").as("sz_b"))
+    aSide.join(bSide, Seq("block", "tok", "salt"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("ov"))
       .withColumn("jaccard",
-        graft.functions.SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b"), threshold))
+        col("ov").cast("double") / (col("sz_a") + col("sz_b") - col("ov")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

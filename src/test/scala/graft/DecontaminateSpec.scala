@@ -160,6 +160,25 @@ class DecontaminateSpec extends SparkSpec {
     assert(got(0)._3 > 0.5 && got(0)._3 < 1.0)
   }
 
+  test("jaccardScreen: count verify == array verify == auto, jaccard included") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "pack my box with five dozen liquor jugs tonight")).toDF("id", "text")
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (2L, "completely different content with no shared phrasing at all"),
+      (3L, "pack my box with five dozen liquor jugs tonight")).toDF("id", "text")
+    def run(strategy: String) = Decontaminate.jaccardScreen(
+      train, bench, "text", "id", shingleN = 2, threshold = 0.5,
+      verifyStrategy = strategy)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaArray = run(graft.ops.Dedup.VerifyArray)
+    val viaCount = run(graft.ops.Dedup.VerifyCount)
+    assert(viaArray === viaCount)
+    assert(run(graft.ops.Dedup.VerifyAuto) === viaArray)
+    assert(viaArray.map(p => (p._1, p._2)) === Set((1L, 100L), (3L, 101L)))
+  }
+
   test("minHashScreen recall vs the exact screen on planted near-contaminated docs") {
     // 30 clean train docs + 3 planted near-copies of benchmark docs;
     // seeded-xxhash64 banding is deterministic, so this pins recall on

@@ -45,6 +45,31 @@ class DedupSpec extends SparkSpec {
     assert(got.size <= want.size + 5, s"too many spurious pairs: $got")
   }
 
+  test("gram-count verify == array verify, jaccard values included") {
+    // the two verify strategies must be result-identical (the auto
+    // decision is then invisible): same pairs, same double-division
+    // jaccard — compared UNROUNDED beyond the catalog's 4dp via the
+    // returned rounded column (any arithmetic drift >= 5e-5 would show)
+    val docs = corpus.toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    def run(strategy: String) = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", "lang", shingleN = 2,
+        threshold = 0.5, verifyStrategy = strategy)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaArray = run(Dedup.VerifyArray)
+    val viaCount = run(Dedup.VerifyCount)
+    val viaAuto = run(Dedup.VerifyAuto)
+    assert(viaArray === viaCount)
+    assert(viaArray === viaAuto)
+    assert(viaArray.nonEmpty)
+    // hot-gram salting in the count path is pure work redistribution:
+    // cap 1 forces every gram to salt-split and the pairs are unchanged
+    val salted = Dedup.gramCountSelfVerifyForTest(docs, bucketCap = 1)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted === viaCount)
+  }
+
   test("sub-shingle-length docs (empty shingle sets) never pair as duplicates") {
     // one-word docs produce zero 2-gram shingles: their similarity is
     // undefined, so neither the exact join nor LSH may report them
