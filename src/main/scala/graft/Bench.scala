@@ -70,7 +70,8 @@ object Bench {
     "q76_stratified_sample",
     "q77_vocab_build",
     "q78_corpus_stats",
-    "q79_greedy_pack")
+    "q79_greedy_pack",
+    "q80_mixing_sample")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -23,6 +23,26 @@ object Splits {
     * `splitLabel(col("doc_id"), Seq("train" -> 90, "val" -> 95), "test")`
     * is a 90/5/5 split.
     */
+  /** Deterministic Bernoulli keep-decision for `id` at `rateBp` basis
+    * points (rateBp/10000 of rows kept) — the per-stratum downsampling
+    * a data-mixing stage runs ("keep 25% of lang=es"). Integer basis
+    * points, not a double fraction: `rate * 10000` truncates floats
+    * (0.0007 → 6.99…bp) and the decision must replay exactly in any
+    * engine.
+    *
+    * The hash is SALTED (`md5(id || ":" || salt)`), which makes the
+    * decision independent of [[splitLabel]]'s bucketing — with the
+    * UNSALTED bucket, sampling at ≤90% would keep only train-split
+    * rows (both decisions would read the same bucket), silently
+    * emptying val/test. Independence is spec-pinned per split.
+    */
+  def sampleKeep(id: Column, rateBp: Column, salt: String = "mix"): Column = {
+    val bucket = conv(
+      substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    bucket < rateBp.cast("long")
+  }
+
   def splitLabel(id: Column, cuts: Seq[(String, Int)], rest: String): Column = {
     val uppers = cuts.map(_._2)
     // strict bounds: equal uppers would ship an empty split silently

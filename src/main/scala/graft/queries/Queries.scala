@@ -1514,6 +1514,38 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
         min("doc_id").as("first_doc"))
 
+  /** Per-language mixing rates for q80 (basis points): the data-mixing
+    * weights a curation run applies before training.
+    */
+  val mixRatesBp: Seq[(String, Int)] = Seq(
+    "en" -> 10000, "de" -> 5000, "es" -> 2500, "fr" -> 1000, "zh" -> 500)
+
+  /** Deterministic corpus mixing ([[graft.ops.Splits.sampleKeep]]):
+    * per-language Bernoulli downsampling at configured basis-point
+    * rates via a SALTED stable hash — reproducible across engines and
+    * runs, and independent of the q67 split decision (same document id,
+    * different salted bucket), so every (lang, split) cell thins at its
+    * language's rate instead of the sample collapsing into the train
+    * split. Output: the post-mixing manifest per (lang, split).
+    * Per-row expressions only; one aggregation shuffle.
+    */
+  val q80MixingSample: Q = (s, d) => {
+    val rate = mixRatesBp
+      .foldRight(lit(0): org.apache.spark.sql.Column) { case ((l, bp), rhs) =>
+      when(col("lang") === l, lit(bp)).otherwise(rhs)
+    }
+    Tables.documents(s, d)
+      .select(col("lang"),
+        graft.ops.Splits.splitLabel(
+          col("doc_id"), Seq("train" -> 90, "val" -> 95), "test").as("split"),
+        graft.ops.Splits.sampleKeep(col("doc_id"), rate).as("keep"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1595,7 +1627,8 @@ object Queries {
     "q76_stratified_sample" -> q76StratifiedSample,
     "q77_vocab_build" -> q77VocabBuild,
     "q78_corpus_stats" -> q78CorpusStats,
-    "q79_greedy_pack" -> q79GreedyPack)
+    "q79_greedy_pack" -> q79GreedyPack,
+    "q80_mixing_sample" -> q80MixingSample)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2770,7 +2803,30 @@ object Queries {
              ON n.lang = g.lang AND n.shard = g.shard AND n.rn = g.rn + 1)
          SELECT lang, shard, seq, count(*) AS n_docs,
            sum(w)::BIGINT AS n_tokens, min(doc_id) AS first_doc
-         FROM g GROUP BY lang, shard, seq""")
+         FROM g GROUP BY lang, shard, seq""",
+    "q80_mixing_sample" -> {
+      val rateCase = mixRatesBp
+        .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }
+        .mkString(" ")
+      s"""WITH a AS (
+           SELECT lang,
+             CASE WHEN sb < 90 THEN 'train'
+                  WHEN sb < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             (mb < CASE $rateCase ELSE 0 END) AS keep,
+             len($toks)::BIGINT AS n_toks
+           FROM (SELECT lang, text,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                     AS UBIGINT) % 100 AS sb,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR || ':mix'), 1, 8))
+                     AS UBIGINT) % 10000 AS mb
+                 FROM documents))
+         SELECT lang, split, count(*) AS n_docs,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN n_toks ELSE 0 END)::BIGINT
+             AS n_tokens_kept
+         FROM a GROUP BY lang, split"""
+    })
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

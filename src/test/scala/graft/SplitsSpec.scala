@@ -32,6 +32,41 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(counts("test") / n - 0.05) < 0.02, counts)
   }
 
+  test("sampleKeep: rate boundaries, determinism, and basis-point exactness") {
+    val rows = spark.range(10000).select(col("id"),
+      Splits.sampleKeep(col("id"), lit(10000)).as("all"),
+      Splits.sampleKeep(col("id"), lit(0)).as("none"),
+      Splits.sampleKeep(col("id"), lit(2500)).as("q"))
+      .collect()
+    assert(rows.forall(_.getBoolean(1)))
+    assert(rows.forall(!_.getBoolean(2)))
+    val kept = rows.count(_.getBoolean(3)) / 10000.0
+    assert(math.abs(kept - 0.25) < 0.02, s"kept fraction $kept")
+    // pure function of the id — rerun matches row for row
+    val again = spark.range(10000)
+      .select(col("id"), Splits.sampleKeep(col("id"), lit(2500)).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getBoolean(3)))
+  }
+
+  test("sampleKeep is independent of splitLabel (the salt is the point)") {
+    // with the UNSALTED split bucket, keeping <=90% would keep ONLY
+    // train rows and empty val/test; the salted decision must thin
+    // every split at about the same rate
+    val df = labeled(20000)
+      .withColumn("keep", Splits.sampleKeep(col("id"), lit(5000)))
+    val bySplit = df.groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq("train", "val", "test").foreach { s =>
+      val (n, kept) = bySplit(s)
+      val frac = kept.toDouble / n
+      assert(math.abs(frac - 0.5) < 0.05,
+        s"split $s kept $kept of $n ($frac) — sampling correlated with split")
+    }
+  }
+
   test("degenerate cuts are rejected at construction") {
     val id = col("id")
     intercept[IllegalArgumentException] {
