@@ -71,7 +71,10 @@ object Bench {
     "q77_vocab_build",
     "q78_corpus_stats",
     "q79_greedy_pack",
-    "q80_mixing_sample")
+    "q80_mixing_sample",
+    "q81_curation_pipeline",
+    "q82_epoch_mix",
+    "q83_selfdedup_spans")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -120,6 +120,16 @@ object Decontaminate {
       .join(benchGrams, Seq("gram"), "inner")
       .select(col("id"), col("pos"))
 
+    mergeHitIslands(hits, n)
+  }
+
+  /** Gaps-and-islands merge of per-doc hit positions into spans: a hit
+    * at token offset p covers `[p, p+n)`; a new span starts when the
+    * gap to the previous hit exceeds `n`. `hits` is `(id, pos)`; output
+    * `(id, span_start, span_end, n_hits)`. The window partitions by doc
+    * id over HITS only — per-partition state bounded by hits-per-doc.
+    */
+  private def mergeHitIslands(hits: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
     hits
       // first hit per doc: lag is null -> comparison null -> otherwise 0
@@ -132,6 +142,59 @@ object Decontaminate {
         (max("pos") + n).cast("long").as("span_end"),
         count(lit(1)).as("n_hits"))
       .select("id", "span_start", "span_end", "n_hits")
+  }
+
+  /** CORPUS-SELF exact-substring duplication spans (the self-dedup
+    * analog of [[ngramHitSpans]]; Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", finds ≥50-token
+    * verbatim repeats with a suffix array — this is the same semantics
+    * restated as keyed joins so it distributes): every token window of
+    * width `n` that occurs in ≥2 DISTINCT documents is a duplicated
+    * substring; the document with the smallest id OWNS the gram (its
+    * occurrences are kept — "keep first occurrence"), every other
+    * document's occurrences are duplication hits, merged per doc into
+    * excisable spans exactly as the benchmark screen merges its hit
+    * covers.
+    *
+    * No pair join anywhere: the gram table aggregates to
+    * `(gram → owner, df)` — a map-side-combinable groupBy keyed by the
+    * gram — and positions join BACK against that statistic, also keyed
+    * by the gram. Candidate volume is Σ_dup-grams(occurrences), LINEAR
+    * in corpus positions (contrast a pairwise dedup's Σ df²) — the
+    * property that makes self-substring-dedup tractable at 100 TB where
+    * a suffix array over the corpus is not. Mass-duplicated boilerplate
+    * makes a gram hot in the stats aggregation (absorbed by partial
+    * aggregation), not in a join fan-out.
+    *
+    * Output: `(id, span_start, span_end, n_hits)` for non-owner
+    * occurrences of duplicated `n`-grams, `[span_start, span_end)`
+    * 0-based token offsets; owner docs and unique text produce no rows.
+    */
+  def selfHitSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(Shingling.orderedShingles(
+          TextAnalytics.tokens(col(textCol)), n)).as(Seq("pos", "gram")))
+
+    // one aggregation, keyed by gram: the owning (minimum) doc id and
+    // whether a second distinct doc carries the gram. min+max distinct
+    // ids decide df>=2 without a countDistinct rewrite.
+    val stats = grams
+      .groupBy("gram")
+      .agg(min("id").as("owner"), max("id").as("maxid"))
+      .filter(col("maxid") > col("owner"))
+      .select("gram", "owner")
+
+    val hits = grams
+      .join(stats, Seq("gram"), "inner")
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos"))
+
+    mergeHitIslands(hits, n)
   }
 
   /** EXCISION: apply a span table (the [[ngramHitSpans]] output shape)

@@ -1546,6 +1546,109 @@ object Queries {
         sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
   }
 
+  /** The COMPOSED corpus-CURATION pipeline — the front half of the
+    * training-data flow, upstream of decontamination (q72) and assembly
+    * (q74–q80), every stage the already-gated operator:
+    *
+    *   1. QUALITY filter ([[TextAnalytics.qualityScore]], q19) — drop
+    *      low-scoring documents (< 0.48);
+    *   2. REPETITION filter ([[TextAnalytics.repetitionStats]], q65's
+    *      Gopher fractions with corpus-calibrated thresholds:
+    *      dup-token ≤ 0.60, dup-3-gram ≤ 0.05);
+    *   3. bag-of-words DEDUP ([[TextAnalytics.fingerprint]] (q23) fed
+    *      through [[graft.ops.Dedup.exact]] (q17)) — canonical = min
+    *      doc id per fingerprint, so token-permuted copies collapse;
+    *   4. reproducible SPLITS ([[graft.ops.Splits]], q67).
+    *
+    * Output: the per-(lang, split) manifest with surviving doc/token
+    * counts and how many duplicates the canonical pick absorbed. Scale
+    * shape: stages 1–2 are per-row codegen'd expressions (shuffle-free
+    * at any corpus size), the dedup is ONE hash shuffle on the
+    * fingerprint, the canonical re-join is keyed on the id, and the
+    * manifest aggregation is map-side-combinable.
+    */
+  val q81CurationPipeline: Q = (s, d) => {
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalytics.qualityScore(col("text")).as("quality"),
+        TextAnalytics.repetitionStats(
+          TextAnalytics.tokens(col("text"))).as("r"))
+      .filter(col("quality") >= 0.48 &&
+        col("r.dup_tok_frac") <= 0.60 && col("r.dup_3gram_frac") <= 0.05)
+      .select(col("doc_id"), col("lang"),
+        TextAnalytics.fingerprint(col("text")).as("fp"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
+      // feeds BOTH the dedup aggregation and the canonical re-join
+      .localCheckpoint(false)
+    val canon = Dedup.exact(kept, "fp", "doc_id")
+    kept.join(canon, kept("doc_id") === canon("canonical_id"))
+      .withColumn("split", graft.ops.Splits.splitLabel(
+        col("doc_id"), Seq("train" -> 90, "val" -> 95), "test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(col("n_copies") - 1).as("n_dup_dropped"))
+  }
+
+  /** Per-language epoch weights for q82 in CENTI-epochs: the
+    * repetition-aware mixing a pretraining run applies when a source is
+    * worth more than one pass (de at 2.5 epochs) or less than one
+    * (es at 0.3). Integer centi-epochs for the same reason q80's rates
+    * are basis points: the decision must replay exactly in any engine.
+    */
+  val epochWeightsCp: Seq[(String, Int)] = Seq(
+    "en" -> 100, "de" -> 250, "es" -> 30, "fr" -> 120, "zh" -> 50)
+
+  /** EPOCH-aware corpus mixing (upsampling with replication): each
+    * document is emitted once per FULL epoch of its language's weight,
+    * plus a deterministic Bernoulli decision
+    * ([[graft.ops.Splits.sampleKeep]], salt `"epoch"` — independent of
+    * both the q67 split and the q80 downsample by construction) for the
+    * FRACTIONAL remainder — `floor(w)` copies + one more with
+    * probability `w − floor(w)`, the standard way a mixing stage
+    * realizes "2.5 epochs of de" without RNG state. Per-row
+    * `explode(sequence(...))` then one manifest aggregation; the
+    * expansion is bounded by `ceil(max weight)` rows per doc, no
+    * shuffle before the manifest. Output: per (lang, epoch) doc and
+    * token counts — epoch k holds every doc with ≥k+1 emitted copies,
+    * so full epochs are corpus-complete and the last epoch is the
+    * thinned remainder.
+    */
+  val q82EpochMix: Q = (s, d) => {
+    val wcp = epochWeightsCp
+      .foldRight(lit(0): org.apache.spark.sql.Column) { case ((l, w), rhs) =>
+        when(col("lang") === l, lit(w)).otherwise(rhs)
+      }
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"),
+        wcp.cast("long").as("wcp"))
+      .withColumn("full", (col("wcp") / lit(100L)).cast("long"))
+      .select(col("lang"), col("doc_id"), col("n_toks"), col("full"),
+        ((col("wcp") % 100L) * 100L).as("frac_bp"),
+        explode(sequence(lit(0L), col("full"))).as("epoch"))
+      .filter(col("epoch") < col("full") ||
+        graft.ops.Splits.sampleKeep(col("doc_id"), col("frac_bp"), "epoch"))
+      .groupBy("lang", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+  }
+
+  /** Corpus-SELF exact-substring duplication spans
+    * ([[graft.ops.Decontaminate.selfHitSpans]]): every 4-token window
+    * occurring in ≥2 distinct documents, reported as merged excisable
+    * spans in every document except the owning (minimum-id) one — the
+    * distributed restatement of suffix-array substring dedup (Lee et
+    * al. 2022). No pair join: gram stats are one map-side-combinable
+    * aggregation and positions re-join keyed by the gram, so candidate
+    * volume is LINEAR in corpus positions (Σ occurrences of duplicated
+    * grams), not Σ df² — the property that keeps self-substring-dedup
+    * tractable at 100 TB.
+    */
+  val q83SelfdedupSpans: Q = (s, d) =>
+    graft.ops.Decontaminate.selfHitSpans(
+      Tables.documents(s, d), "text", "doc_id", n = 4)
+      .withColumnRenamed("id", "doc_id")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1628,7 +1731,10 @@ object Queries {
     "q77_vocab_build" -> q77VocabBuild,
     "q78_corpus_stats" -> q78CorpusStats,
     "q79_greedy_pack" -> q79GreedyPack,
-    "q80_mixing_sample" -> q80MixingSample)
+    "q80_mixing_sample" -> q80MixingSample,
+    "q81_curation_pipeline" -> q81CurationPipeline,
+    "q82_epoch_mix" -> q82EpochMix,
+    "q83_selfdedup_spans" -> q83SelfdedupSpans)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2826,7 +2932,92 @@ object Queries {
            sum(CASE WHEN keep THEN n_toks ELSE 0 END)::BIGINT
              AS n_tokens_kept
          FROM a GROUP BY lang, split"""
-    })
+    },
+    "q81_curation_pipeline" ->
+      // q19's quality + q65's repetition fractions + q23's fingerprint
+      // + q17's dedup + q67's split replayed as one CTE chain
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS l FROM documents),
+         c1 AS (SELECT doc_id, len(l)::BIGINT AS total,
+                  len(list_distinct(l))::BIGINT AS nd FROM t),
+         g3 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 2),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+           FROM t WHERE len(l) >= 3),
+         c3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS nd
+                FROM g3 GROUP BY doc_id),
+         fr AS (SELECT t.doc_id, t.lang, t.l,
+             (least(c1.total, 100) * 50 +
+              CASE WHEN c1.total > 0 THEN (c1.nd * 5000) // c1.total
+                   ELSE 0 END) / 10000.0 AS quality,
+             CASE WHEN c1.total > 0
+               THEN round((c1.total - c1.nd)::DOUBLE / c1.total, 4)
+               ELSE 0.0 END AS f1,
+             coalesce(round((c3.total - c3.nd)::DOUBLE / c3.total, 4), 0.0)
+               AS f3
+           FROM t JOIN c1 USING (doc_id) LEFT JOIN c3 USING (doc_id)),
+         kept AS (SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp,
+             len(l)::BIGINT AS n_toks
+           FROM fr WHERE quality >= 0.48 AND f1 <= 0.60 AND f3 <= 0.05),
+         canon AS (SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+           FROM kept GROUP BY md5(fp)),
+         k2 AS (SELECT k.lang, k.n_toks, c.n_copies,
+             CASE WHEN CAST(('0x' || substring(md5(k.doc_id::VARCHAR), 1, 8))
+                         AS UBIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(k.doc_id::VARCHAR), 1, 8))
+                         AS UBIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM kept k JOIN canon c ON k.doc_id = c.canonical_id)
+         SELECT lang, split, count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           sum(n_copies - 1)::BIGINT AS n_dup_dropped
+         FROM k2 GROUP BY lang, split""",
+    "q82_epoch_mix" -> {
+      val wCase = epochWeightsCp
+        .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+        .mkString(" ")
+      // same centi-epoch arithmetic + salted fractional-epoch bucket
+      s"""WITH t AS (SELECT lang, doc_id, len($toks)::BIGINT AS n_toks,
+             CASE $wCase ELSE 0 END AS wcp
+           FROM documents),
+         e AS (SELECT lang, doc_id, n_toks, wcp // 100 AS fullep,
+             (wcp % 100) * 100 AS frac_bp,
+             unnest(generate_series(0, wcp // 100)) AS epoch
+           FROM t)
+         SELECT lang, epoch, count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens
+         FROM e
+         WHERE epoch < fullep OR
+           CAST(('0x' || substring(md5(doc_id::VARCHAR || ':epoch'), 1, 8))
+             AS UBIGINT) % 10000 < frac_bp
+         GROUP BY lang, epoch"""
+    },
+    "q83_selfdedup_spans" ->
+      // q68's positional-gram + island replay, with the benchmark gram
+      // set replaced by the corpus's own duplicated grams (df >= 2
+      // distinct docs; the min-id doc owns the gram and produces no row)
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 3),
+               i -> {'pos': i - 1,
+                     'gram': l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]}))
+               AS pg
+           FROM t WHERE len(l) >= 4),
+         gp AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g),
+         st AS (SELECT gram, min(doc_id) AS owner FROM gp
+                GROUP BY gram HAVING min(doc_id) < max(doc_id)),
+         hits AS (SELECT gp.doc_id, gp.pos FROM gp JOIN st USING (gram)
+                  WHERE gp.doc_id <> st.owner),
+         isl AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+               THEN 1 ELSE 0 END AS brk
+           FROM hits),
+         sp AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           count(*) AS n_hits
+         FROM sp GROUP BY doc_id, island""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

@@ -224,4 +224,56 @@ class DecontaminateSpec extends SparkSpec {
       .head()
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getDouble(3) == 1.0)
   }
+
+  private def selfSpans(docs: Seq[(Long, String)], n: Int) =
+    Decontaminate.selfHitSpans(docs.toDF("id", "text"), "text", "id", n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("selfHitSpans: owner doc emits no rows; non-owner spans merge; " +
+      "distant repeats split islands") {
+    val got = selfSpans(Seq(
+      // owner of "p q r" (minimum id) — keeps all its occurrences
+      (1L, "p q r u1 u2"),
+      (2L, "v1 p q r v2"),
+      // two occurrences 8 apart (> n) -> two islands
+      (4L, "p q r a1 a2 a3 a4 a5 p q r")), n = 3)
+    assert(got === Seq(
+      (2L, 1L, 4L, 1L),
+      (4L, 0L, 3L, 1L), (4L, 8L, 11L, 1L)))
+  }
+
+  test("selfHitSpans: overlapping shared windows merge into one span") {
+    val got = selfSpans(Seq(
+      (1L, "alpha beta gamma delta t1 t2"),
+      // shares "alpha beta gamma" (pos 2) and "beta gamma delta"
+      // (pos 3): gap 1 <= n -> one merged span [2, 6)
+      (2L, "s1 s2 alpha beta gamma delta s3")), n = 3)
+    assert(got === Seq((2L, 2L, 6L, 2L)))
+  }
+
+  test("selfHitSpans: a gram repeated only WITHIN one doc is not a dup") {
+    // "r1 r2 r3" occurs twice in doc 5 and nowhere else — duplication
+    // is cross-document (>= 2 distinct ids), so nothing is flagged
+    val got = selfSpans(Seq(
+      (5L, "r1 r2 r3 filler r1 r2 r3"),
+      (6L, "unrelated words entirely here")), n = 3)
+    assert(got.isEmpty)
+  }
+
+  test("selfHitSpans composes with exciseSpans: one excision pass " +
+      "leaves a corpus with no cross-doc duplicate grams") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta t1 t2"),
+      (2L, "s1 s2 alpha beta gamma delta s3")).toDF("id", "text")
+    val spans = Decontaminate.selfHitSpans(docs, "text", "id", n = 3)
+    val cleaned = Decontaminate.exciseSpans(docs, spans, "text", "id")
+      // segments of one doc re-key as distinct ids so the re-screen
+      // sees them as separate documents
+      .select((col("id") * 100 + col("seg_start")).as("id"),
+        col("seg_text").as("text"))
+    assert(Decontaminate.selfHitSpans(cleaned, "text", "id", n = 3)
+      .count() === 0)
+  }
 }
