@@ -74,7 +74,8 @@ object Bench {
     "q80_mixing_sample",
     "q81_curation_pipeline",
     "q82_epoch_mix",
-    "q83_selfdedup_spans")
+    "q83_selfdedup_spans",
+    "q84_semantic_neardup")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -610,4 +610,89 @@ object Dedup {
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space — the SAME quantizer the IVF ANN index fits
+    * ([[graft.ops.Similarity.ivfIndexFor]]; session-cached, so ANN
+    * probes and dedup share one fitted index per corpus) — then compare
+    * pairs only WITHIN a cluster. Where the grid join
+    * ([[embeddingNearDupExact]]) partitions pairs uniformly and SRP-LSH
+    * ([[embeddingNearDupLsh]]) buckets by random projections, cluster
+    * scoping prunes by the DATA's own structure: cross-cluster pairs —
+    * the overwhelming majority, semantically distant by construction —
+    * are never generated. Approximate exactly where SemDeDup is:
+    * near-dups straddling a cluster boundary are missed (recall vs the
+    * exact join is pinned in DedupSpec); identical vectors always
+    * co-assign, so exact-duplicate recall is 1.0 by construction.
+    *
+    * Scale shape — deliberately DIFFERENT from the LSH path's
+    * narrow-then-attach: each id sits in exactly ONE cell, so vectors
+    * ride the cell join directly (no multi-bucket duplicate pairs to
+    * dedup, hence nothing gained by going narrow) and the pair stream
+    * is generated LOCALLY per join task and pipelined straight into
+    * the cosine verify — no pair-sized shuffle exists anywhere in the
+    * plan; the only shuffles move the n input vectors. A hot cell
+    * (clustering imbalance) is parallelized by nesting
+    * [[embeddingNearDupExact]]'s triangle grid INSIDE the cell key —
+    * join key (cell, ci, cj) — splitting one cell's pairs across
+    * ~numBlocks²/2 tasks for ~(numBlocks+1)/2× vector replication.
+    * Remaining knobs: `nLists` auto-scales with the corpus (constant
+    * expected occupancy, as the LSH bits track log2 n), and a
+    * pre-flight [[SimilarityGuard]] check on Σ|cell|·(|cell|−1)/2
+    * refuses a degenerate fit (mass-duplicated embeddings collapsing
+    * into one giant cell — this op's closed-vocabulary regime) before
+    * launching the quadratic work.
+    */
+  def semanticNearDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 0,
+      seed: Long = 42L,
+      numBlocks: Int = 8,
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+    val base = corpus.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    lazy val n = math.max(1L, base.count())
+    // occupancy-scaled cell count: a FIXED nLists makes per-cell pair
+    // volume grow quadratically with the corpus; k ~ n/2048 holds
+    // E[|cell|] constant. Capped at 256: the centroid set rides the
+    // plan as a literal and the k-means fit is O(n·k·dim·iters).
+    val k =
+      if (nLists > 0) nLists
+      else math.max(16, math.min(256, math.ceil(n / 2048.0).toInt))
+    val assigned = Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed)
+      .assigned
+      .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
+
+    SimilarityGuard.check(
+      SimilarityGuard.selfJoinVolume(
+        assigned.select("cell", "id"), Seq("cell")),
+      SimilarityGuard.resolveCap(maxCandidates, n),
+      site = "Dedup.semanticNearDup",
+      reroute = "Re-route to embeddingNearDupLsh (SRP buckets hold " +
+        "occupancy constant regardless of embedding-space collapse)")
+
+    // triangle grid WITHIN each cell (cf. embeddingNearDupExact): the
+    // (ci, cj) sub-keys spread a hot cell's pairs across tasks
+    val v = assigned.withColumn("blk",
+      pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    val left = v.select(col("cell"),
+      explode(sequence(col("blk"), lit(numBlocks - 1))).as("cj"),
+      col("blk").as("ci"), col("id").as("id_l"), col("v").as("vl"))
+    val right = v.select(col("cell"),
+      explode(sequence(lit(0), col("blk"))).as("ci"),
+      col("blk").as("cj"), col("id").as("id_r"), col("v").as("vr"))
+    left.join(right, Seq("cell", "ci", "cj"))
+      .where(col("ci") < col("cj") || col("id_l") < col("id_r"))
+      .withColumn("sim", Similarity.cosine(col("vl"), col("vr")))
+      .where(col("sim") >= threshold)
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

@@ -188,8 +188,23 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
+    ivfIndexFor(corpus, idCol, vecCol, nLists, seed)
+      .probe(queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build-or-reuse the IVF index for `corpus` from the session-scoped
+    * LRU cache (shared with [[ivfCosineTopK]]; release-on-evict) — so
+    * every consumer of the quantizer (ANN probe, semantic dedup) pays
+    * the k-means fit and the persisted assignment once per corpus.
+    */
+  def ivfIndexFor(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long = 42L): IvfIndex = {
     val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, nLists, seed)
-    val index = ivfCache.synchronized {
+    ivfCache.synchronized {
       val hit = ivfCache.get(key)
       if (hit != null) hit
       else {
@@ -198,7 +213,6 @@ object Similarity {
         built
       }
     }
-    index.probe(queries, idCol, vecCol, k, nProbe)
   }
 
   /** Max distinct IVF indexes the one-call wrapper keeps persisted. */

@@ -1649,6 +1649,24 @@ object Queries {
       Tables.documents(s, d), "text", "doc_id", n = 4)
       .withColumnRenamed("id", "doc_id")
 
+  /** SemDeDup cluster-scoped semantic near-dup pairs
+    * ([[graft.ops.Dedup.semanticNearDup]]) at q50's threshold: the
+    * k-means cells of the session-cached IVF quantizer prune the pair
+    * space by the data's own structure instead of a grid or random
+    * projections. Engine-fitted quantizer → rows-only gate; no false
+    * positives by construction (exact-cosine verify); recall vs q50's
+    * exact grid join is pinned ≥0.8 in DedupSpec on a CLUSTERED corpus
+    * (where SemDeDup's assumption holds — its paper operates at
+    * sim≳0.9 on web-scale clusters). On this bench corpus the
+    * embeddings are unclustered and the strongest pair sits at 0.51,
+    * so at the 0.35 threshold cell-boundary misses are expected
+    * (~0.35 recall at sf0.01) — that is the documented trade the
+    * cluster pruning makes; q50/q51 remain the exact/LSH paths.
+    */
+  val q84SemanticNearDup: Q = (s, d) =>
+    Dedup.semanticNearDup(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1734,7 +1752,8 @@ object Queries {
     "q80_mixing_sample" -> q80MixingSample,
     "q81_curation_pipeline" -> q81CurationPipeline,
     "q82_epoch_mix" -> q82EpochMix,
-    "q83_selfdedup_spans" -> q83SelfdedupSpans)
+    "q83_selfdedup_spans" -> q83SelfdedupSpans,
+    "q84_semantic_neardup" -> q84SemanticNearDup)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"

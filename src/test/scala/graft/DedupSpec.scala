@@ -189,6 +189,47 @@ class DedupSpec extends SparkSpec {
     plans.foreach(p => assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500)))
   }
 
+  test("semanticNearDup: no false positives, exact-dup recall 1.0, " +
+      "high recall on a clustered corpus") {
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    // 4 gaussian blobs (real cluster structure for the k-means fit)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian() * 3)
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.zip(Array.fill(dim)(rnd.nextGaussian() * 0.5))
+        .map { case (a, b) => a + b })
+    }
+    // planted EXACT duplicates — identical vectors must co-assign
+    val dups = (0L until 5L).map(i => (300L + i, vecs(i.toInt)._2))
+    val df = (vecs ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(df, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold too high for this corpus — test data broken")
+    val sem = Dedup.semanticNearDup(df, "vec_id", "embedding", 0.8, nLists = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every emitted pair passed the exact-cosine verify
+    assert((sem diff exact).isEmpty, s"false positives: ${sem diff exact}")
+    // identical vectors land in the same cell -> all planted pairs found
+    (0L until 5L).foreach(i =>
+      assert(sem.contains((i, 300L + i)), s"missed exact duplicate $i"))
+    // blob-respecting clustering keeps within-blob near-dups together
+    val recall = (exact intersect sem).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (${sem.size}/${exact.size})")
+  }
+
+  test("semanticNearDup: pre-flight guard refuses past an explicit cap") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val ex = intercept[graft.ops.SimilarityGuard.CandidateVolumeExceeded] {
+      Dedup.semanticNearDup(df, "vec_id", "embedding", 0.9,
+        nLists = 2, maxCandidates = 10L)
+    }
+    // 50 ids over 2 cells -> at least C(25,2)*2-ish pairs, way over 10
+    assert(ex.predicted > 10L && ex.cap === 10L)
+  }
+
   test("bpe pieces: contractions, space-prefixed runs, digits, punctuation") {
     import graft.functions.TextAnalytics
     val got = Seq("it's 42 red-ish apples", "hello   world")
