@@ -75,7 +75,9 @@ object Bench {
     "q81_curation_pipeline",
     "q82_epoch_mix",
     "q83_selfdedup_spans",
-    "q84_semantic_neardup")
+    "q84_semantic_neardup",
+    "q85_bucketed_batches",
+    "q86_train_pipeline")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

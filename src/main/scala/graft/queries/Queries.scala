@@ -1667,6 +1667,77 @@ object Queries {
     Dedup.semanticNearDup(
       Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
 
+  /** LENGTH-BUCKETED batch assembly: sequences are grouped into
+    * token-length buckets (`ceil(n/32)`) and batched 16-at-a-time
+    * within each bucket in deterministic doc-id order — the
+    * variable-length batching every trainer runs to cut padding waste
+    * (batch cost is `max_len · batch_size`; mixing a 500-token doc
+    * with 30-token docs pads 94% of the batch away). The within-bucket
+    * global rank is [[graft.ops.Packing.startOffsets]] with weight 1 —
+    * the same two-level distributed prefix sum as q74, because
+    * `row_number() OVER (PARTITION BY bucket)` is one-task-per-bucket
+    * at corpus scale and a handful of buckets span the whole corpus.
+    * Output: the per-(bucket, batch) manifest including the padding
+    * waste the bucketing is buying down.
+    */
+  val q85BucketedBatches: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("bucket", ceil(col("n_toks") / lit(32.0)).cast("long"))
+      .withColumn("one", lit(1L))
+    graft.ops.Packing
+      .startOffsets(docs, "bucket", "doc_id", "one", shardSpan = 64L)
+      .withColumn("batch", (col("start_offset") / lit(16L)).cast("long"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_seqs"),
+        max("n_toks").as("max_toks"),
+        sum("n_toks").as("n_tokens"),
+        (max("n_toks") * count(lit(1)) - sum("n_toks")).as("padding_waste"))
+  }
+
+  /** The END-TO-END training-data capstone — curation through batch
+    * layout as ONE query, the composition a real pretraining run
+    * executes nightly: q81's curation (quality → repetition →
+    * fingerprint dedup) → q67's reproducible split → q74's offset
+    * packing per (lang, split) stratum, landing on the number a
+    * trainer actually schedules against: how many `budget`-token
+    * sequences each (lang, split) cell yields. Every stage is the
+    * already-gated operator; the packing stratum is the (lang, split)
+    * CELL, so val/test sequences never interleave train documents.
+    * Scale shape: the curation stages are per-row, dedup is one hash
+    * shuffle, and the packing is the two-level distributed prefix sum
+    * — nothing in the chain holds more than a shard span of one
+    * stratum in a task.
+    */
+  val q86TrainPipeline: Q = (s, d) => {
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalytics.qualityScore(col("text")).as("quality"),
+        TextAnalytics.repetitionStats(
+          TextAnalytics.tokens(col("text"))).as("r"))
+      .filter(col("quality") >= 0.48 &&
+        col("r.dup_tok_frac") <= 0.60 && col("r.dup_3gram_frac") <= 0.05)
+      .select(col("doc_id"), col("lang"),
+        TextAnalytics.fingerprint(col("text")).as("fp"),
+        TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
+      .localCheckpoint(false)
+    val canon = Dedup.exact(kept, "fp", "doc_id")
+    val deduped = kept
+      .join(canon, kept("doc_id") === canon("canonical_id"))
+      .withColumn("split", graft.ops.Splits.splitLabel(
+        col("doc_id"), Seq("train" -> 90, "val" -> 95), "test"))
+      .withColumn("stratum", concat_ws("|", col("lang"), col("split")))
+      .select("stratum", "lang", "split", "doc_id", "n_toks")
+    graft.ops.Packing
+      .packByOffset(deduped, "stratum", "doc_id", "n_toks",
+        budget = 512L, shardSpan = 64L)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct(col("seq_id")).as("n_seqs"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1753,7 +1824,9 @@ object Queries {
     "q81_curation_pipeline" -> q81CurationPipeline,
     "q82_epoch_mix" -> q82EpochMix,
     "q83_selfdedup_spans" -> q83SelfdedupSpans,
-    "q84_semantic_neardup" -> q84SemanticNearDup)
+    "q84_semantic_neardup" -> q84SemanticNearDup,
+    "q85_bucketed_batches" -> q85BucketedBatches,
+    "q86_train_pipeline" -> q86TrainPipeline)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3011,6 +3084,65 @@ object Queries {
              AS UBIGINT) % 10000 < frac_bp
          GROUP BY lang, epoch"""
     },
+    "q86_train_pipeline" ->
+      // q81's curation chain carried through to q74's offset-packing
+      // window, replayed naively (tractable at oracle scale)
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS l FROM documents),
+         c1 AS (SELECT doc_id, len(l)::BIGINT AS total,
+                  len(list_distinct(l))::BIGINT AS nd FROM t),
+         g3 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 2),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+           FROM t WHERE len(l) >= 3),
+         c3 AS (SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS nd
+                FROM g3 GROUP BY doc_id),
+         fr AS (SELECT t.doc_id, t.lang, t.l,
+             (least(c1.total, 100) * 50 +
+              CASE WHEN c1.total > 0 THEN (c1.nd * 5000) // c1.total
+                   ELSE 0 END) / 10000.0 AS quality,
+             CASE WHEN c1.total > 0
+               THEN round((c1.total - c1.nd)::DOUBLE / c1.total, 4)
+               ELSE 0.0 END AS f1,
+             coalesce(round((c3.total - c3.nd)::DOUBLE / c3.total, 4), 0.0)
+               AS f3
+           FROM t JOIN c1 USING (doc_id) LEFT JOIN c3 USING (doc_id)),
+         kept AS (SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(l)), ' ')) AS fp,
+             len(l)::BIGINT AS n_toks
+           FROM fr WHERE quality >= 0.48 AND f1 <= 0.60 AND f3 <= 0.05),
+         canon AS (SELECT min(doc_id) AS canonical_id
+           FROM kept GROUP BY md5(fp)),
+         k2 AS (SELECT k.lang, k.doc_id, k.n_toks,
+             CASE WHEN CAST(('0x' || substring(md5(k.doc_id::VARCHAR), 1, 8))
+                         AS UBIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5(k.doc_id::VARCHAR), 1, 8))
+                         AS UBIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM kept k JOIN canon c ON k.doc_id = c.canonical_id),
+         p AS (SELECT lang, split, n_toks,
+             coalesce(sum(n_toks) OVER (PARTITION BY lang, split
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 512 AS seq
+           FROM k2)
+         SELECT lang, split, count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           count(DISTINCT seq)::BIGINT AS n_seqs
+         FROM p GROUP BY lang, split""",
+    "q85_bucketed_batches" ->
+      // same bucket arithmetic; the distributed rank replayed as the
+      // naive row_number window (tractable at oracle scale)
+      s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n FROM documents),
+         b AS (SELECT doc_id, n,
+             CAST(ceil(n / 32.0) AS BIGINT) AS bucket FROM t),
+         r AS (SELECT doc_id, n, bucket,
+             (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+               // 16 AS batch
+           FROM b)
+         SELECT bucket, batch, count(*) AS n_seqs, max(n) AS max_toks,
+           sum(n)::BIGINT AS n_tokens,
+           (max(n) * count(*) - sum(n))::BIGINT AS padding_waste
+         FROM r GROUP BY bucket, batch""",
     "q83_selfdedup_spans" ->
       // q68's positional-gram + island replay, with the benchmark gram
       // set replaced by the corpus's own duplicated grams (df >= 2
