@@ -77,7 +77,8 @@ object Bench {
     "q83_selfdedup_spans",
     "q84_semantic_neardup",
     "q85_bucketed_batches",
-    "q86_train_pipeline")
+    "q86_train_pipeline",
+    "q87_corpus_shuffle")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -1738,6 +1738,35 @@ object Queries {
         countDistinct(col("seq_id")).as("n_seqs"))
   }
 
+  /** DETERMINISTIC corpus shuffle — the training-order permutation
+    * every epoch needs, as a reproducible RANK per document rather
+    * than RNG state: order by a salted stable hash (salt `"shuffle"`,
+    * independent of the split/sample/epoch decisions like all the
+    * engine's salted hashes), made collision-proof by packing
+    * `(hash28 << 32) | doc_id` into one 60-bit order key. The global
+    * rank materializes WITHOUT a global sort or one-task window:
+    * the hash's own top bits shard the key space uniformly, and
+    * [[graft.ops.Packing.startOffsets]]'s two-level prefix sum (weight
+    * 1) turns per-shard counts into exact global positions — hash
+    * exchanges only, no range partitioning, no driver collect.
+    * Precondition doc_id < 2³² (asserted by the packing arithmetic
+    * staying in 60 bits). Resumability: a trainer restarts mid-epoch
+    * by filtering `shuffle_rank >= k` — the permutation is a pure
+    * function of (id, salt).
+    */
+  val q87CorpusShuffle: Q = (s, d) => {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":shuffle"))), 1, 7), 16, 10).cast("long")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (h * lit(4294967296L) + col("doc_id")).as("ord"))
+      .withColumn("g", lit(0))
+      .withColumn("one", lit(1L))
+    graft.ops.Packing
+      .startOffsets(docs, "g", "ord", "one", shardSpan = 1L << 52)
+      .select(col("doc_id"), col("start_offset").as("shuffle_rank"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1826,7 +1855,8 @@ object Queries {
     "q83_selfdedup_spans" -> q83SelfdedupSpans,
     "q84_semantic_neardup" -> q84SemanticNearDup,
     "q85_bucketed_batches" -> q85BucketedBatches,
-    "q86_train_pipeline" -> q86TrainPipeline)
+    "q86_train_pipeline" -> q86TrainPipeline,
+    "q87_corpus_shuffle" -> q87CorpusShuffle)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3084,6 +3114,15 @@ object Queries {
              AS UBIGINT) % 10000 < frac_bp
          GROUP BY lang, epoch"""
     },
+    "q87_corpus_shuffle" ->
+      // same salted-hash order key; the distributed rank replayed as
+      // the naive global row_number
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY
+             CAST(('0x' || substring(md5(doc_id::VARCHAR || ':shuffle'),
+               1, 7)) AS UBIGINT) * 4294967296 + doc_id) - 1
+             AS shuffle_rank
+         FROM documents""",
     "q86_train_pipeline" ->
       // q81's curation chain carried through to q74's offset-packing
       // window, replayed naively (tractable at oracle scale)
