@@ -177,7 +177,11 @@ object Bench {
       else if (runs.exists(!_._3)) Some((name, -1.0, false))
       else Some((name, median(runs.map(_._2)), true))
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    // millisecond precision: sub-ms digits are noise, and the shorter
+    // line keeps the whole artifact inside a fixed-size tail capture
+    // (BENCH_r09's totals were truncated out of the driver's window)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) r3(v) else -1.0) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => k }
     // ERROR GUARD, same contract as the load guard above: a sweep with
@@ -197,7 +201,15 @@ object Bench {
     // loadavg_end is NOT a contamination signal: the sweep itself drives
     // loadavg to ~11 on 32 cores. Only loadavg_start reflects ambient load.
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warning":$loadWarning}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warning":$loadWarning}"""
+    // sidecar copy: a fixed-size stdout tail capture can truncate the
+    // line's head (BENCH_r09 shipped with parsed:null that way); the
+    // file version survives regardless of window size
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed (non-fatal): ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact Jaccard over two SORTED string arrays as a native Catalyst
@@ -142,6 +142,24 @@ object SetSimilarity {
     dot
   }
 
+  def sparseDotSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var dot = 0.0
+    while (i < na && j < nb) {
+      val sa = a.getStruct(i, 2)
+      val sb = b.getStruct(j, 2)
+      val da = sa.getLong(0)
+      val db = sb.getLong(0)
+      if (da == db) { dot += sa.getDouble(1) * sb.getDouble(1); i += 1; j += 1 }
+      else if (da < db) i += 1
+      else j += 1
+    }
+    dot
+  }
+
   def sparseDotSortedStr(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -160,16 +178,23 @@ object SetSimilarity {
     dot
   }
 
-  case class SparseDotSorted(left: Expression, right: Expression, stringDims: Boolean)
+  case class SparseDotSorted(left: Expression, right: Expression, dimType: DataType)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = DoubleType
-    private def impl = if (stringDims) "sparseDotSortedStr" else "sparseDotSortedInt"
-    override protected def nullSafeEval(a: Any, b: Any): Any =
-      if (stringDims)
-        sparseDotSortedStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-      else
-        sparseDotSortedInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    private def impl = dimType match {
+      case StringType => "sparseDotSortedStr"
+      case LongType   => "sparseDotSortedLong"
+      case _          => "sparseDotSortedInt"
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      dimType match {
+        case StringType => sparseDotSortedStr(x, y)
+        case LongType   => sparseDotSortedLong(x, y)
+        case _          => sparseDotSortedInt(x, y)
+      }
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) =>
         s"graft.functions.SetSimilarity.$impl($a, $b)")
@@ -178,10 +203,10 @@ object SetSimilarity {
   }
 
   /** `a`/`b` MUST be sorted ascending by the struct's first field (the
-    * dim), dims unique per array; first field int (stringDims=false)
-    * or string (stringDims=true), second field double.
+    * dim), dims unique per array; first field int, long (hashed gram
+    * keys), or string per `dimType`, second field double.
     */
-  def sparseDotSorted(a: Column, b: Column, stringDims: Boolean): Column =
+  def sparseDotSorted(a: Column, b: Column, dimType: DataType): Column =
     GraftColumnBridge.column(SparseDotSorted(
-      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), stringDims))
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), dimType))
 }

@@ -187,16 +187,23 @@ object Apss {
       half: Double,
       maxBroadcastDims: Int): DataFrame = {
     val normed = normalized(vecs, idCol, termsCol)
-    val bounds = boundsOf(normed)
-    val probed =
-      if (maxBroadcastDims <= 0) Array.empty[org.apache.spark.sql.Row]
-      else bounds.limit(
+    // keyed path: `normed` feeds BOTH the bounds aggregation and the
+    // per-term explode — stage it once so an expensive upstream vector
+    // build (q63's TF-IDF join+regroup lineage) doesn't replay per
+    // consumer. The broadcast path reads the lineage once per side
+    // already (bounds collapse into a literal), so it stays unstaged.
+    def keyed(): DataFrame = {
+      val staged = normed.localCheckpoint(false)
+      perVecKeyedOf(staged, half, boundsOf(staged))
+    }
+    if (maxBroadcastDims <= 0) keyed()
+    else {
+      val probed = boundsOf(normed).limit(
         math.min(maxBroadcastDims.toLong + 1, Int.MaxValue.toLong).toInt).collect()
-    if (maxBroadcastDims <= 0 || probed.length > maxBroadcastDims)
-      perVecKeyedOf(normed, half, bounds)
-    else
-      perVecOf(vecs, idCol, termsCol, half, Some(typedLit(
+      if (probed.length > maxBroadcastDims) keyed()
+      else perVecOf(vecs, idCol, termsCol, half, Some(typedLit(
         probed.map(r => r.getInt(0) -> r.getDouble(1)).toMap)))
+    }
   }
 
   /** Candidate pairs from two posting lists meeting on shared dims,
@@ -279,17 +286,17 @@ object Apss {
       left: DataFrame,
       right: DataFrame,
       threshold: Double): DataFrame = {
-    val stringDims = {
-      import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    val dimType = {
+      import org.apache.spark.sql.types.{ArrayType, StructType}
       left.schema("m").dataType.asInstanceOf[ArrayType]
-        .elementType.asInstanceOf[StructType]("dim").dataType == StringType
+        .elementType.asInstanceOf[StructType]("dim").dataType
     }
     candidates
       .join(left.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
       .join(right.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
       .withColumn("sim",
         graft.functions.SetSimilarity.sparseDotSorted(
-          col("ma"), col("mb"), stringDims))
+          col("ma"), col("mb"), dimType))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }

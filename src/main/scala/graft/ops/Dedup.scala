@@ -614,9 +614,10 @@ object Dedup {
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): k-means-cluster the embedding
-    * space — the SAME quantizer the IVF ANN index fits
-    * ([[graft.ops.Similarity.ivfIndexFor]]; session-cached, so ANN
-    * probes and dedup share one fitted index per corpus) — then compare
+    * space — the SAME quantizer machinery the IVF ANN index fits
+    * ([[graft.ops.Similarity.ivfIndexFor]]; session-cached and shared
+    * with ANN probes when fitted at the same nLists — see the cache
+    * note at the end of this doc) — then compare
     * pairs only WITHIN a cluster. Where the grid join
     * ([[embeddingNearDupExact]]) partitions pairs uniformly and SRP-LSH
     * ([[embeddingNearDupLsh]]) buckets by random projections, cluster
@@ -628,22 +629,41 @@ object Dedup {
     * co-assign, so exact-duplicate recall is 1.0 by construction.
     *
     * Scale shape — deliberately DIFFERENT from the LSH path's
-    * narrow-then-attach: each id sits in exactly ONE cell, so vectors
-    * ride the cell join directly (no multi-bucket duplicate pairs to
-    * dedup, hence nothing gained by going narrow) and the pair stream
-    * is generated LOCALLY per join task and pipelined straight into
-    * the cosine verify — no pair-sized shuffle exists anywhere in the
-    * plan; the only shuffles move the n input vectors. A hot cell
-    * (clustering imbalance) is parallelized by nesting
-    * [[embeddingNearDupExact]]'s triangle grid INSIDE the cell key —
-    * join key (cell, ci, cj) — splitting one cell's pairs across
-    * ~numBlocks²/2 tasks for ~(numBlocks+1)/2× vector replication.
-    * Remaining knobs: `nLists` auto-scales with the corpus (constant
-    * expected occupancy, as the LSH bits track log2 n), and a
-    * pre-flight [[SimilarityGuard]] check on Σ|cell|·(|cell|−1)/2
+    * narrow-then-attach: each id sits in a BOUNDED number of cells
+    * (`nProbe`), so vectors ride the cell join directly and the pair
+    * stream is generated LOCALLY per join task and pipelined straight
+    * into the cosine verify — no pair-sized shuffle exists anywhere in
+    * the plan before the (output-sized) pair dedup; the bulk shuffles
+    * move only the nProbe·n assigned vectors. A hot cell (clustering
+    * imbalance) is parallelized by nesting [[embeddingNearDupExact]]'s
+    * triangle grid INSIDE the cell key — join key (cell, ci, cj) —
+    * splitting one cell's pairs across ~numBlocks²/2 tasks for
+    * ~(numBlocks+1)/2× vector replication. Remaining knobs: `nLists`
+    * auto-scales with the corpus (constant expected occupancy, as the
+    * LSH bits track log2 n), and a pre-flight [[SimilarityGuard]]
+    * check on the MULTI-PROBE assignment's Σ|cell|·(|cell|−1)/2
     * refuses a degenerate fit (mass-duplicated embeddings collapsing
     * into one giant cell — this op's closed-vocabulary regime) before
-    * launching the quadratic work.
+    * launching the quadratic work. The k-means fit itself (and, with
+    * the default `nLists = 0`, one corpus count to size it) runs
+    * BEFORE that guard — on a degenerate corpus the O(n·k·dim·iters)
+    * fit cost is already paid when the refusal lands; only the
+    * quadratic pair stage is guarded.
+    *
+    * `nProbe = 2` (the default) assigns each vector to its two nearest
+    * cells: a boundary-straddling near-dup pair then co-occurs in one
+    * of them far more often than under single-assignment (which missed
+    * ~2/3 of threshold pairs on unclustered embeddings), for ≤4× the
+    * guarded candidate volume and a pair dedup on the (small) output.
+    * `nProbe = 1` restores strict Abbas et al. single-cell scoping.
+    *
+    * The quantizer comes from [[graft.ops.Similarity.ivfIndexFor]]'s
+    * session cache, shared with ANN probes WHEN fitted at the same
+    * `nLists` — q42/q55-style probes pin nLists=16 while this op
+    * auto-scales k with the corpus, so beyond ~33k vectors the dedup
+    * intentionally fits its own occupancy-scaled quantizer rather
+    * than reuse a 16-cell one whose cells would be quadratically
+    * overfull here.
     */
   def semanticNearDup(
       corpus: DataFrame,
@@ -653,7 +673,9 @@ object Dedup {
       nLists: Int = 0,
       seed: Long = 42L,
       numBlocks: Int = 8,
+      nProbe: Int = 2,
       maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val base = corpus.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     lazy val n = math.max(1L, base.count())
@@ -665,7 +687,7 @@ object Dedup {
       if (nLists > 0) nLists
       else math.max(16, math.min(256, math.ceil(n / 2048.0).toInt))
     val assigned = Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed)
-      .assigned
+      .multiAssigned(nProbe)
       .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
 
     SimilarityGuard.check(
@@ -694,5 +716,9 @@ object Dedup {
         least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         round(col("sim"), 4).as("sim"))
+      // a pair co-assigned to BOTH of its probes' shared cells emits
+      // once per cell — dedup on the canonical key. Output-sized (only
+      // verified >= threshold pairs), unlike the candidate stream.
+      .dropDuplicates("id_a", "id_b")
   }
 }

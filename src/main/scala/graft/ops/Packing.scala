@@ -79,6 +79,48 @@ object Packing {
       .drop("__shard", "__base")
   }
 
+  /** A balanced `shardSpan` from corpus stats: with `n` rows across
+    * `strata` strata and order keys spanning `keyRange` values, level 2
+    * holds ~keyRange/span shard rows per stratum and level 3
+    * ~(n/strata)·(span/keyRange) rows per group — equal at
+    * `span = keyRange / sqrt(n/strata)`, making BOTH levels
+    * O(sqrt(n/strata)) per task. Uniformity of the key over its range
+    * (dense ids, or hash-derived keys over their domain) is what
+    * balances the levels; density is not required. A FIXED span — or a
+    * fixed shard COUNT like `domain >> k` — breaks this: one level's
+    * per-task state then grows linearly with the corpus (the q87
+    * 256-shards-forever regression this helper replaces).
+    */
+  def balancedSpan(n: Long, keyRange: Long, strata: Long = 1L): Long = {
+    require(keyRange > 0, s"keyRange must be positive, got $keyRange")
+    val shards = math.max(1L,
+      math.ceil(math.sqrt(n.toDouble / math.max(1L, strata))).toLong)
+    math.max(1L, keyRange / shards)
+  }
+
+  /** [[startOffsets]] with the span derived from the data itself: ONE
+    * cheap aggregate computes (n, strata, key range) and picks
+    * [[balancedSpan]] — the form call sites should reach for, so the
+    * shard count scales with the corpus instead of freezing at
+    * whatever constant was right at authoring time. `start_offset` is
+    * span-invariant, so swapping a fixed span for this changes no
+    * results.
+    */
+  def startOffsetsAuto(df: DataFrame, stratum: String, order: String,
+                       weight: String): DataFrame = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col(stratum)).as("s"),
+      min(col(order).cast("long")).as("lo"),
+      max(col(order).cast("long")).as("hi")).head()
+    if (r.getLong(0) == 0L) startOffsets(df, stratum, order, weight, 1L)
+    else {
+      val range = math.max(1L, r.getLong(3) - r.getLong(2) + 1L)
+      startOffsets(df, stratum, order, weight,
+        balancedSpan(r.getLong(0), range, r.getLong(1)))
+    }
+  }
+
   /** The one-task-per-stratum window layout — the plan [[startOffsets]]
     * exists to avoid. Kept as the differential-testing reference.
     */
@@ -97,6 +139,16 @@ object Packing {
                    shardSpan: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     startOffsets(df, stratum, order, weight, shardSpan)
+      .withColumn("seq_id", floor(col("start_offset") / lit(budget)).cast("long"))
+  }
+
+  /** [[packByOffset]] with the data-derived [[balancedSpan]] —
+    * `seq_id` is span-invariant like `start_offset`.
+    */
+  def packByOffsetAuto(df: DataFrame, stratum: String, order: String,
+                       weight: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    startOffsetsAuto(df, stratum, order, weight)
       .withColumn("seq_id", floor(col("start_offset") / lit(budget)).cast("long"))
   }
 

@@ -124,6 +124,23 @@ object Similarity {
           round(col("sim"), 4).as("sim"))
     }
 
+    /** The corpus duplicated into each row's `nProbe` NEAREST cells
+      * (nProbe=1 degenerates to [[assigned]]'s single-cell view): the
+      * multi-probe candidate assignment [[graft.ops.Dedup
+      * .semanticNearDup]] scopes pairs with — a near-dup pair sitting
+      * ON a cell boundary co-occurs in one of the two nearest cells
+      * far more often than in the single nearest. Recomputed from the
+      * persisted assignment (one O(nLists·dim) pass per row, no extra
+      * shuffle); rows inflate nProbe-fold, so downstream pair volume
+      * guards must run on THIS table, not on [[assigned]].
+      */
+    def multiAssigned(nProbe: Int): DataFrame =
+      assigned.select(
+        explode(transform(
+          slice(sort_array(centroidDists(col("cv"), centroids)), 1, nProbe),
+          s => s.getField("cid"))).as("cell"),
+        col("neighbor_id"), col("cv"))
+
     def release(): Unit = { assigned.unpersist(); () }
   }
 

@@ -917,8 +917,9 @@ object Queries {
   }
 
   /** APSS over REAL text: per-document TF-IDF vectors on the raw
-    * 3-gram shingle vocabulary (dims are the shingle STRINGS — no
-    * pre-built vocabulary table, no dense id remap), with the
+    * 3-gram shingle vocabulary (dims are xxhash64 keys of the shingle
+    * strings — no pre-built vocabulary table, no dense id remap, and
+    * no gram strings riding the posting shuffles), with the
     * KEYED-JOIN bound attach forced (`maxBroadcastDims = 0`) — the
     * configuration that survives a 10⁹-key vocabulary, here under the
     * driver's oracle gate end-to-end. Weights are ln(N/df) over
@@ -944,12 +945,23 @@ object Queries {
       // feeds the N count, the df table, and the terms regroup
       .localCheckpoint(false)
     val n = sh.count() // corpus size for idf — one count job at any scale
+    // Shingle STRINGS are hashed to 64-bit dims up front (the q22
+    // gram-key move): every posting-build and candidate shuffle then
+    // carries an 8-byte long instead of a ~30-byte UTF-8 gram — the
+    // difference between the TF-IDF posting build fitting one box's
+    // disk at 100× and out-spilling it. Collision note: two distinct
+    // shingles hashing equal would merge their df counts and falsely
+    // match in the verify walk; at 10⁹ distinct grams the any-collision
+    // odds are ~2.7% (birthday bound over 2⁶⁴) and a single collision
+    // perturbs one dim of the affected vectors — acceptable for a
+    // near-dup screen, and absent entirely on the gated corpora.
     val e = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val dfreq = e.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val terms = e.join(dfreq, "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("dim"))
+    val dfreq = e.groupBy("dim").agg(count(lit(1)).as("df"))
+    val terms = e.join(dfreq, "dim")
       .groupBy("doc_id")
       .agg(collect_list(struct(
-        col("shingle").as("dim"),
+        col("dim"),
         log(lit(n.toDouble) / col("df")).as("w"))).as("terms"))
     Apss.cosinePairs(terms, "doc_id", "terms",
       threshold = 0.6, maxBroadcastDims = 0)
@@ -1412,10 +1424,10 @@ object Queries {
     * with five languages. Output: the per-sequence packing manifest.
     */
   val q74SequencePack: Q = (s, d) =>
-    graft.ops.Packing.packByOffset(
+    graft.ops.Packing.packByOffsetAuto(
       Tables.documents(s, d).select(col("lang"), col("doc_id"),
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks")),
-      "lang", "doc_id", "n_toks", budget = 512L, shardSpan = 64L)
+      "lang", "doc_id", "n_toks", budget = 512L)
       .groupBy(col("lang"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -1687,7 +1699,7 @@ object Queries {
       .withColumn("bucket", ceil(col("n_toks") / lit(32.0)).cast("long"))
       .withColumn("one", lit(1L))
     graft.ops.Packing
-      .startOffsets(docs, "bucket", "doc_id", "one", shardSpan = 64L)
+      .startOffsetsAuto(docs, "bucket", "doc_id", "one")
       .withColumn("batch", (col("start_offset") / lit(16L)).cast("long"))
       .groupBy(col("bucket"), col("batch"))
       .agg(count(lit(1)).as("n_seqs"),
@@ -1730,8 +1742,8 @@ object Queries {
       .withColumn("stratum", concat_ws("|", col("lang"), col("split")))
       .select("stratum", "lang", "split", "doc_id", "n_toks")
     graft.ops.Packing
-      .packByOffset(deduped, "stratum", "doc_id", "n_toks",
-        budget = 512L, shardSpan = 64L)
+      .packByOffsetAuto(deduped, "stratum", "doc_id", "n_toks",
+        budget = 512L)
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_toks").as("n_tokens"),
@@ -1745,9 +1757,11 @@ object Queries {
     * engine's salted hashes), made collision-proof by packing
     * `(hash28 << 32) | doc_id` into one 60-bit order key. The global
     * rank materializes WITHOUT a global sort or one-task window:
-    * the hash's own top bits shard the key space uniformly, and
-    * [[graft.ops.Packing.startOffsets]]'s two-level prefix sum (weight
-    * 1) turns per-shard counts into exact global positions — hash
+    * the hash key spreads uniformly over its 60-bit domain, and
+    * [[graft.ops.Packing.startOffsetsAuto]]'s two-level prefix sum
+    * (weight 1, ~sqrt(n) shards derived from the corpus count — a
+    * fixed span would freeze the shard count at authoring-time scale)
+    * turns per-shard counts into exact global positions — hash
     * exchanges only, no range partitioning, no driver collect.
     * Precondition doc_id < 2³² (asserted by the packing arithmetic
     * staying in 60 bits). Resumability: a trainer restarts mid-epoch
@@ -1763,7 +1777,7 @@ object Queries {
       .withColumn("g", lit(0))
       .withColumn("one", lit(1L))
     graft.ops.Packing
-      .startOffsets(docs, "g", "ord", "one", shardSpan = 1L << 52)
+      .startOffsetsAuto(docs, "g", "ord", "one")
       .select(col("doc_id"), col("start_offset").as("shuffle_rank"))
   }
 

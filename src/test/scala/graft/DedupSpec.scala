@@ -218,6 +218,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low (${sem.size}/${exact.size})")
   }
 
+  test("semanticNearDup: 2-cell multi-probe recovers boundary pairs on " +
+      "UNCLUSTERED embeddings (the q50/q84 bench corpus)") {
+    // the round-9 residual: single-cell scoping hit ~0.35 recall on
+    // unclustered data because threshold pairs straddle cell
+    // boundaries; nProbe=2 must lift that without false positives
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupExact(df, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "no exact pairs at 0.35 — corpus regenerated?")
+    val sem = Dedup.semanticNearDup(df, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((sem diff exact).isEmpty, s"false positives: ${sem diff exact}")
+    val recall = (exact intersect sem).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (${sem.size}/${exact.size})")
+    // multi-probe can only ADD candidate cells: single-probe pairs are
+    // a subset of the multi-probe result by construction
+    val single = Dedup.semanticNearDup(df, "vec_id", "embedding", 0.35,
+      nProbe = 1).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((single diff sem).isEmpty,
+      s"nProbe=2 lost single-probe pairs: ${single diff sem}")
+  }
+
   test("semanticNearDup: pre-flight guard refuses past an explicit cap") {
     val rnd = new scala.util.Random(19)
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))

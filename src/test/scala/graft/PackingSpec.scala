@@ -35,6 +35,42 @@ class PackingSpec extends SparkSpec {
       (3L, 200L, 0L), (4L, 300L, 1L)))
   }
 
+  test("startOffsetsAuto == naive, and both levels stay ~sqrt-balanced") {
+    // dense ids interleaved over 4 strata — the q74/q85/q86 shape
+    val n = 4000
+    val df = (0L until n.toLong).map(i => (s"l${i % 4}", i, 1L + i % 5))
+      .toDF("lang", "doc_id", "w")
+    val auto = Packing.startOffsetsAuto(df, "lang", "doc_id", "w")
+      .select("lang", "doc_id", "start_offset")
+      .as[(String, Long, Long)].collect().toSet
+    val naive = Packing.startOffsetsNaive(df, "lang", "doc_id", "w")
+      .select("lang", "doc_id", "start_offset")
+      .as[(String, Long, Long)].collect().toSet
+    assert(auto === naive)
+    // the balance the helper promises: with the derived span neither
+    // the per-stratum shard count (level 2) nor any (stratum, shard)
+    // group (level 3) exceeds a small multiple of sqrt(n/strata)
+    val span = Packing.balancedSpan(n.toLong, n.toLong, 4L)
+    val bound = 4 * math.ceil(math.sqrt(n / 4.0)).toLong
+    val groups = (0L until n.toLong).groupBy(i => (i % 4, i / span))
+    assert(groups.values.map(_.size.toLong).max <= bound)
+    assert(groups.keys.groupBy(_._1).values.map(_.size.toLong).max <= bound)
+  }
+
+  test("balancedSpan scales the shard count with the corpus on a hash-domain key") {
+    // the q87 regression: a fixed span over a 60-bit hash domain froze
+    // the shard count at 256 forever; the derived span must instead
+    // track sqrt(n) as the corpus grows
+    val domain = 1L << 60
+    Seq(10L * 1000, 1000L * 1000, 100L * 1000 * 1000).foreach { n =>
+      val span = Packing.balancedSpan(n, domain)
+      val shards = domain / span
+      val target = math.ceil(math.sqrt(n.toDouble)).toLong
+      assert(shards >= target && shards <= 2 * target + 1,
+        s"n=$n shards=$shards target=$target")
+    }
+  }
+
   test("greedy: no sequence exceeds the budget unless it is a single row") {
     val rows = (0L until 100L).map(i => ("aa", i, 1L + (i * 37) % 90))
     val packed = Packing.packGreedyShards(rows.toDF("lang", "doc_id", "w"),
@@ -103,6 +139,18 @@ object PackingProperties extends Properties("packing") {
         .select("lang", "doc_id", "w", "start_offset")
         .collect().map(_.toSeq).toSet
       Prop(got == want)
+    }
+
+  property("balancedSpan: derived shard count within 2x of sqrt(n/strata)") =
+    forAll(Gen.choose(1L, 4L * 1000 * 1000), Gen.choose(1L, 32L),
+        Gen.oneOf(1L << 20, 1L << 40, 1L << 60)) { (n, s, domain) =>
+      val span = Packing.balancedSpan(n, domain, s)
+      val target = math.ceil(math.sqrt(n.toDouble / s)).toLong
+      val shards = domain / span
+      // integer floor of domain/shards can only RAISE the shard count,
+      // and never above ~2x target while span >= 1
+      Prop(span >= 1L && shards >= math.min(target, domain) &&
+        (span == 1L || shards <= 2 * target + 1))
     }
 
   property("packGreedyShards == reference fold per (stratum, shard)") =
