@@ -229,9 +229,11 @@ object Apss {
     // change it) and refuse a high-df-regime launch up front (cap
     // auto-scales with the probe-side vector count). See
     // [[SimilarityGuard]].
-    SimilarityGuard.check(
+    val predicted =
       if (ordered) SimilarityGuard.selfJoinVolume(buildSide, Seq("dim"))
-      else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim")),
+      else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim"))
+    SimilarityGuard.check(
+      predicted,
       SimilarityGuard.resolveCap(maxCandidates, nVecs),
       "Apss.candidatesOf",
       "Sparsify harder (Apss.sparsifyTopM with smaller m), raise the " +
@@ -255,8 +257,10 @@ object Apss {
     // dropped mass, so dropped_a + dropped_b + least(ua, ub) < t
     // proves the pair can't qualify. The 1e-9 slack keeps float
     // round-off from pruning a knife-edge qualifying pair.
-    a.join(b, Seq("dim", "salt"))
-      .where(if (ordered) col("id_a") < col("id_b") else lit(true))
+    SimilarityGuard.observed(
+      a.join(b, Seq("dim", "salt"))
+        .where(if (ordered) col("id_a") < col("id_b") else lit(true)),
+      "Apss.candidatesOf", predicted)
       .groupBy("id_a", "id_b")
       // da/db are functionally dependent on id_a/id_b (one dropped mass
       // per vector), so any pick is the right value — max makes the

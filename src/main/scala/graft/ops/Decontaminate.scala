@@ -179,6 +179,11 @@ object Decontaminate {
       .select(col(idCol).as("id"),
         posexplode(Shingling.orderedShingles(
           TextAnalytics.tokens(col(textCol)), n)).as(Seq("pos", "gram")))
+      // feeds BOTH the gram-stats aggregation and the positions
+      // re-join — staged once so the corpus tokenize+shingle pass
+      // (2× the corpus scan at 100 TB) doesn't replay per consumer
+      // (the q81/q86 localCheckpoint move)
+      .localCheckpoint(false)
 
     // one aggregation, keyed by gram: the owning (minimum) doc id and
     // whether a second distinct doc carries the gram. min+max distinct
@@ -356,6 +361,10 @@ object Decontaminate {
           lit(1) + least(col("sz") - col("rn"), col("sz_b") - col("rn_b")) >=
             ceil(lit(threshold) / (1 + threshold) * (col("sz") + col("sz_b"))))
       .select("id", "bench_id")
+      // predicted-vs-actual telemetry on the candidate matches (before
+      // the pair dedup; actual <= predicted, positional prune fused)
+      .transform(SimilarityGuard.observed(_,
+        "Decontaminate.jaccardScreen", predictedCandidates))
       .distinct()
     // narrow; materializing buys an exact candidate count for the
     // verify-strategy decision — only paid when the decision runs

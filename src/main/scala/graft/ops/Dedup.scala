@@ -288,6 +288,10 @@ object Dedup {
           lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
             ceil(lit(threshold) / (1 + threshold) * (col("sz_a") + col("sz_b"))))
       .select("id_a", "id_b")
+      // predicted-vs-actual telemetry on the surviving candidate rows
+      // (actual <= predicted: the positional prune is fused above)
+      .transform(SimilarityGuard.observed(_,
+        "Dedup.ngramJaccardPairs", predictedCandidates))
       .distinct()
     // narrow (two longs per row); materializing buys an exact candidate
     // count for the verify-strategy decision without recomputing the
@@ -437,25 +441,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint per document: every token votes +1/-1 on
-    * each of the 64 bits of its xxhash64; positive sums set the bit.
-    * Implemented explode -> 64 conditional sums -> bit assembly, i.e.
-    * one shuffle on the doc id with map-side partial aggregation.
+  /** Shared SimHash assembly: every token votes +1/-1 on each of the
+    * low `bits` bits of its hash; positive sums set the bit.
+    * Implemented explode -> `bits` conditional sums -> bit assembly,
+    * i.e. one shuffle on the doc id with map-side partial aggregation.
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private def simHashOf(
+      docs: DataFrame, textCol: String, idCol: String,
+      tokHash: Column => Column, bits: Int): DataFrame = {
     val tok = docs.select(
       col(idCol).as("id"),
       explode(TextAnalytics.tokens(col(textCol))).as("tok"))
-    val h = tok.withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+    val h = tok.withColumn("h", tokHash(col("tok")))
+    val bitSums = (0 until bits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
     }
     val summed = h.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
+    val fp = (0 until bits)
       .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
     summed.select(col("id"), fp.as("simhash"))
   }
+
+  /** 64-bit SimHash fingerprint per document over the engine-native
+    * token hash (xxhash64 — cheapest, not portable across engines).
+    */
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    simHashOf(docs, textCol, idCol, t => xxhash64(t), 64)
+
+  /** [[simHash]] with a PORTABLE token hash — the low 60 bits of the
+    * token's md5 (15 hex chars, so the value is non-negative in any
+    * signed-64 engine) — bit-for-bit reproducible in standard SQL.
+    * This is what lets the chunk-blocked pair join ([[simHashPairs]])
+    * be ORACLE-GATED end-to-end: the oracle recomputes the signatures
+    * and brute-forces the hamming join, and the engine's blocked plan
+    * must match it exactly (q27b; the q55 exhaustive-probe trick for
+    * the SimHash tier). Production fingerprinting stays [[simHash]];
+    * the blocking/salting/verify machinery under test is identical.
+    */
+  def simHashPortable(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    simHashOf(docs, textCol, idCol,
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+      60)
 
   /** SimHash near-dup pairs: block on 16-bit fingerprint chunks (two
     * near-identical docs differing in <= 3 bits must agree on at least
@@ -690,9 +718,10 @@ object Dedup {
       .multiAssigned(nProbe)
       .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
 
+    val predicted = SimilarityGuard.selfJoinVolume(
+      assigned.select("cell", "id"), Seq("cell"))
     SimilarityGuard.check(
-      SimilarityGuard.selfJoinVolume(
-        assigned.select("cell", "id"), Seq("cell")),
+      predicted,
       SimilarityGuard.resolveCap(maxCandidates, n),
       site = "Dedup.semanticNearDup",
       reroute = "Re-route to embeddingNearDupLsh (SRP buckets hold " +
@@ -708,8 +737,10 @@ object Dedup {
     val right = v.select(col("cell"),
       explode(sequence(lit(0), col("blk"))).as("ci"),
       col("blk").as("cj"), col("id").as("id_r"), col("v").as("vr"))
-    left.join(right, Seq("cell", "ci", "cj"))
-      .where(col("ci") < col("cj") || col("id_l") < col("id_r"))
+    SimilarityGuard.observed(
+      left.join(right, Seq("cell", "ci", "cj"))
+        .where(col("ci") < col("cj") || col("id_l") < col("id_r")),
+      "Dedup.semanticNearDup", predicted)
       .withColumn("sim", Similarity.cosine(col("vl"), col("vr")))
       .where(col("sim") >= threshold)
       .select(

@@ -122,6 +122,32 @@ object SimilarityGuard {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Monotonic launch counter: CollectMetrics names must be unique
+    * within one query plan, and a composed pipeline (q72) embeds
+    * several guarded launches.
+    */
+  private val launchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Production telemetry for every guarded launch: wrap the candidate
+    * stream in a `Dataset.observe` (CollectMetrics) node named
+    * `graft.similarity.<site>#<k>` carrying the ACTUAL candidate rows
+    * next to the volume the guard PREDICTED. The pre-flight check
+    * refuses obvious blow-ups; this makes the predictor's calibration
+    * observable in flight — an operator (or a QueryExecutionListener)
+    * watching actual/predicted drift toward 1 sees the df regime
+    * shifting before the first refusal, with no extra job, shuffle, or
+    * action (the metric aggregates ride the existing partition pass).
+    * `actual` counts rows AFTER the join's fused static prunes
+    * (positional filters, id ordering), so actual ≤ predicted always;
+    * APSS/SemDeDup launches carry no post-key prune and sit at
+    * equality (property-pinned in SimilarityGuardSpec).
+    */
+  def observed(candidates: DataFrame, site: String, predicted: Long): DataFrame =
+    candidates.observe(
+      s"graft.similarity.$site#${launchSeq.incrementAndGet()}",
+      count(lit(1)).as("actual_candidates"),
+      max(lit(predicted)).as("predicted_candidates"))
+
   def check(predicted: Long, cap: Long, site: String, reroute: String): Unit = {
     // allowed launches log their headroom at INFO: at cluster scale an
     // operator watching the ratio creep toward 1 sees the df regime

@@ -1280,6 +1280,23 @@ object Queries {
   val q27SimHash: Q = (s, d) =>
     Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
 
+  /** SimHash near-dup PAIRS under the full driver oracle gate
+    * ([[graft.ops.Dedup.simHashPortable]] + [[graft.ops.Dedup
+    * .simHashPairs]]): signatures use the portable md5-60-bit token
+    * hash so the oracle can recompute them bit-for-bit in SQL and
+    * brute-force the hamming join; the engine side runs the REAL
+    * chunk-blocked + skew-salted pair plan, so the gate proves
+    * blocking == exhaustive (pigeonhole: ≤ 3 differing bits can touch
+    * at most 3 of the 4 16-bit chunks, so every qualifying pair
+    * agrees on some chunk). q27's xxhash64 fingerprints remain the
+    * production path; this is its hash-portable oracle twin.
+    */
+  val q27bSimhashPairs: Q = (s, d) =>
+    Dedup.simHashPairs(
+      Dedup.simHashPortable(Tables.documents(s, d), "text", "doc_id"),
+      maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+
   /** SRP-LSH approximate nearest neighbors (bucketed candidates + exact
     * re-rank); recall is validated in tests against q21's exact top-k.
     */
@@ -1855,6 +1872,7 @@ object Queries {
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q70_decontaminate_minhash" -> q70DecontaminateMinhash,
     "q27_simhash" -> q27SimHash,
+    "q27b_simhash_pairs" -> q27bSimhashPairs,
     "q28_lsh_ann" -> q28LshAnn,
     "q42_ivf_ann" -> q42IvfAnn,
     "q74_sequence_pack" -> q74SequencePack,
@@ -2385,6 +2403,28 @@ object Queries {
          FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
          LIMIT 100""",
+    "q27b_simhash_pairs" ->
+      // portable-simhash replay: same md5-60-bit token hash (15 hex
+      // chars parse as a non-negative BIGINT on both engines), same
+      // +1/-1 bit votes, then a BRUTE-FORCE hamming join — the engine's
+      // chunk-blocked plan must reproduce it exactly
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         h AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+         votes AS (
+           SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+           GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                    AS simhash
+                FROM votes GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
     "q29_tree_stats" ->
       """WITH RECURSIVE walk(node, cur, d) AS (
            SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey >= 8

@@ -108,6 +108,44 @@ class SimilarityGuardSpec extends SparkSpec {
     assert(e.getMessage.contains("minHashScreen"))
   }
 
+  test("guarded launches surface predicted-vs-actual candidate telemetry " +
+      "as observed metrics; APSS sits at exact equality") {
+    // sparse vectors with shared dims so the posting join has real work
+    val rnd = new scala.util.Random(23)
+    val vecs = (1 to 120).map { i =>
+      (i.toLong, Seq.fill(4)(1 + rnd.nextInt(40)).distinct
+        .map(d => (d, 0.5 + rnd.nextDouble())))
+    }.toDF("id", "terms")
+      .select(col("id"),
+        transform(col("terms"), t =>
+          struct(t.getField("_1").as("dim"), t.getField("_2").as("w"))).as("terms"))
+    val res = Apss.cosinePairs(vecs, "id", "terms", threshold = 0.9)
+    res.collect()
+    val metrics = res.queryExecution.observedMetrics
+      .filter(_._1.startsWith("graft.similarity.Apss.candidatesOf#"))
+    assert(metrics.nonEmpty,
+      s"no telemetry node in ${res.queryExecution.observedMetrics.keys}")
+    val row = metrics.values.head
+    val actual = row.getAs[Long]("actual_candidates")
+    val predicted = row.getAs[Long]("predicted_candidates")
+    // the APSS self-join has no post-key prune before the metric, so
+    // the predictor must be EXACT — drift here is a predictor bug
+    assert(actual === predicted,
+      s"predictor drift: actual=$actual predicted=$predicted")
+    assert(predicted > 0L, "degenerate test corpus: no shared dims at all")
+
+    // the pruned joins (PPJoin positional filters) must stay <= predicted
+    val pairs = Dedup.ngramJaccardPairs(heapsDocs(100), "text", "doc_id",
+      "lang", shingleN = 2, threshold = 0.8)
+    pairs.collect()
+    val m2 = pairs.queryExecution.observedMetrics
+      .filter(_._1.startsWith("graft.similarity.Dedup.ngramJaccardPairs#"))
+    assert(m2.nonEmpty)
+    val r2 = m2.values.head
+    assert(r2.getAs[Long]("actual_candidates") <=
+      r2.getAs[Long]("predicted_candidates"))
+  }
+
   test("Apss refuses when every vector posts the same hot dims") {
     val vecs = (1 to 40).map { i =>
       (i.toLong, (1 to 8).map(d => (d, 1.0 + (i % 3) * 0.1)))
