@@ -201,8 +201,26 @@ object Apss {
       val probed = boundsOf(normed).limit(
         math.min(maxBroadcastDims.toLong + 1, Int.MaxValue.toLong).toInt).collect()
       if (probed.length > maxBroadcastDims) keyed()
-      else perVecOf(vecs, idCol, termsCol, half, Some(typedLit(
-        probed.map(r => r.getInt(0) -> r.getDouble(1)).toMap)))
+      else {
+        // dims are polymorphic (int feature ids, long hashed grams,
+        // string terms) — build the literal bound map at the matching
+        // key type so element_at resolves without an implicit cast
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        val mw = normed.schema("terms").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]("dim")
+          .dataType match {
+          case LongType =>
+            typedLit(probed.map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+          case StringType =>
+            typedLit(probed.map(r => r.getString(0) -> r.getDouble(1)).toMap)
+          case IntegerType =>
+            typedLit(probed.map(r => r.getInt(0) -> r.getDouble(1)).toMap)
+          case t => throw new IllegalArgumentException(
+            s"unsupported dim type $t (int, long, or string)")
+        }
+        perVecOf(vecs, idCol, termsCol, half, Some(mw))
+      }
     }
   }
 

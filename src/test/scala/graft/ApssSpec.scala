@@ -138,6 +138,30 @@ class ApssSpec extends SparkSpec {
     } finally idx.release()
   }
 
+  test("LONG dims (hashed gram keys, the q63 shape): broadcast and keyed " +
+      "attach agree and are exact") {
+    val corpus = sparseCorpus(77, n = 100, dims = 25, nnz = 6)
+    // remap int dims to sparse longs the way q63's xxhash64 does
+    val longDim = (d: Int) => d.toLong * 2654435761L + 17L
+    val local = corpus.map { case (id, terms) =>
+      (id, terms.map { case (d, w) => (longDim(d), w) })
+    }
+    val df = local.toDF("id", "terms")
+      .select(col("id"), transform(col("terms"), t =>
+        struct(t.getField("_1").as("dim"), t.getField("_2").as("w"))).as("terms"))
+    val viaMap = Apss.cosinePairs(df, "id", "terms", 0.4,
+      maxBroadcastDims = Int.MaxValue).as[(Long, Long, Double)].collect().toSet
+    val viaJoin = Apss.cosinePairs(df, "id", "terms", 0.4,
+      maxBroadcastDims = 0).as[(Long, Long, Double)].collect().toSet
+    assert(viaMap == viaJoin)
+    // same pairs as the int-dim run: the remap is injective, so only
+    // the dim LABELS changed
+    val intDf = toDf(corpus)
+    val want = Apss.cosinePairs(intDf, "id", "terms", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaMap == want)
+  }
+
   test("~1e6 distinct dims: auto keyed attach, no giant map row, still exact") {
     // structured block X lives on dims 1..30; a quarter-million noise
     // vectors each own 4 PRIVATE dims from a 10^6 space (no dim shared
