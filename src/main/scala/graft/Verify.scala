@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // reap truncated-lineage shuffle files between query phases —
+      // peak scratch = max-over-phases, not sum-over-job (see BenchOne)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

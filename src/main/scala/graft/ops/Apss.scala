@@ -74,9 +74,10 @@ object Apss {
     * ascending by cb (ties to the lower dim), drop while the running
     * sum INCLUDING the current term stays < t/2; POST everything from
     * the crossing term on. Each posting carries its RESIDUAL bound
-    * rem = Σ of contributions from this posting onward, and the row
-    * carries its actual DROPPED mass (< t/2) — together they upper-
-    * bound any pair's dot for the candidate-stage prune. One
+    * rem = Σ of contributions from this posting onward PLUS its own
+    * normalized weight wn (for the exact shared-dot accumulation), and
+    * the row carries its actual DROPPED mass (< t/2) — together they
+    * upper-bound any pair's dot for the candidate-stage prunes. One
     * aggregate over a bounded array, no shuffle.
     */
   private def decide(withCb: DataFrame, half: Double): DataFrame = {
@@ -97,11 +98,15 @@ object Apss {
         array_sort(transform(col("terms"), t => struct(
           t.getField("dim").as("dim"), t.getField("wn").as("wn")))).as("m"),
         aggregate(
+          // the trailing wn rides for the posting payload; sort order
+          // is decided by (contrib, dim) alone — dims are unique, so
+          // the third field never breaks a tie
           array_sort(transform(col("terms"), t => struct(
             t.getField("cb").as("contrib"),
-            t.getField("dim").as("dim")))),
+            t.getField("dim").as("dim"),
+            t.getField("wn").as("wn")))),
           struct(lit(0.0).as("cum"),
-            array().cast(s"array<struct<dim:$dimSql,cb:double>>").as("ps")),
+            array().cast(s"array<struct<dim:$dimSql,cb:double,wn:double>>").as("ps")),
           (acc, x) => {
             val cum = acc.getField("cum") + x.getField("contrib")
             struct(
@@ -109,13 +114,15 @@ object Apss {
               when(cum >= half,
                 array_append(acc.getField("ps"), struct(
                   x.getField("dim").as("dim"),
-                  acc.getField("cum").as("cb"))))
+                  acc.getField("cum").as("cb"),
+                  x.getField("wn").as("wn"))))
                 .otherwise(acc.getField("ps")).as("ps"))
           },
           acc => struct(
             transform(acc.getField("ps"), p => struct(
               p.getField("dim").as("dim"),
-              (acc.getField("cum") - p.getField("cb")).as("rem"))).as("dims"),
+              (acc.getField("cum") - p.getField("cb")).as("rem"),
+              p.getField("wn").as("wn"))).as("dims"),
             // cum BEFORE the first posting == total dropped mass;
             // nothing posted -> everything was dropped (try_element_at:
             // ANSI element_at throws on the empty array)
@@ -261,20 +268,38 @@ object Apss {
     val a = probeSide.join(groups, Seq("dim"))
       .select(col("dim"),
         pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
-        col("id").as("id_a"), col("rem").as("rem_a"), col("dropped").as("da"))
+        col("id").as("id_a"), col("rem").as("rem_a"), col("wn").as("wn_a"),
+        col("dropped").as("da"))
     val b = buildSide.join(groups, Seq("dim"))
       .select(col("dim"),
         explode(sequence(lit(0), col("g") - 1)).as("salt"),
-        col("id").as("id_b"), col("rem").as("rem_b"), col("dropped").as("db"))
-    // RESIDUAL-BOUND PRUNE (Bayardo's remscore, symmetric): the shared
+        col("id").as("id_b"), col("rem").as("rem_b"), col("wn").as("wn_b"),
+        col("dropped").as("db"))
+    // TWO aggregated prunes, both provably exact:
+    //
+    // RESIDUAL BOUND (Bayardo's remscore, symmetric): the shared
     // posted dims' dot is ≤ each side's residual at ITS OWN earliest
     // shared posting — per side that is max over meetings of rem, and
     // the sound combined bound is least(max(rem_a), max(rem_b)) (NOT
     // max(least(..)): the earliest shared posting differs per side).
     // Everything else each side dropped contributes at most its
     // dropped mass, so dropped_a + dropped_b + least(ua, ub) < t
-    // proves the pair can't qualify. The 1e-9 slack keeps float
-    // round-off from pruning a knife-edge qualifying pair.
+    // proves the pair can't qualify.
+    //
+    // SHARED-DOT BOUND (exact dot-so-far): the shared posted dims'
+    // contribution is computed EXACTLY as Σ wn_a·wn_b over meetings;
+    // every other dim was dropped by at least one side, and a dim
+    // side x dropped contributes ≤ |wn_x|·bound(dim), which summed is
+    // ≤ dropped_x — so dot ≤ sharedDot + dropped_a + dropped_b. This
+    // is the sharp one: for a non-duplicate pair meeting on one rare
+    // gram, sharedDot is one small product while the residuals (mass
+    // still ahead in the posting order) stay near t/2 — on the 100×
+    // audit corpus the residual bound kept 78M of 86M candidate pairs
+    // and the verify stage's vector attachment out-spilled the box;
+    // the shared-dot bound cuts the same stream to ~the true pairs.
+    //
+    // The 1e-9 slack keeps float round-off from pruning a knife-edge
+    // qualifying pair.
     SimilarityGuard.observed(
       a.join(b, Seq("dim", "salt"))
         .where(if (ordered) col("id_a") < col("id_b") else lit(true)),
@@ -285,17 +310,22 @@ object Apss {
       // determinism self-evident and survives a refactor that breaks
       // the dependency.
       .agg(max(col("rem_a")).as("ua"), max(col("rem_b")).as("ub"),
+        sum(col("wn_a") * col("wn_b")).as("sd"),
         max(col("da")).as("da"), max(col("db")).as("db"))
-      .where(col("da") + col("db") + least(col("ua"), col("ub")) >=
-        threshold - 1e-9)
+      .where(
+        col("da") + col("db") + least(col("ua"), col("ub")) >=
+          threshold - 1e-9 &&
+        col("da") + col("db") + col("sd") >= threshold - 1e-9)
       .select("id_a", "id_b")
   }
 
-  /** Exploded posting rows: (dim, id, residual bound, dropped mass). */
+  /** Exploded posting rows: (dim, id, residual bound, own weight,
+    * dropped mass).
+    */
   private def postingsOf(pv: DataFrame): DataFrame =
     pv.select(col("id"), col("dropped"), explode(col("posted")).as("p"))
       .select(col("p.dim").as("dim"), col("id"),
-        col("p.rem").as("rem"), col("dropped"))
+        col("p.rem").as("rem"), col("p.wn").as("wn"), col("dropped"))
 
 
   /** Exact sparse-dot verify over candidate (id_a, id_b) pairs: one

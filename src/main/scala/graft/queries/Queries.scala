@@ -937,26 +937,28 @@ object Queries {
     * already; the widening stands in for that skew here.
     */
   val q63ApssTfidf: Q = (s, d) => {
+    // Shingle STRINGS are hashed to 64-bit dims BEFORE the staged
+    // checkpoint (the q22 gram-key move): the checkpoint and every
+    // posting-build / candidate shuffle then carry an 8-byte long per
+    // gram instead of a ~30-byte UTF-8 string — the difference between
+    // the TF-IDF build fitting one box's disk at 100× and out-spilling
+    // it. Collision note: two distinct shingles hashing equal would
+    // merge their df counts and falsely match in the verify walk; at
+    // 10⁹ distinct grams the any-collision odds are ~2.7% (birthday
+    // bound over 2⁶⁴) and a single collision perturbs one dim of the
+    // affected vectors — acceptable for a near-dup screen, and absent
+    // entirely on the gated corpora.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
-        graft.functions.Shingling.sortedShingles(
-          TextAnalytics.tokens(col("text")), 3).as("sh"))
+        transform(
+          graft.functions.Shingling.sortedShingles(
+            TextAnalytics.tokens(col("text")), 3),
+          g => xxhash64(g)).as("sh"))
       .where(size(col("sh")) > 0)
       // feeds the N count, the df table, and the terms regroup
       .localCheckpoint(false)
     val n = sh.count() // corpus size for idf — one count job at any scale
-    // Shingle STRINGS are hashed to 64-bit dims up front (the q22
-    // gram-key move): every posting-build and candidate shuffle then
-    // carries an 8-byte long instead of a ~30-byte UTF-8 gram — the
-    // difference between the TF-IDF posting build fitting one box's
-    // disk at 100× and out-spilling it. Collision note: two distinct
-    // shingles hashing equal would merge their df counts and falsely
-    // match in the verify walk; at 10⁹ distinct grams the any-collision
-    // odds are ~2.7% (birthday bound over 2⁶⁴) and a single collision
-    // perturbs one dim of the affected vectors — acceptable for a
-    // near-dup screen, and absent entirely on the gated corpora.
-    val e = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("dim"))
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("dim"))
     val dfreq = e.groupBy("dim").agg(count(lit(1)).as("df"))
     val terms = e.join(dfreq, "dim")
       .groupBy("doc_id")

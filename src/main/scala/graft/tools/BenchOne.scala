@@ -9,6 +9,12 @@ object BenchOne {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // multi-phase similarity plans truncate lineage at staged
+      // checkpoints; a 60s periodic driver GC lets the ContextCleaner
+      // reap each phase's shuffle files BEFORE the next phase writes —
+      // peak scratch becomes max-over-phases instead of sum-over-job
+      // (the default 30min interval never fires inside one query)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
