@@ -34,6 +34,7 @@ object Bench {
     "q24_pivot_events",
     "q25_top_priced",
     "q26_minhash_lsh",
+    "q27b_simhash_pairs",
     "q28_lsh_ann",
     "q29_tree_stats",
     "q30_interval_merge",
@@ -63,6 +64,7 @@ object Bench {
     "q68_decontaminate_spans",
     "q69_decontaminate_jaccard",
     "q70_decontaminate_minhash",
+    "q70b_minhash_portable",
     "q71_excise_spans",
     "q72_decontam_pipeline",
     "q74_sequence_pack",

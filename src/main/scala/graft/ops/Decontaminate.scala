@@ -491,18 +491,29 @@ object Decontaminate {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      bucketCap: Int = 4096): DataFrame = {
+      bucketCap: Int = 4096,
+      portable: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
     val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
+    // `portable = true` is the ORACLE-TWIN configuration (q70b): the
+    // md5-based signature a SQL oracle can replay bit-for-bit, and the
+    // band's RAW value slice as the bucket key (exact collision
+    // semantics — a murmur bucket is a superset the oracle can't
+    // express). Production screens keep the native signature kernel
+    // and the narrower hashed bucket; false-positive buckets are
+    // removed by the exact verify either way.
     def buckets(sh: DataFrame) = sh
       .select(col("id"),
-        Dedup.minHashSignature(col("sh"), numHashes).as("sig"))
+        (if (portable) Dedup.minHashSignaturePortable(col("sh"), numHashes)
+         else Dedup.minHashSignature(col("sh"), numHashes)).as("sig"))
       .select(col("id"),
         explode(array((0 until bands).map { b =>
+          val sliced = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
           struct(
             lit(b).as("band"),
-            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+            (if (portable) concat_ws(",", sliced.cast("array<string>"))
+             else hash(sliced).cast("string")).as("bucket"))
         }: _*)).as("bb"))
     // SKEW GUARD ([[graft.ops.Dedup.simHashPairs]] pattern, cross-set
     // form): a hot bucket on the TRAIN side — boilerplate mass-

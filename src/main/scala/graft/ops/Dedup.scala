@@ -35,6 +35,21 @@ object Dedup {
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
     graft.functions.Shingling.minHashSignature(shingleCol, numHashes)
 
+  /** [[minHashSignature]] with a PORTABLE per-permutation hash — the
+    * low 60 bits of md5("i:gram"), reproducible bit-for-bit in any SQL
+    * engine — so a banded screen built on it can be ORACLE-GATED
+    * end-to-end (the [[simHashPortable]] move for the MinHash tier).
+    * Interpreted HOFs, numHashes passes per row: strictly a
+    * correctness twin; production signatures stay the native one-pass
+    * [[graft.functions.Shingling.MinHashSig]] kernel.
+    */
+  def minHashSignaturePortable(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, g =>
+        conv(substring(md5(concat(lit(s"$i:"), g).cast("binary")), 1, 15),
+          16, 10).cast("long")))
+    }: _*)
+
   /** Candidate probability of the (bands, rowsPerBand) banding for a
     * pair of true Jaccard `s`: `1 − (1 − s^r)^b` — the LSH S-curve.
     */

@@ -1056,6 +1056,27 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** The MinHash screen under the FULL driver oracle gate
+    * ([[graft.ops.Decontaminate.minHashScreen]] `portable = true`):
+    * signatures use the md5-60-bit permutation hash so the oracle
+    * recomputes them bit-for-bit, band buckets are the raw value
+    * slices (exact collision semantics), and the oracle replays
+    * signature → band collision → exact-Jaccard verify in SQL — so
+    * the REAL banding/salting/verify machinery gets a hash-match row
+    * (q27b's move for the MinHash tier). q70's native-kernel screen
+    * stays the production path; its recall pin vs q69 lives in
+    * DecontaminateSpec.
+    */
+  val q70bMinhashPortable: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Decontaminate.minHashScreen(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "text", "doc_id", shingleN = 2, bands = 8, rowsPerBand = 4,
+      threshold = 0.5, portable = true)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** The COMPOSED decontamination pipeline — the LLM-data analog of
     * q54's gene pipeline: every stage is the already-gated operator,
     * chained the way a training-data run would actually execute it.
@@ -1873,6 +1894,7 @@ object Queries {
     "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
     "q70_decontaminate_minhash" -> q70DecontaminateMinhash,
+    "q70b_minhash_portable" -> q70bMinhashPortable,
     "q27_simhash" -> q27SimHash,
     "q27b_simhash_pairs" -> q27bSimhashPairs,
     "q28_lsh_ann" -> q28LshAnn,
@@ -2862,6 +2884,37 @@ object Queries {
              AS seg_text
          FROM segs JOIN tt USING (doc_id)
          WHERE seg_end > seg_start""",
+    "q70b_minhash_portable" ->
+      // full MinHash+LSH replay: md5-60-bit permutation hashes (15 hex
+      // chars parse as non-negative BIGINT on both engines), per-doc
+      // min per permutation, 8 bands x 4 rows collide on the exact
+      // value tuple, candidates verify with exact distinct-2-gram
+      // Jaccard — the engine's banded/salted plan must match this
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1])) AS g
+           FROM (SELECT doc_id, $toks AS l FROM documents)
+           WHERE len(l) >= 2),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM t),
+         hs AS (SELECT doc_id, h.i AS i,
+             min(('0x' || substr(md5(h.i || ':' || gram), 1, 15))::BIGINT) AS v
+           FROM e, (SELECT unnest(generate_series(0, 31)) AS i) h
+           GROUP BY 1, 2),
+         bandkey AS (SELECT doc_id, i // 4 AS band,
+             string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+           FROM hs GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+           FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.key = b.key
+           WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+         verify AS (SELECT c.doc_id, c.bench_id,
+             len(list_intersect(ta.g, tb.g))::DOUBLE /
+               (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) AS j
+           FROM cand c
+             JOIN t ta ON ta.doc_id = c.doc_id
+             JOIN t tb ON tb.doc_id = c.bench_id)
+         SELECT doc_id, bench_id, round(j, 4) AS jaccard
+         FROM verify WHERE j >= 0.5""",
     "q69_decontaminate_jaccard" ->
       // cross-set distinct-2-gram Jaccard: intersection via the gram
       // equi-join, union by inclusion-exclusion over the set sizes
