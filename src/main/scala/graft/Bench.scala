@@ -34,6 +34,7 @@ object Bench {
     "q24_pivot_events",
     "q25_top_priced",
     "q26_minhash_lsh",
+    "q26b_minhash_lsh_portable",
     "q27b_simhash_pairs",
     "q28_lsh_ann",
     "q29_tree_stats",

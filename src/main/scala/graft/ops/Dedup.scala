@@ -112,7 +112,8 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      bucketCap: Int = 4096): DataFrame = {
+      bucketCap: Int = 4096,
+      portable: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Materialize shingles in their own projection so the signature's k
     // transforms reference one computed array instead of k inlined copies.
@@ -129,8 +130,14 @@ object Dedup {
       // materialize it once — storage is the shingle table, which the
       // verify joins shuffle anyway
       .localCheckpoint(false)
+    // `portable = true` is the oracle-twin configuration (q26b):
+    // md5-based signatures a SQL oracle replays bit-for-bit, band
+    // buckets on the raw value tuple (exact collision semantics) —
+    // see [[graft.ops.Decontaminate.minHashScreen]]'s portable note.
     val sigs = shingled
-      .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), col("sh"),
+        (if (portable) minHashSignaturePortable(col("sh"), numHashes)
+         else minHashSignature(col("sh"), numHashes)).as("sig"))
 
     // Bucket rows are narrow (bucket key + id): the shuffled self-join
     // never carries shingle arrays — at corpus scale that is the
@@ -138,9 +145,11 @@ object Dedup {
     val buckets = sigs.select(
       col("id"),
       explode(array((0 until bands).map { b =>
+        val sliced = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
         struct(
           lit(b).as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+          (if (portable) concat_ws(",", sliced.cast("array<string>"))
+           else hash(sliced).cast("string")).as("bucket"))
       }: _*)).as("bb"))
       // both self-join sides replay the k-hash signature otherwise;
       // bucket rows are narrow (bucket key + id), so this is cheap

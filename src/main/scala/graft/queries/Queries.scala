@@ -1299,6 +1299,20 @@ object Queries {
       Tables.documents(s, d), "text", "doc_id",
       shingleN = 2, threshold = 0.5, numHashes = 32)
 
+  /** The MinHash+LSH SELF-join under the full driver oracle gate
+    * ([[graft.ops.Dedup.minHashLsh]] `portable = true`): portable md5
+    * permutation hashes + raw-value band buckets, so the oracle
+    * replays signature → band collision → exact-Jaccard verify
+    * against the engine's banded + skew-salted self-join plan (the
+    * cross-set twin is q70b). q26's native-kernel path stays the
+    * production near-dup screen.
+    */
+  val q26bMinhashLshPortable: Q = (s, d) =>
+    Dedup.minHashLsh(
+      Tables.documents(s, d), "text", "doc_id",
+      shingleN = 2, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      portable = true)
+
   /** SimHash 64-bit fingerprints per document. */
   val q27SimHash: Q = (s, d) =>
     Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
@@ -1893,6 +1907,7 @@ object Queries {
     "q65_repetition" -> q65Repetition,
     "q67_hash_split" -> q67HashSplit,
     "q26_minhash_lsh" -> q26MinHashLsh,
+    "q26b_minhash_lsh_portable" -> q26bMinhashLshPortable,
     "q70_decontaminate_minhash" -> q70DecontaminateMinhash,
     "q70b_minhash_portable" -> q70bMinhashPortable,
     "q27_simhash" -> q27SimHash,
@@ -2884,6 +2899,36 @@ object Queries {
              AS seg_text
          FROM segs JOIN tt USING (doc_id)
          WHERE seg_end > seg_start""",
+    "q26b_minhash_lsh_portable" ->
+      // self-join form of the q70b replay: same md5 permutation
+      // hashes and raw-value band tuples, candidates are id_a < id_b
+      // band collisions over the WHOLE corpus, verified with exact
+      // distinct-2-gram Jaccard
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1])) AS g
+           FROM (SELECT doc_id, $toks AS l FROM documents)
+           WHERE len(l) >= 2),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM t),
+         hs AS (SELECT doc_id, h.i AS i,
+             min(('0x' || substr(md5(h.i || ':' || gram), 1, 15))::BIGINT) AS v
+           FROM e, (SELECT unnest(generate_series(0, 31)) AS i) h
+           GROUP BY 1, 2),
+         bandkey AS (SELECT doc_id, i // 4 AS band,
+             string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+           FROM hs GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandkey a JOIN bandkey b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         verify AS (SELECT c.id_a, c.id_b,
+             len(list_intersect(ta.g, tb.g))::DOUBLE /
+               (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) AS j
+           FROM cand c
+             JOIN t ta ON ta.doc_id = c.id_a
+             JOIN t tb ON tb.doc_id = c.id_b)
+         SELECT id_a, id_b, round(j, 4) AS jaccard
+         FROM verify WHERE j >= 0.5""",
     "q70b_minhash_portable" ->
       // full MinHash+LSH replay: md5-60-bit permutation hashes (15 hex
       // chars parse as non-negative BIGINT on both engines), per-doc
