@@ -343,9 +343,17 @@ object Apss {
       left.schema("m").dataType.asInstanceOf[ArrayType]
         .elementType.asInstanceOf[StructType]("dim").dataType
     }
+    // shuffle_hash on the vector side: a sort-merge attach would SORT
+    // the candidate stream again after each join — and after the first
+    // join every row carries a full dim-sorted vector, so that second
+    // sort moves candidates × vector-size bytes (at the 100× audit it
+    // spilled 19 GB; hash-building the per-partition vector slice
+    // moves only the vectors). Same pattern as minHashScreen's verify.
     candidates
-      .join(left.select(col("id").as("id_a"), col("m").as("ma")), "id_a")
-      .join(right.select(col("id").as("id_b"), col("m").as("mb")), "id_b")
+      .join(left.select(col("id").as("id_a"), col("m").as("ma"))
+        .hint("shuffle_hash"), "id_a")
+      .join(right.select(col("id").as("id_b"), col("m").as("mb"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("sim",
         graft.functions.SetSimilarity.sparseDotSorted(
           col("ma"), col("mb"), dimType))
