@@ -77,7 +77,7 @@ object DocMerge {
     val rightOnly = right.schema.fields
       .filter(f => f.name != key && !left.columns.contains(f.name))
       .map(f => rightCol(f.name).as(f.name))
-    joined.select(col(key) +: (merged ++ rightOnly): _*)
+    joined.select((col(key) +: (merged ++ rightOnly)).toIndexedSeq: _*)
   }
 
   private def mergeValue(l: Column, r: Column, lt: DataType, rt: DataType): Column =

@@ -80,7 +80,7 @@ object Similarity {
   def srpBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex
       .map { case (p, i) =>
-        val planeLit = array(p.map(lit(_)): _*)
+        val planeLit = array(p.toIndexedSeq.map(lit(_)): _*)
         val dot = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0), (s, x) => s + x)
         when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
       }
