@@ -120,7 +120,8 @@ object ScaleUp {
     // this short random-token vocabulary (measured: distinct grams
     // grew only 2.3x at 100 copies while df grew ~43x -> Σdf²
     // candidate blowup ~1900x instead of 100x).
-    require(copies <= 676, s"2-letter copy tag distinct for <=676 copies, got $copies")
+    require(copies <= 17576,
+      s"3-letter copy tag distinct for <=17576 copies, got $copies")
     // Copy 0 IS tagged, deliberately asymmetric with the embeddings
     // branch (where copy 0 = base): injectivity needs every token to
     // carry its tag at the SAME position. With copy 0 untagged, a
@@ -137,7 +138,9 @@ object ScaleUp {
     write(scale(docs, Map("doc_id" -> dSpan)) { (d, k) =>
       val rot = k % 26
       val to = alpha.drop(rot) + alpha.take(rot)
-      val tag = s"${alpha(k % 26)}${alpha(k / 26 % 26)}"
+      // UNIFORM 3-letter tag for every copy index (a variable-length
+      // tag would break the equal-length injectivity argument above)
+      val tag = s"${alpha(k % 26)}${alpha(k / 26 % 26)}${alpha(k / 676 % 26)}"
       d.withColumn("text",
         regexp_replace(
           translate(col("text"), alpha + alpha.toUpperCase,
