@@ -175,15 +175,23 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    // Grams are keyed by xxhash64 — the stats aggregation and the
+    // positions re-join then move 8-byte longs instead of ~30-byte
+    // UTF-8 grams (collisions merge two grams' stats; ~2e-5 odds of
+    // even one collision at a 10⁹-gram vocabulary — the q63/q22 note).
+    //
+    // DELIBERATELY RECOMPUTED, NOT STAGED: this table has one row per
+    // corpus token position, and a localCheckpoint of it is a
+    // corpus-sized NON-EVICTABLE cache — at the 1000× audit (235M
+    // positions) the pinned blocks starved execution memory and the
+    // stats aggregation died in UNABLE_TO_ACQUIRE_MEMORY. The
+    // tokenize+shingle pass is cheap per-row CPU; paying it twice
+    // (once per consumer) is the scale-correct trade.
     val grams = docs
       .select(col(idCol).as("id"),
         posexplode(Shingling.orderedShingles(
-          TextAnalytics.tokens(col(textCol)), n)).as(Seq("pos", "gram")))
-      // feeds BOTH the gram-stats aggregation and the positions
-      // re-join — staged once so the corpus tokenize+shingle pass
-      // (2× the corpus scan at 100 TB) doesn't replay per consumer
-      // (the q81/q86 localCheckpoint move)
-      .localCheckpoint(false)
+          TextAnalytics.tokens(col(textCol)), n)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), xxhash64(col("g")).as("gram"))
 
     // one aggregation, keyed by gram: the owning (minimum) doc id and
     // whether a second distinct doc carries the gram. min+max distinct
