@@ -41,8 +41,24 @@ object Closure {
       // form ran two). Convergence = fixpoint of the path-pair count.
       val next = paths.union(doubled).distinct().localCheckpoint(eager = false)
       val cnt = next.count()
-      if (cnt == prev) done = true
-      else { paths = next; prev = cnt }
+      if (cnt == prev) {
+        // converged: the freshly-materialized (identical) round is
+        // redundant — free it, keep serving the previous one
+        org.apache.spark.sql.classic.GraftColumnBridge
+          .unpersistLocalCheckpoint(next)
+        done = true
+      } else {
+        // free the SUPERSEDED round's blocks immediately: `next` is
+        // materialized, nothing references the old round any more, and
+        // waiting for driver GC + ContextCleaner leaves every round's
+        // closure table pinned in MEMORY_AND_DISK — at the 1000× audit
+        // (200M+ closure rows/round) the pinned rounds starved the
+        // distinct's hash aggregation into AGGREGATE_OUT_OF_MEMORY.
+        org.apache.spark.sql.classic.GraftColumnBridge
+          .unpersistLocalCheckpoint(paths)
+        paths = next
+        prev = cnt
+      }
     }
     paths
   }

@@ -21,6 +21,22 @@ object GraftColumnBridge {
       : org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
 
+  /** Release a local checkpoint's cached blocks NOW. A checkpointed
+    * round of an iterative fixpoint (Closure's path doubling) holds
+    * MEMORY_AND_DISK blocks that only the driver GC + ContextCleaner
+    * would otherwise reclaim — and GC rarely fires inside one query,
+    * so every superseded round stays pinned and starves execution
+    * memory (the 1000× q13 AGGREGATE_OUT_OF_MEMORY). The checkpoint
+    * RDD hides behind the Dataset's LogicalRDD; there is no public
+    * unpersist for it, hence this bridge.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function into an ALREADY-RUNNING session's registry —
     * the live-session counterpart of `SparkSessionExtensions
     * .injectFunction` (which only applies at session build time).
