@@ -621,7 +621,11 @@ object Dedup {
       dim: Int,
       bitsPerTable: Int = 0,
       numTables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(!portable || bitsPerTable > 0,
+      "portable planes need explicit bitsPerTable (a static SQL oracle " +
+        "can't replay corpus-derived bits)")
     val v = col(vecCol).cast("array<double>")
     val base = corpus.select(col(idCol).as("id"), v.as("v"))
     // bitsPerTable <= 0 → size the buckets from the corpus: expected
@@ -638,8 +642,11 @@ object Dedup {
         math.max(3, math.min(24,
           math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
       }
+    // portable = true is the ORACLE-TWIN configuration (q51b):
+    // md5-derived planes a SQL oracle recomputes bit-for-bit
     val tables = (0 until numTables).map { t =>
-      t -> Similarity.hyperplanes(dim, bits, seed + t)
+      t -> (if (portable) Similarity.portableHyperplanes(dim, bits, t)
+            else Similarity.hyperplanes(dim, bits, seed + t))
     }
     // The candidate stage is NARROW — ids only. Carrying the vectors
     // through the bucket join and pair-dedup multiplies the ~KB array
@@ -726,19 +733,30 @@ object Dedup {
       seed: Long = 42L,
       numBlocks: Int = 8,
       nProbe: Int = 2,
-      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto,
+      seedQuantizer: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val base = corpus.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     lazy val n = math.max(1L, base.count())
     // occupancy-scaled cell count: a FIXED nLists makes per-cell pair
     // volume grow quadratically with the corpus; k ~ n/2048 holds
-    // E[|cell|] constant. Capped at 256: the centroid set rides the
-    // plan as a literal and the k-means fit is O(n·k·dim·iters).
+    // E[|cell|] constant. k ≤ MaxLiteralCells rides the plan as one
+    // centroid literal (exact single-level argmin); past it the index
+    // goes hierarchical ([[graft.ops.Similarity.IvfHierarchy]] — the
+    // keyed centroid attach), so occupancy keeps scaling to
+    // k = 65536 ≈ 134M vectors instead of stopping at ~524k.
     val k =
       if (nLists > 0) nLists
-      else math.max(16, math.min(256, math.ceil(n / 2048.0).toInt))
-    val assigned = Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed)
+      else math.max(16, math.min(65536, math.ceil(n / 2048.0).toInt))
+    // seedQuantizer > 0 is the ORACLE-TWIN configuration (q84b): cells
+    // are argmin-L2 over the corpus's first seedQuantizer vectors by
+    // id — a quantizer SQL replays — instead of the fitted k-means
+    val index =
+      if (seedQuantizer > 0)
+        Similarity.ivfSeededIndexFor(corpus, idCol, vecCol, seedQuantizer)
+      else Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed)
+    val assigned = index
       .multiAssigned(nProbe)
       .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
 

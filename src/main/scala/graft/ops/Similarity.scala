@@ -73,6 +73,35 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** PORTABLE hyperplanes — every component derives from an md5 a SQL
+    * oracle replays bit-for-bit (the q70b trick applied to SRP):
+    * component(t, p, i) = md5_60bit("t:p:i") / 2⁵⁹ − 1 ∈ [−1, 1).
+    * The 15-hex-char prefix parses as a non-negative BIGINT on both
+    * engines; long→double rounding and the power-of-two scale are
+    * IEEE-identical, so DuckDB computes the very same doubles.
+    * Uniform rather than Gaussian components — still a valid sign-LSH
+    * family for cosine (symmetric about 0), slightly worse angular
+    * uniformity; production paths keep [[hyperplanes]], this feeds the
+    * oracle-twin queries (q28b/q51b).
+    */
+  def portableHyperplanes(dim: Int, numPlanes: Int, table: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { p =>
+      Array.tabulate(dim) { i =>
+        md5Hex60(s"$table:$p:$i").toDouble / 576460752303423488.0 - 1.0
+      }
+    }
+
+  /** First 60 bits (15 hex chars) of the md5 of `s`, as a
+    * non-negative long — matches DuckDB's
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+    */
+  private def md5Hex60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Sign-bit bucket id: bit p set iff the vector is on the positive
     * side of hyperplane p. Vectors in the same bucket are likely within
     * a small angle — the standard SRP-LSH for cosine.
@@ -86,15 +115,101 @@ object Similarity {
       }
       .reduce(_ bitwiseOR _)
 
+  /** Max cell count the quantizer carries as ONE literal centroid-array
+    * expression. Past this, the centroid set stops being a plan literal
+    * (codegen'd constant-pool/method-size limits aside, every row would
+    * pay k·dim literal distance terms) and assignment goes HIERARCHICAL
+    * — see [[IvfHierarchy]]. 256 coarse cells × 256 subs each ≈ 65k
+    * fine cells, which at the n/2048 occupancy rule covers ~134M
+    * vectors before E[|cell|] starts growing again.
+    */
+  val MaxLiteralCells: Int = 256
+
+  /** Two-level assignment for cell counts past [[MaxLiteralCells]]:
+    * the fine centroids are grouped under a small COARSE quantizer
+    * (k1 ≈ √k cells, fit driver-side on the k centroids themselves —
+    * k points, microseconds), and a row's cells are found by ranking
+    * the ≤256 coarse cells as plan literals, attaching the probed
+    * groups' sub-centroid ARRAYS by a broadcast keyed join (k1 rows
+    * total — the keyed centroid attach), and arg-sorting the attached
+    * arrays with codegen'd HOFs. No row inflation anywhere: per-row
+    * cost is O((k1 + nCoarseProbe·k/k1)·dim) ≈ O(√k·dim) instead of
+    * O(k·dim), and no single expression ever holds more than
+    * [[MaxLiteralCells]] centroids.
+    *
+    * Approximation note: a vector's true nearest FINE centroid can sit
+    * in a coarse group the probe skipped (boundary effect — the same
+    * trade every IMI/hierarchical-k-means index makes); `nCoarseProbe`
+    * (default 4) bounds it, and the consumers' recall pins (DedupSpec)
+    * gate the net effect. The miss mostly cancels for PAIR recall —
+    * near-dup endpoints have near-identical distance profiles, so they
+    * still co-assign even when both miss the true argmin; on FITTED
+    * centroids (coarse groups aligned with real data clusters) argmin
+    * agreement is far higher than on the adversarial random-centroid
+    * spec fixture. k ≤ [[MaxLiteralCells]] keeps the exact
+    * single-level literal path.
+    */
+  final case class IvfHierarchy(
+      coarse: Array[(Int, Array[Double])],
+      subs: DataFrame,
+      nCoarseProbe: Int)
+
+  private[graft] final case class SubCentroid(cid: Int, c: Seq[Double])
+  private[graft] final case class CoarseGroup(gid: Int, subs: Seq[SubCentroid])
+
   /** A built IVF-Flat index: the coarse quantizer (centroid id + L2
     * centroid per cell) and the cell-assigned corpus, persisted so any
     * number of probes reuse one build. At cluster scale `assigned`
     * would be a table partitioned by `cell` — the relational form of
-    * the inverted lists.
+    * the inverted lists. `hierarchy` is present iff the cell count
+    * exceeds [[MaxLiteralCells]] (see [[IvfHierarchy]]).
     */
   final case class IvfIndex(
       centroids: Array[(Int, Array[Double])],
-      assigned: DataFrame) {
+      assigned: DataFrame,
+      hierarchy: Option[IvfHierarchy] = None) {
+
+    /** Adds `cells` — the ids of `vec`'s `nProbe` nearest cells,
+      * ascending (distance², cid) — to `df`. Literal single-level path
+      * for k ≤ [[MaxLiteralCells]]; coarse-literal + broadcast
+      * sub-centroid attach past it.
+      */
+    private[graft] def withCells(
+        df: DataFrame, vec: Column, nProbe: Int): DataFrame = hierarchy match {
+      case None if nProbe == 1 =>
+        // array_min picks the same (d, cid)-least struct as the sorted
+        // slice without materializing the sort
+        df.withColumn("cells",
+          array(array_min(centroidDists(vec, centroids)).getField("cid")))
+      case None =>
+        df.withColumn("cells",
+          transform(
+            slice(sort_array(centroidDists(vec, centroids)), 1, nProbe),
+            s => s.getField("cid")))
+      case Some(h) =>
+        val subsType = "array<struct<cid:int,c:array<double>>>"
+        val probed = df.withColumn("_g",
+          transform(
+            slice(sort_array(centroidDists(vec, h.coarse)), 1, h.nCoarseProbe),
+            s => s.getField("cid")))
+        val joined = (0 until h.nCoarseProbe).foldLeft(probed) { (acc, i) =>
+          acc.join(
+            broadcast(h.subs.select(
+              col("gid").as(s"_gid$i"), col("subs").as(s"_subs$i"))),
+            try_element_at(col("_g"), lit(i + 1)) === col(s"_gid$i"), "left")
+        }
+        val allSubs = concat((0 until h.nCoarseProbe).map(i =>
+          coalesce(col(s"_subs$i"), array().cast(subsType))): _*)
+        val scored = sort_array(transform(allSubs, s => struct(
+          aggregate(zip_with(vec, s.getField("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).as("d"),
+          s.getField("cid").as("cid"))))
+        joined
+          .withColumn("cells",
+            transform(slice(scored, 1, nProbe), s => s.getField("cid")))
+          .drop(("_g" +: (0 until h.nCoarseProbe)
+            .flatMap(i => Seq(s"_gid$i", s"_subs$i"))): _*)
+    }
 
     /** Probe: each query ranks the broadcast centroids (sorting
       * `nLists` structs on the SMALL query side only), explodes into
@@ -108,12 +223,10 @@ object Similarity {
         vecCol: String,
         k: Int,
         nProbe: Int = 4): DataFrame = {
-      val q = queries.select(
+      val q0 = queries.select(
         col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-        .withColumn("cell",
-          explode(transform(
-            slice(sort_array(centroidDists(col("qv"), centroids)), 1, nProbe),
-            s => s.getField("cid"))))
+      val q = withCells(q0, col("qv"), nProbe)
+        .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
       assigned.join(broadcast(q), Seq("cell"))
         .where(col("neighbor_id") =!= col("query_id"))
@@ -130,16 +243,13 @@ object Similarity {
       * .semanticNearDup]] scopes pairs with — a near-dup pair sitting
       * ON a cell boundary co-occurs in one of the two nearest cells
       * far more often than in the single nearest. Recomputed from the
-      * persisted assignment (one O(nLists·dim) pass per row, no extra
-      * shuffle); rows inflate nProbe-fold, so downstream pair volume
-      * guards must run on THIS table, not on [[assigned]].
+      * persisted assignment (one O(√k·dim) or O(nLists·dim) pass per
+      * row, no extra shuffle); rows inflate nProbe-fold, so downstream
+      * pair volume guards must run on THIS table, not on [[assigned]].
       */
     def multiAssigned(nProbe: Int): DataFrame =
-      assigned.select(
-        explode(transform(
-          slice(sort_array(centroidDists(col("cv"), centroids)), 1, nProbe),
-          s => s.getField("cid"))).as("cell"),
-        col("neighbor_id"), col("cv"))
+      withCells(assigned, col("cv"), nProbe)
+        .select(explode(col("cells")).as("cell"), col("neighbor_id"), col("cv"))
 
     def release(): Unit = { assigned.unpersist(); () }
   }
@@ -157,12 +267,16 @@ object Similarity {
         lit(i).as("cid"))
     }.toIndexedSeq: _*)
 
-  /** Build the IVF index: fit the coarse quantizer on a SAMPLE of the
-    * corpus (a quantizer needs only the density shape — fitting on
-    * 100 TB would be absurd), then assign every corpus row to its
-    * nearest centroid with a single `array_min` over the (dist, cid)
-    * structs — one O(nLists·dim) pass per row, no per-row sort. The
-    * assigned corpus is persisted: build once, probe many.
+  /** Build the IVF index: fit the quantizer on a SAMPLE of the corpus
+    * (a quantizer needs only the density shape — fitting on 100 TB
+    * would be absurd), then assign every corpus row to its nearest
+    * centroid — one O(nLists·dim) literal pass per row for
+    * nLists ≤ [[MaxLiteralCells]], the hierarchical O(√nLists·dim)
+    * attach past it ([[IvfHierarchy]]). Past the literal cap the fit
+    * sample is also capped at max(65536, nLists·64) rows (the fit is
+    * O(rows·k·dim·iters) — unbounded it would dwarf the query) and
+    * iterations drop to 5; costs one count job. The assigned corpus is
+    * persisted: build once, probe many.
     */
   def ivfBuild(
       corpus: DataFrame,
@@ -174,17 +288,146 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val base = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val hierarchical = nLists > MaxLiteralCells
+    val base0 = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val base =
+      if (!hierarchical) base0
+      else {
+        val n = math.max(1L, base0.count())
+        val cap = math.max(65536L, nLists.toLong * 64L)
+        if (n <= cap) base0 else base0.sample(cap.toDouble / n, seed)
+      }
     val train = base.select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setMaxIter(if (hierarchical) 5 else 10).fit(train)
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val assigned = corpus.select(
+    val hierarchy =
+      if (!hierarchical) None
+      else Some(hierarchyOf(corpus.sparkSession, centroids, nCoarseProbe = 4))
+    assignedIndex(corpus, idCol, vecCol, centroids, hierarchy)
+  }
+
+  /** Assign the corpus under a GIVEN quantizer (no fit): the
+    * [[IvfIndex]] whose cells are argmin-L2 over `centroids` —
+    * [[graft.ops.Dedup.semanticNearDup]]'s portable-quantizer twin
+    * hands the oracle-replayable centroid set in through here.
+    */
+  def ivfFromCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Int, Array[Double])]): IvfIndex = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val hierarchy =
+      if (centroids.length <= MaxLiteralCells) None
+      else Some(hierarchyOf(corpus.sparkSession, centroids, nCoarseProbe = 4))
+    assignedIndex(corpus, idCol, vecCol, centroids, hierarchy)
+  }
+
+  private def assignedIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Int, Array[Double])],
+      hierarchy: Option[IvfHierarchy]): IvfIndex = {
+    val sel = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cell",
-        array_min(centroidDists(col("cv"), centroids)).getField("cid"))
+    val assigned = IvfIndex(centroids, sel, hierarchy)
+      .withCells(sel, col("cv"), 1)
+      .select(element_at(col("cells"), 1).as("cell"),
+        col("neighbor_id"), col("cv"))
       .persist()
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroids, assigned, hierarchy)
+  }
+
+  /** Driver-side Lloyd over the k fine centroids themselves (k points
+    * — microseconds next to the distributed fit) into
+    * k1 = min(√k-ish, [[MaxLiteralCells]]) coarse groups; deterministic
+    * spread init (every (k/k1)-th centroid), empty groups keep their
+    * center. Returns the coarse literals plus the per-group
+    * sub-centroid arrays as a k1-row broadcastable DataFrame.
+    */
+  private def hierarchyOf(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[(Int, Array[Double])],
+      nCoarseProbe: Int): IvfHierarchy = {
+    val k = centroids.length
+    val k1 = math.max(1, math.min(MaxLiteralCells,
+      math.ceil(math.sqrt(k.toDouble)).toInt))
+    val pts = centroids.map(_._2)
+    val dim = pts.head.length
+    val centers = Array.tabulate(k1)(j => pts((j.toLong * k / k1).toInt).clone())
+    val assign = new Array[Int](k)
+    var round = 0
+    var changed = true
+    while (round < 15 && changed) {
+      changed = false
+      var i = 0
+      while (i < k) {
+        var best = 0
+        var bd = Double.MaxValue
+        var j = 0
+        while (j < k1) {
+          var d = 0.0
+          var t = 0
+          val c = centers(j)
+          val p = pts(i)
+          while (t < dim) { val x = p(t) - c(t); d += x * x; t += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val cnt = new Array[Int](k1)
+      val sums = Array.fill(k1)(new Array[Double](dim))
+      var i2 = 0
+      while (i2 < k) {
+        val g = assign(i2)
+        cnt(g) += 1
+        var t = 0
+        while (t < dim) { sums(g)(t) += pts(i2)(t); t += 1 }
+        i2 += 1
+      }
+      var g = 0
+      while (g < k1) {
+        if (cnt(g) > 0) {
+          var t = 0
+          while (t < dim) { centers(g)(t) = sums(g)(t) / cnt(g); t += 1 }
+        }
+        g += 1
+      }
+      round += 1
+    }
+    // one final reassignment so the groups are consistent with the
+    // FINAL centers (the last loop iteration moved the means after
+    // assigning) — vectors route through these centers later, so a
+    // fine centroid must sit in the group its final center owns
+    var fi = 0
+    while (fi < k) {
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < k1) {
+        var d = 0.0
+        var t = 0
+        val c = centers(j)
+        val p = pts(fi)
+        while (t < dim) { val x = p(t) - c(t); d += x * x; t += 1 }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      assign(fi) = best
+      fi += 1
+    }
+    val coarse = centers.zipWithIndex.map { case (c, g) => (g, c) }
+    val subRows = (0 until k1).map { g =>
+      CoarseGroup(g, (0 until k).filter(assign(_) == g)
+        .map(i => SubCentroid(centroids(i)._1, centroids(i)._2.toSeq)))
+    }
+    IvfHierarchy(coarse, spark.createDataFrame(subRows),
+      math.min(nCoarseProbe, k1))
   }
 
   /** One-call IVF ANN for the catalog: builds (or reuses — indexes are
@@ -232,6 +475,34 @@ object Similarity {
     }
   }
 
+  /** Build-or-reuse (same session cache as [[ivfIndexFor]]; the key's
+    * nLists slot is negated to disambiguate) an index whose centroids
+    * are the corpus's FIRST `k` vectors by ascending id — a quantizer
+    * a SQL oracle can replay verbatim (argmin L2 over k named corpus
+    * rows, ties to the lower centroid id), which is what puts
+    * [[graft.ops.Dedup.semanticNearDup]]'s cell-scoping machinery
+    * under the full driver gate (q84b). Fixed seed vectors are a
+    * WEAKER quantizer than the fitted k-means (no occupancy balance) —
+    * twin/audit use only. The k-row collect is bounded by construction.
+    */
+  def ivfSeededIndexFor(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): IvfIndex = {
+    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, -k, 0L)
+    ivfCache.synchronized {
+      val hit = ivfCache.get(key)
+      if (hit != null) hit
+      else {
+        val seeds: Array[(Int, Array[Double])] = corpus
+          .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+          .orderBy("id").limit(k).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+        val built = ivfFromCentroids(corpus, idCol, vecCol, seeds)
+        ivfCache.put(key, built)
+        built
+      }
+    }
+  }
+
   /** Max distinct IVF indexes the one-call wrapper keeps persisted. */
   val IvfCacheCap = 4
 
@@ -264,9 +535,14 @@ object Similarity {
       dim: Int,
       bitsPerTable: Int = 8,
       numTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    // portable = true is the ORACLE-TWIN configuration (q28b): planes
+    // from [[portableHyperplanes]] so a SQL oracle recomputes the
+    // buckets; production keeps the seeded Gaussian planes
     val tables = (0 until numTables).map { t =>
-      t -> hyperplanes(dim, bitsPerTable, seed + t)
+      t -> (if (portable) portableHyperplanes(dim, bitsPerTable, t)
+            else hyperplanes(dim, bitsPerTable, seed + t))
     }
     def withBuckets(df: DataFrame, id: String, vecOut: String): DataFrame = {
       val v = asDouble(col(vecCol))

@@ -1733,6 +1733,23 @@ object Queries {
     Dedup.semanticNearDup(
       Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
 
+  /** SemDeDup under the FULL driver oracle gate ([[graft.ops.Dedup
+    * .semanticNearDup]] `seedQuantizer = 16`): the quantizer is pinned
+    * to a SQL-replayable rule — cells are argmin-L2 over the corpus's
+    * first 16 vectors by id, ties to the lower centroid — so DuckDB
+    * recomputes cell assignment, 2-probe inflation, within-cell pair
+    * generation and the exact-cosine verify bit-for-bit (the
+    * q26b/q27b/q70b portable-twin pattern applied to cluster scoping).
+    * The ENGINE side still runs the real plan: multi-probe assignment,
+    * Σ|cell|²/2 pre-flight guard, skew-blocked triangle join, canonical
+    * pair dedup. q84's fitted k-means quantizer stays the production
+    * path; this gates its machinery.
+    */
+  val q84bSemanticNearDupPortable: Q = (s, d) =>
+    Dedup.semanticNearDup(
+      Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35,
+      seedQuantizer = 16)
+
   /** LENGTH-BUCKETED batch assembly: sequences are grouped into
     * token-length buckets (`ceil(n/32)`) and batched 16-at-a-time
     * within each bucket in deterministic doc-id order — the
@@ -1925,6 +1942,7 @@ object Queries {
     "q82_epoch_mix" -> q82EpochMix,
     "q83_selfdedup_spans" -> q83SelfdedupSpans,
     "q84_semantic_neardup" -> q84SemanticNearDup,
+    "q84b_semantic_neardup_portable" -> q84bSemanticNearDupPortable,
     "q85_bucketed_batches" -> q85BucketedBatches,
     "q86_train_pipeline" -> q86TrainPipeline,
     "q87_corpus_shuffle" -> q87CorpusShuffle)
@@ -2737,6 +2755,32 @@ object Queries {
                 round(list_cosine_similarity(a.v, b.v), 4) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+    "q84b_semantic_neardup_portable" ->
+      // full SemDeDup replay under the portable seed quantizer: cells
+      // are argmin-L2 over the 16 smallest-id vectors (ties to the
+      // lower centroid id), each vector probes its 2 nearest cells,
+      // candidates are within-cell pairs, exact cosine verifies
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+           FROM v ORDER BY vec_id LIMIT 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT x.vec_id, s.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY list_distance(x.v, s.c), s.cid) AS rk
+             FROM v x CROSS JOIN seeds s)
+           WHERE rk <= 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assign a JOIN assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+         FROM cand c
+           JOIN v va ON va.vec_id = c.id_a
+           JOIN v vb ON vb.vec_id = c.id_b
+         WHERE list_cosine_similarity(va.v, vb.v) >= 0.35""",
     "q52_bpe_tokens" ->
       """SELECT doc_id,
            len(regexp_extract_all(text,

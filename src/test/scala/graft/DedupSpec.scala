@@ -240,6 +240,63 @@ class DedupSpec extends SparkSpec {
       s"nProbe=2 lost single-probe pairs: ${single diff sem}")
   }
 
+  test("semanticNearDup past MaxLiteralCells: hierarchical quantizer, " +
+      "zero false positives, exact duplicates still co-assign") {
+    // nLists = 300 > 256 forces the keyed centroid attach end-to-end
+    // (fit → hierarchy → multi-probe assignment → guard → pairs)
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val vecs = (0L until 400L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val dups = (0L until 5L).map(i => (400L + i, vecs(i.toInt)._2))
+    val df = (vecs ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(df, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semanticNearDup(df, "vec_id", "embedding", 0.8,
+      nLists = 300).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((sem diff exact).isEmpty, s"false positives: ${sem diff exact}")
+    // identical vectors share every centroid distance -> same cells
+    (0L until 5L).foreach(i =>
+      assert(sem.contains((i, 400L + i)), s"missed exact duplicate $i"))
+  }
+
+  test("semanticNearDup seedQuantizer (q84b): engine pairs equal the " +
+      "driver-side portable replay") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 16
+    val got = Dedup.semanticNearDup(df, "vec_id", "embedding", 0.35,
+      seedQuantizer = k)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // replay: cells are argmin-L2 over the first k vectors by id,
+    // nProbe=2 nearest cells each, pairs within shared cells at
+    // exact cosine >= 0.35
+    val all = df.select(col("vec_id"),
+      col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val seeds = all.take(k).map(_._2)
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val cells = all.map { case (id, v) =>
+      id -> seeds.zipWithIndex.map { case (s, c) => (l2(v, s), c) }
+        .sorted.take(2).map(_._2).toSet
+    }.toMap
+    val byId = all.toMap
+    val want = (for {
+      (a, ca) <- cells.toSeq
+      (b, cb) <- cells.toSeq
+      if a < b && (ca intersect cb).nonEmpty
+      if cos(byId(a), byId(b)) >= 0.35
+    } yield (a, b)).toSet
+    assert(got == want,
+      s"engine ${got.size} vs replay ${want.size}; " +
+        s"extra=${got diff want} missing=${want diff got}")
+  }
+
   test("semanticNearDup: pre-flight guard refuses past an explicit cap") {
     val rnd = new scala.util.Random(19)
     val vecs = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))

@@ -165,4 +165,59 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(run() == run())
   }
+
+  test("hierarchical IVF (k > MaxLiteralCells): keyed centroid attach " +
+      "tracks exact argmin; multi-probe supersets single-probe") {
+    val crng = new scala.util.Random(7)
+    val cents: Array[(Int, Array[Double])] =
+      Array.tabulate(300)(i => (i, Array.fill(dim)(crng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfFromCentroids(df, "vec_id", "embedding", cents)
+    assert(idx.hierarchy.nonEmpty, "300 cells must go hierarchical")
+    val h = idx.hierarchy.get
+    assert(h.coarse.length <= Similarity.MaxLiteralCells)
+    // every fine centroid sits in exactly one coarse group
+    val grouped = h.subs.select(explode(col("subs")).as("s"))
+      .select(col("s.cid")).as[Int].collect()
+    assert(grouped.sorted.toSeq == (0 until 300))
+    val got = idx.assigned.select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == vecs.size, "every row assigned exactly one cell")
+    def argmin(v: Array[Float]): Int = cents.map { case (cid, c) =>
+      (v.zip(c).map { case (x, y) =>
+        (x.toDouble - y) * (x.toDouble - y) }.sum, cid)
+    }.min._2
+    // coarse-probe boundary misses are the documented IMI trade; this
+    // fixture is ADVERSARIAL (random centroids, no cluster structure —
+    // the coarse router has nothing to latch onto), so agreement here
+    // is a floor, not the typical figure; fitted centroids route far
+    // better, and PAIR co-assignment (the gated metric) is pinned in
+    // DedupSpec
+    val agree = vecs.count { case (id, v) => got(id) == argmin(v) }
+    assert(agree.toDouble / vecs.size >= 0.7,
+      s"agreement $agree/${vecs.size}")
+    val multi = idx.multiAssigned(2).select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    multi.foreach { case (id, cells) =>
+      assert(cells.size == 2, s"id $id got ${cells.size} cells")
+      assert(cells.contains(got(id)),
+        s"id $id multi-probe lost its single-probe cell")
+    }
+    idx.release()
+  }
+
+  test("portable hyperplanes: md5-derived, in [-1,1), engine-stable") {
+    val p = Similarity.portableHyperplanes(dim = 4, numPlanes = 2, table = 3)
+    assert(p.length == 2 && p.forall(_.length == 4))
+    assert(p.flatten.forall(c => c >= -1.0 && c < 1.0))
+    // replay one component by hand: md5("3:1:2") first 15 hex chars
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("3:1:2".getBytes("UTF-8"))
+    val v = java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    assert(p(1)(2) == v.toDouble / 576460752303423488.0 - 1.0)
+    // distinct tables give distinct planes
+    assert(Similarity.portableHyperplanes(4, 2, 4)(1)(2) != p(1)(2))
+  }
 }
