@@ -886,6 +886,21 @@ object Queries {
       Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.35, dim = 64, numTables = 12)
 
+  /** Embedding near-dup via SRP-LSH under the FULL driver oracle gate:
+    * portable md5-derived planes ([[graft.ops.Similarity
+    * .portableHyperplanes]]) make the bucketing SQL-replayable — the
+    * oracle recomputes signatures, self-joins (table, bucket)
+    * collisions and verifies with exact cosine, so the engine's REAL
+    * banded self-join plan is hash-gated end-to-end (q28b's twin for
+    * the pair form). Static bits (a SQL oracle can't replay
+    * corpus-derived sizing); q51's auto-sized production path stays.
+    */
+  val q51bEmbeddingNearDupLshPortable: Q = (s, d) =>
+    Dedup.embeddingNearDupLsh(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.35, dim = 64, bitsPerTable = 6, numTables = 8,
+      portable = true)
+
   /** APSS exact cosine-threshold self-join with prefix filtering
     * ([[graft.ops.Apss.cosinePairs]]) over top-8-by-magnitude
     * sparsified embeddings — the keyed-shuffle exact plan for the
@@ -1342,6 +1357,24 @@ object Queries {
     Similarity.lshCosineTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 5, dim = 64, bitsPerTable = 6, numTables = 6)
+  }
+
+  /** SRP-LSH ANN under the FULL driver oracle gate ([[graft.ops
+    * .Similarity.portableHyperplanes]]): hyperplane components derive
+    * from md5 — both engines compute the SAME doubles, so DuckDB
+    * replays bucketing (sign bits → bucket id), the (table, bucket)
+    * candidate join and the exact-cosine re-rank bit-for-bit. The
+    * engine side runs the REAL bucketed plan; q28's seeded Gaussian
+    * planes stay the production path (this is its hash-portable twin,
+    * the q26b/q27b/q70b pattern applied to the SRP tier).
+    */
+  val q28bLshAnnPortable: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshCosineTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, dim = 64, bitsPerTable = 6, numTables = 6, portable = true)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
   }
 
   /** IVF-Flat ANN (k-means coarse quantizer, nProbe cell probing +
@@ -1930,6 +1963,8 @@ object Queries {
     "q27_simhash" -> q27SimHash,
     "q27b_simhash_pairs" -> q27bSimhashPairs,
     "q28_lsh_ann" -> q28LshAnn,
+    "q28b_lsh_ann_portable" -> q28bLshAnnPortable,
+    "q51b_embedding_neardup_lsh_portable" -> q51bEmbeddingNearDupLshPortable,
     "q42_ivf_ann" -> q42IvfAnn,
     "q74_sequence_pack" -> q74SequencePack,
     "q75_doc_chunks" -> q75DocChunks,
@@ -2755,6 +2790,72 @@ object Queries {
                 round(list_cosine_similarity(a.v, b.v), 4) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+    "q28b_lsh_ann_portable" ->
+      // full SRP-LSH replay: md5-derived plane components (identical
+      // doubles on both engines — 15-hex-char BIGINT / 2^59 − 1), sign
+      // bits pack into per-table buckets, candidates share any
+      // (table, bucket), exact cosine re-ranks with neighbor-id ties
+      """WITH pl AS (
+           SELECT ts.t, ps.p, isq.i,
+             ('0x' || substr(md5(ts.t || ':' || ps.p || ':' || isq.i), 1, 15))::BIGINT
+               / 576460752303423488.0 - 1.0 AS c
+           FROM generate_series(0, 5) ts(t),
+                generate_series(0, 5) ps(p),
+                generate_series(0, 63) isq(i)),
+         proj AS (
+           SELECT e.vec_id, pl.t, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.c) AS dot
+           FROM embeddings e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY 1, 2, 3),
+         buck AS (
+           SELECT vec_id, t,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+           WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT cand.query_id, cand.neighbor_id,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]) DESC,
+                        cand.neighbor_id) AS rank
+           FROM cand
+             JOIN embeddings a ON a.vec_id = cand.query_id
+             JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+         WHERE rank <= 5""",
+    "q51b_embedding_neardup_lsh_portable" ->
+      // pair form of the q28b replay: SELF-join on shared
+      // (table, bucket), id_a < id_b, exact cosine >= 0.35
+      """WITH pl AS (
+           SELECT ts.t, ps.p, isq.i,
+             ('0x' || substr(md5(ts.t || ':' || ps.p || ':' || isq.i), 1, 15))::BIGINT
+               / 576460752303423488.0 - 1.0 AS c
+           FROM generate_series(0, 7) ts(t),
+                generate_series(0, 5) ps(p),
+                generate_series(0, 63) isq(i)),
+         proj AS (
+           SELECT e.vec_id, pl.t, pl.p,
+             sum(e.embedding[pl.i + 1]::DOUBLE * pl.c) AS dot
+           FROM embeddings e JOIN pl ON pl.i < len(e.embedding)
+           GROUP BY 1, 2, 3),
+         buck AS (
+           SELECT vec_id, t,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buck a JOIN buck b
+             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                        y.embedding::DOUBLE[]), 4) AS sim
+         FROM cand c
+           JOIN embeddings x ON x.vec_id = c.id_a
+           JOIN embeddings y ON y.vec_id = c.id_b
+         WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                                      y.embedding::DOUBLE[]) >= 0.35""",
     "q84b_semantic_neardup_portable" ->
       // full SemDeDup replay under the portable seed quantizer: cells
       // are argmin-L2 over the 16 smallest-id vectors (ties to the
