@@ -210,9 +210,18 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warning":$loadWarning}"""
     // sidecar copy: a fixed-size stdout tail capture can truncate the
     // line's head (BENCH_r09 shipped with parsed:null that way); the
-    // file version survives regardless of window size
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    // file version survives regardless of window size. The sf tag in
+    // the name keeps concurrent / differently-scaled invocations from
+    // overwriting each other's artifact; bench_last.json stays as the
+    // stable name the driver tail-greps.
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"bench_last_$sfTag.json"), line + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    }
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed (non-fatal): ${e.getMessage}") }
     println(line)

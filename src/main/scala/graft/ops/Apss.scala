@@ -192,16 +192,20 @@ object Apss {
       idCol: String,
       termsCol: String,
       half: Double,
-      maxBroadcastDims: Int): DataFrame = {
+      maxBroadcastDims: Int): (DataFrame, Option[DataFrame]) = {
     val normed = normalized(vecs, idCol, termsCol)
     // keyed path: `normed` feeds BOTH the bounds aggregation and the
     // per-term explode — stage it once so an expensive upstream vector
     // build (q63's TF-IDF join+regroup lineage) doesn't replay per
-    // consumer. The broadcast path reads the lineage once per side
-    // already (bounds collapse into a literal), so it stays unstaged.
-    def keyed(): DataFrame = {
+    // consumer. The staged handle is RETURNED so the caller can release
+    // the corpus-sized non-evictable blocks once its own downstream
+    // checkpoint has materialized (a leaked handle accumulates across
+    // repeated calls in one session — the q83/q13 pinned-cache lesson).
+    // The broadcast path reads the lineage once per side already
+    // (bounds collapse into a literal), so it stays unstaged.
+    def keyed(): (DataFrame, Option[DataFrame]) = {
       val staged = normed.localCheckpoint(false)
-      perVecKeyedOf(staged, half, boundsOf(staged))
+      (perVecKeyedOf(staged, half, boundsOf(staged)), Some(staged))
     }
     if (maxBroadcastDims <= 0) keyed()
     else {
@@ -226,7 +230,7 @@ object Apss {
           case t => throw new IllegalArgumentException(
             s"unsupported dim type $t (int, long, or string)")
         }
-        perVecOf(vecs, idCol, termsCol, half, Some(mw))
+        (perVecOf(vecs, idCol, termsCol, half, Some(mw)), None)
       }
     }
   }
@@ -237,7 +241,9 @@ object Apss {
     * BUILD-side posting list exceeds `dimCap` split into g salt
     * groups — the probe side keeps its own salt, the build side fans
     * out to all g, every pair still meets and the worst task shrinks
-    * g-fold. Output is distinct (id_a, id_b); `ordered` adds the
+    * g-fold. Output is distinct (id_a, id_b) PLUS the guard's predicted
+    * posting-join volume (an upper bound on the candidate count — what
+    * [[verifyAuto]] keys its sharding decision on); `ordered` adds the
     * id_a < id_b self-join constraint.
     */
   private def candidatesOf(
@@ -247,7 +253,7 @@ object Apss {
       dimCap: Int,
       threshold: Double,
       nVecs: => Long,
-      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto): (DataFrame, Long) = {
     // PRE-FLIGHT GUARD: the posting lists carry per-dim frequencies;
     // predict the posting join's row volume (self: Σ df·(df−1)/2,
     // cross: Σ df_probe·df_build — salting redistributes but does not
@@ -300,7 +306,7 @@ object Apss {
     //
     // The 1e-9 slack keeps float round-off from pruning a knife-edge
     // qualifying pair.
-    SimilarityGuard.observed(
+    val cand = SimilarityGuard.observed(
       a.join(b, Seq("dim", "salt"))
         .where(if (ordered) col("id_a") < col("id_b") else lit(true)),
       "Apss.candidatesOf", predicted)
@@ -317,6 +323,7 @@ object Apss {
           threshold - 1e-9 &&
         col("da") + col("db") + col("sd") >= threshold - 1e-9)
       .select("id_a", "id_b")
+    (cand, predicted)
   }
 
   /** Exploded posting rows: (dim, id, residual bound, own weight,
@@ -361,6 +368,60 @@ object Apss {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Pairs-per-pass bound above which [[verifyAuto]] splits the verify
+    * into sequential shards. The verify attaches BOTH dim-sorted
+    * vectors (~KB each) to every candidate pair, so one pass's scratch
+    * is candidates × ~2·vector-size bytes — at the 1000× audit the q63
+    * stream (~260M pairs) outgrows one box in a single pass even
+    * though each shard alone is comfortable. Overridable for audit
+    * tuning via GRAFT_APSS_VERIFY_SHARD_PAIRS.
+    */
+  val VerifyPairsPerShard: Long =
+    sys.env.get("GRAFT_APSS_VERIFY_SHARD_PAIRS").map(_.toLong)
+      .getOrElse(32L * 1000 * 1000)
+
+  /** [[verify]], sharded when the candidate stream is big enough to
+    * out-spill a single pass: below [[VerifyPairsPerShard]] predicted
+    * posting meetings this is exactly the lazy one-pass verify (the
+    * every-catalog-query path — no extra materialization); above it
+    * the (narrow, id-only) candidates stage once and the verify runs
+    * as k SEQUENTIAL passes sharded by hash(id_a), each eagerly
+    * checkpointed (output-sized — verified pairs only) so the
+    * ContextCleaner reaps pass s's shuffle files before pass s+1
+    * writes: peak verify scratch drops from total to ~total/k, the
+    * within-one-stage form of the max-over-phases periodic-GC win.
+    * The left (id_a) vector side pre-filters to the shard's ids; the
+    * right side re-shuffles per pass — k·|corpus| vector rows moved
+    * cumulatively, sequential and reaped, traded for the 1/k peak.
+    * Union of shards == the unsharded pair set (hash-partition of a
+    * distinct id_a key space).
+    */
+  private def verifyAuto(
+      candidates: DataFrame,
+      predicted: Long,
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      pairsPerShard: Long = VerifyPairsPerShard): DataFrame =
+    if (predicted <= pairsPerShard) verify(candidates, left, right, threshold)
+    else {
+      val staged = candidates.localCheckpoint()
+      val n = staged.count()
+      val k = math.ceil(n.toDouble / pairsPerShard).toInt
+      if (k <= 1) verify(staged, left, right, threshold)
+      else {
+        val parts = (0 until k).map { shard =>
+          val cond = pmod(xxhash64(col("id_a")), lit(k)) === shard
+          verify(
+            staged.where(cond),
+            left.where(pmod(xxhash64(col("id")), lit(k)) === shard),
+            right, threshold)
+            .localCheckpoint()
+        }
+        parts.reduce(_ union _)
+      }
+    }
+
   /** Exact cosine ≥ `threshold` pairs over a sparse vector column
     * `termsCol: array<struct<dim: int, w: double-castable>>` (dims
     * unique per row; vectors need not be pre-normalized). Returns
@@ -388,15 +449,23 @@ object Apss {
       termsCol: String,
       threshold: Double,
       maxBroadcastDims: Int = DefaultMaxBroadcastDims,
-      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
+      maxCandidates: Long = SimilarityGuard.Auto,
+      verifyShardPairs: Long = VerifyPairsPerShard): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val perVec =
+    val (pv, innerStaged) =
       perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
-        .localCheckpoint(false)
+    val perVec = pv.localCheckpoint(false)
     val posted = postingsOf(perVec)
-    verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold,
-        perVec.count(), maxCandidates),
-      perVec, perVec, threshold)
+    val (cand, predicted) = candidatesOf(posted, posted, ordered = true,
+      dimCap = 4096, threshold, perVec.count(), maxCandidates)
+    // perVec's own checkpoint materialized inside candidatesOf (guard
+    // aggregate + count); the keyed path's inner TF-IDF staging is dead
+    // lineage from here — release its corpus-sized pinned blocks now
+    // rather than waiting for driver GC (repeated cosinePairs calls in
+    // one session would otherwise accumulate non-evictable blocks)
+    innerStaged.foreach(
+      org.apache.spark.sql.classic.GraftColumnBridge.unpersistLocalCheckpoint)
+    verifyAuto(cand, predicted, perVec, perVec, threshold, verifyShardPairs)
   }
 
   /** One-shot exact cross-set probe: every (query_id, corpus_id, sim)
@@ -420,10 +489,9 @@ object Apss {
       .localCheckpoint(false)
     val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
       .localCheckpoint(false)
-    verify(
-      candidatesOf(postingsOf(q), postingsOf(c), ordered = false,
-        dimCap = 4096, threshold, q.count(), maxCandidates),
-      q, c, threshold)
+    val (cand, predicted) = candidatesOf(postingsOf(q), postingsOf(c),
+      ordered = false, dimCap = 4096, threshold, q.count(), maxCandidates)
+    verifyAuto(cand, predicted, q, c, threshold)
       .withColumnRenamed("id_a", "query_id")
       .withColumnRenamed("id_b", "corpus_id")
   }
@@ -447,10 +515,19 @@ object Apss {
       openWorld: Boolean = false,
       maxBroadcastDims: Int = DefaultMaxBroadcastDims): ApssIndex = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val perVec =
-      if (openWorld) perVecOf(vecs, idCol, termsCol, threshold / 2, mw = None)
+    val (perVec, innerStaged) =
+      if (openWorld)
+        (perVecOf(vecs, idCol, termsCol, threshold / 2, mw = None), None)
       else perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
-    ApssIndex(threshold, openWorld, perVec.persist())
+    val persisted = perVec.persist()
+    // the keyed path staged the normalized corpus; materialize the
+    // index now (build-once/probe-many — an eager build is the
+    // expected lifecycle) so the inner staging can release immediately
+    innerStaged.foreach { st =>
+      persisted.count()
+      org.apache.spark.sql.classic.GraftColumnBridge.unpersistLocalCheckpoint(st)
+    }
+    ApssIndex(threshold, openWorld, persisted)
   }
 
   final case class ApssIndex(
@@ -466,9 +543,9 @@ object Apss {
     def selfPairs(
         maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
       val posted = postingsOf(perVec)
-      verify(candidatesOf(posted, posted, ordered = true, dimCap = 4096, threshold,
-          perVec.count(), maxCandidates),
-        perVec, perVec, threshold)
+      val (cand, predicted) = candidatesOf(posted, posted, ordered = true,
+        dimCap = 4096, threshold, perVec.count(), maxCandidates)
+      verifyAuto(cand, predicted, perVec, perVec, threshold)
     }
 
     /** Exact cross-set pairs: every (query_id, corpus_id, sim) with
@@ -490,10 +567,10 @@ object Apss {
       // materialize once (same reasoning as cosinePairs)
       val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
         .localCheckpoint(false)
-      val candidates = candidatesOf(
+      val (cand, predicted) = candidatesOf(
         postingsOf(q), postingsOf(perVec), ordered = false, dimCap = 4096,
         threshold, q.count(), maxCandidates)
-      verify(candidates, q, perVec, threshold)
+      verifyAuto(cand, predicted, q, perVec, threshold)
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "corpus_id")
     }

@@ -174,11 +174,16 @@ object Decontaminate {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      wideGramKeys: Boolean = false): DataFrame = {
     // Grams are keyed by xxhash64 — the stats aggregation and the
     // positions re-join then move 8-byte longs instead of ~30-byte
-    // UTF-8 grams (collisions merge two grams' stats; ~2e-5 odds of
-    // even one collision at a 10⁹-gram vocabulary — the q63/q22 note).
+    // UTF-8 grams. A collision merges two grams' stats and can create
+    // FALSE excision spans; the birthday bound over 2⁶⁴ puts
+    // any-collision odds at ~2.7% for a 10⁹-gram vocabulary (~2e-5
+    // only holds near 3×10⁷ grams) — acceptable for dedup screening,
+    // and `wideGramKeys` switches to a 128-bit key when the exactness
+    // claim must hold at the 10¹¹+-gram decade (see the q63 note).
     //
     // DELIBERATELY RECOMPUTED, NOT STAGED: this table has one row per
     // corpus token position, and a localCheckpoint of it is a
@@ -191,7 +196,8 @@ object Decontaminate {
       .select(col(idCol).as("id"),
         posexplode(Shingling.orderedShingles(
           TextAnalytics.tokens(col(textCol)), n)).as(Seq("pos", "g")))
-      .select(col("id"), col("pos"), xxhash64(col("g")).as("gram"))
+      .select(col("id"), col("pos"),
+        Shingling.gramKey(col("g"), wideGramKeys).as("gram"))
 
     // one aggregation, keyed by gram: the owning (minimum) doc id and
     // whether a second distinct doc carries the gram. min+max distinct

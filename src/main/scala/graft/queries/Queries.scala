@@ -951,7 +951,17 @@ object Queries {
     * skewed regime APSS declares. Real prose is Zipfian at 2-grams
     * already; the widening stands in for that skew here.
     */
-  val q63ApssTfidf: Q = (s, d) => {
+  val q63ApssTfidf: Q = (s, d) => apssTfidf(s, d, wideGramKeys = false)
+
+  /** q63's body with the gram-key width as a knob ([[graft.functions
+    * .Shingling.gramKey]]): `wideGramKeys = false` is the production
+    * 64-bit path; `true` switches every dim to the 128-bit key for
+    * exactness audits at the 10¹¹+-gram decade. GramKeySpec pins both
+    * widths result-equal on the test corpus (dims are opaque labels —
+    * only a collision, not the keying, can change the answer).
+    */
+  private[graft] def apssTfidf(
+      s: SparkSession, d: String, wideGramKeys: Boolean): DataFrame = {
     // Shingle STRINGS are hashed to 64-bit dims BEFORE the staged
     // checkpoint (the q22 gram-key move): the checkpoint and every
     // posting-build / candidate shuffle then carry an 8-byte long per
@@ -961,14 +971,15 @@ object Queries {
     // merge their df counts and falsely match in the verify walk; at
     // 10⁹ distinct grams the any-collision odds are ~2.7% (birthday
     // bound over 2⁶⁴) and a single collision perturbs one dim of the
-    // affected vectors — acceptable for a near-dup screen, and absent
-    // entirely on the gated corpora.
+    // affected vectors — acceptable for a near-dup screen, absent
+    // entirely on the gated corpora, and eliminable at the top decade
+    // with wideGramKeys (128-bit dims, ~4× key bytes).
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         transform(
           graft.functions.Shingling.sortedShingles(
             TextAnalytics.tokens(col("text")), 3),
-          g => xxhash64(g)).as("sh"))
+          g => graft.functions.Shingling.gramKey(g, wideGramKeys)).as("sh"))
       .where(size(col("sh")) > 0)
       // feeds the N count, the df table, and the terms regroup
       .localCheckpoint(false)
@@ -1845,6 +1856,11 @@ object Queries {
         col("doc_id"), Seq("train" -> 90, "val" -> 95), "test"))
       .withColumn("stratum", concat_ws("|", col("lang"), col("split")))
       .select("stratum", "lang", "split", "doc_id", "n_toks")
+      // TWO downstream jobs read this frame — packByOffsetAuto's span
+      // aggregate, then the prefix sum itself; staged so the dedup
+      // join+groupBy runs once, not once per job. Narrow (5 scalar
+      // cols), so the pinned blocks are small at any audit scale.
+      .localCheckpoint(false)
     graft.ops.Packing
       .packByOffsetAuto(deduped, "stratum", "doc_id", "n_toks",
         budget = 512L)

@@ -29,9 +29,16 @@ object GraftColumnBridge {
     * memory (the 1000× q13 AGGREGATE_OUT_OF_MEMORY). The checkpoint
     * RDD hides behind the Dataset's LogicalRDD; there is no public
     * unpersist for it, hence this bridge.
+    *
+    * The argument must be the checkpoint Dataset ITSELF (the value
+    * `localCheckpoint` returned): only a ROOT LogicalRDD is released.
+    * Matching every LogicalRDD leaf of a composite plan would silently
+    * free caller-owned checkpoints still in use — and a truncated
+    * local checkpoint cannot be recomputed, so that is a job failure,
+    * not a slowdown. Non-checkpoint plans are a no-op.
     */
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

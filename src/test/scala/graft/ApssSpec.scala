@@ -44,6 +44,21 @@ class ApssSpec extends SparkSpec {
     }
   }
 
+  test("sharded verify == one-pass verify (the q63 1000x scratch bound)") {
+    // verifyShardPairs=2 forces the candidate stage + many sequential
+    // verify passes; the union must be the exact same pair set/sims
+    val corpus = sparseCorpus(13, n = 120, dims = 30, nnz = 8)
+    val df = toDf(corpus)
+    val one = Apss.cosinePairs(df, "id", "terms", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val sharded = Apss.cosinePairs(df, "id", "terms", 0.4,
+      verifyShardPairs = 2L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(one.nonEmpty)
+    assert(sharded == one,
+      s"missed=${one diff sharded} extra=${sharded diff one}")
+  }
+
   test("cosinePairs sims match local computation to 4 decimals") {
     val corpus = sparseCorpus(7, n = 80, dims = 20, nnz = 6)
     val maps = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
