@@ -1471,6 +1471,19 @@ object Queries {
   val q73DecontaminateStream: Q = (s, d) =>
     graft.streaming.StreamGate.decontaminateScreenAvailableNow(s, d)
 
+  /** The streaming decontamination screen under the FULL driver oracle
+    * gate: the stream's MinHash index and probe signatures switch to
+    * the portable md5 configuration (q70b's replay — same banding,
+    * same raw-value bucket keys), so the watermark-bounded streaming
+    * machinery itself (file-sliced micro-batches, stream-static index
+    * join, in-stream dedup state) is hash-gated against the SQL
+    * replay instead of spec-pinned. q73's engine-hash path stays the
+    * production screen.
+    */
+  val q73bDecontaminateStreamPortable: Q = (s, d) =>
+    graft.streaming.StreamGate.decontaminateScreenAvailableNow(
+      s, d, portable = true)
+
   /** §2.10 stream-static decorate, gated: each micro-batch
     * broadcast-joins the static customer dimension (the reference's
     * LUT-enrichment shape on a live stream — `search/decorate.js` —
@@ -1963,6 +1976,7 @@ object Queries {
     "q61_components_stream" -> q61ComponentsStream,
     "q66_decorate_stream" -> q66DecorateStream,
     "q73_decontaminate_stream" -> q73DecontaminateStream,
+    "q73b_decontaminate_stream_portable" -> q73bDecontaminateStreamPortable,
     "q62_apss_probe" -> q62ApssProbe,
     "q63_apss_tfidf" -> q63ApssTfidf,
     "q64_decontaminate" -> q64Decontaminate,
@@ -2000,6 +2014,41 @@ object Queries {
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Shared by q70b (batch) and q73b (streaming): full MinHash+LSH
+    * replay — md5-60-bit permutation hashes (15 hex chars parse as
+    * non-negative BIGINT on both engines), per-doc min per permutation,
+    * 8 bands × 4 rows collide on the exact value tuple, candidates
+    * verify with exact distinct-2-gram Jaccard. On bounded input the
+    * streaming screen must equal this batch answer verbatim (its dedup
+    * state never expires mid-run), so ONE oracle gates both forms.
+    */
+  private lazy val minhashPortableCrossOracle: String =
+    s"""WITH t AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || ' ' || l[i + 1])) AS g
+           FROM (SELECT doc_id, $toks AS l FROM documents)
+           WHERE len(l) >= 2),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM t),
+         hs AS (SELECT doc_id, h.i AS i,
+             min(('0x' || substr(md5(h.i || ':' || gram), 1, 15))::BIGINT) AS v
+           FROM e, (SELECT unnest(generate_series(0, 31)) AS i) h
+           GROUP BY 1, 2),
+         bandkey AS (SELECT doc_id, i // 4 AS band,
+             string_agg(v::VARCHAR, ',' ORDER BY i) AS key
+           FROM hs GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+           FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.key = b.key
+           WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
+         verify AS (SELECT c.doc_id, c.bench_id,
+             len(list_intersect(ta.g, tb.g))::DOUBLE /
+               (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) AS j
+           FROM cand c
+             JOIN t ta ON ta.doc_id = c.doc_id
+             JOIN t tb ON tb.doc_id = c.bench_id)
+         SELECT doc_id, bench_id, round(j, 4) AS jaccard
+         FROM verify WHERE j >= 0.5"""
 
   /** Shared DuckDB CTE chain replaying the domain-architecture sweep
     * (`search/domain_architect.js:140-165`): ranked features → recursive
@@ -3090,37 +3139,12 @@ object Queries {
              JOIN t tb ON tb.doc_id = c.id_b)
          SELECT id_a, id_b, round(j, 4) AS jaccard
          FROM verify WHERE j >= 0.5""",
-    "q70b_minhash_portable" ->
-      // full MinHash+LSH replay: md5-60-bit permutation hashes (15 hex
-      // chars parse as non-negative BIGINT on both engines), per-doc
-      // min per permutation, 8 bands x 4 rows collide on the exact
-      // value tuple, candidates verify with exact distinct-2-gram
-      // Jaccard — the engine's banded/salted plan must match this
-      s"""WITH t AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(l) - 1),
-               i -> l[i] || ' ' || l[i + 1])) AS g
-           FROM (SELECT doc_id, $toks AS l FROM documents)
-           WHERE len(l) >= 2),
-         e AS (SELECT doc_id, unnest(g) AS gram FROM t),
-         hs AS (SELECT doc_id, h.i AS i,
-             min(('0x' || substr(md5(h.i || ':' || gram), 1, 15))::BIGINT) AS v
-           FROM e, (SELECT unnest(generate_series(0, 31)) AS i) h
-           GROUP BY 1, 2),
-         bandkey AS (SELECT doc_id, i // 4 AS band,
-             string_agg(v::VARCHAR, ',' ORDER BY i) AS key
-           FROM hs GROUP BY doc_id, i // 4),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
-           FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.key = b.key
-           WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0),
-         verify AS (SELECT c.doc_id, c.bench_id,
-             len(list_intersect(ta.g, tb.g))::DOUBLE /
-               (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) AS j
-           FROM cand c
-             JOIN t ta ON ta.doc_id = c.doc_id
-             JOIN t tb ON tb.doc_id = c.bench_id)
-         SELECT doc_id, bench_id, round(j, 4) AS jaccard
-         FROM verify WHERE j >= 0.5""",
+    // the engine's banded/salted batch plan must match the portable
+    // replay ([[minhashPortableCrossOracle]])
+    "q70b_minhash_portable" -> minhashPortableCrossOracle,
+    // same oracle, STREAMING form: bounded input + non-expiring dedup
+    // state make the streamed screen equal the batch answer
+    "q73b_decontaminate_stream_portable" -> minhashPortableCrossOracle,
     "q69_decontaminate_jaccard" ->
       // cross-set distinct-2-gram Jaccard: intersection via the gram
       // equi-join, union by inclusion-exclusion over the set sizes

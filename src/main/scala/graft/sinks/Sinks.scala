@@ -59,6 +59,36 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true").csv(path)
 
+  /** The MongoDB connector seam AS DATA (see the class doc): the exact
+    * options a deployment passes to `df.write.format("mongodb")` to
+    * land [[writeTable]] (reference `collection.insert`,
+    * `search/decorate.js:145-165`) or [[upsertByKey]] (reference
+    * `update({_id}, doc, {upsert: true})`,
+    * `trees/speciesTree.js:230-252`) in a live MongoDB via the public
+    * `org.mongodb.spark:mongo-spark-connector`. The connector can't
+    * resolve offline, so the binding is this pure map + the format
+    * name in [[MongoFormat]] — contract-tested in SinksSpec without a
+    * live server; swapping a parquet writer for
+    * `df.write.format(MongoFormat).options(mongoWriterOptions(...))`
+    * is the whole deployment change.
+    */
+  def mongoWriterOptions(
+      connectionUri: String,
+      database: String,
+      collection: String,
+      upsertKey: Option[String] = None): Map[String, String] =
+    Map(
+      "connection.uri" -> connectionUri,
+      "database" -> database,
+      "collection" -> collection,
+      // insert for the plain table write; replace-by-key (idempotent,
+      // the reference's upsert:true semantics) when a key is named
+      "operationType" -> upsertKey.map(_ => "replace").getOrElse("insert")
+    ) ++ upsertKey.map("idFieldList" -> _)
+
+  /** The connector's DataSource V2 short name. */
+  val MongoFormat: String = "mongodb"
+
   /** Error side-channel (S12's `{err,status,_id}` lines,
     * `search/decorate.js:37-46`): rows failing `predicate` go to
     * `errPath` as JSONL; the clean rows are returned for the main sink.

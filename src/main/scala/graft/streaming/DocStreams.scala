@@ -27,12 +27,18 @@ object DocStreams {
       idCol: String,
       shingleN: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame =
-    bucketed(corpus, textCol, idCol, shingleN, bands, rowsPerBand)
+      rowsPerBand: Int = 4,
+      portable: Boolean = false): DataFrame =
+    bucketed(corpus, textCol, idCol, shingleN, bands, rowsPerBand, portable)
       .select(col("bb"), col("id").as("corpus_id"), col("sh").as("corpus_sh"))
 
   /** Shared shingle→signature→band-bucket derivation — pure column
     * expressions, so it runs identically on batch and streaming frames.
+    * `portable = true` is the ORACLE-TWIN configuration (q73b, mirroring
+    * [[graft.ops.Decontaminate.minHashScreen]]'s flag): md5-based
+    * signatures and the band's raw value tuple as the bucket key, so a
+    * SQL oracle replays collisions bit-for-bit; the default keeps the
+    * native signature kernel and the narrower hashed bucket.
     */
   private def bucketed(
       docs: DataFrame,
@@ -40,7 +46,8 @@ object DocStreams {
       idCol: String,
       shingleN: Int,
       bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int,
+      portable: Boolean): DataFrame = {
     val numHashes = bands * rowsPerBand
     docs
       .withColumn("id", col(idCol))
@@ -48,13 +55,17 @@ object DocStreams {
         graft.functions.Shingling.sortedShingles(
           TextAnalytics.tokens(col(textCol)), shingleN))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes))
+      .withColumn("sig",
+        if (portable) Dedup.minHashSignaturePortable(col("sh"), numHashes)
+        else Dedup.minHashSignature(col("sh"), numHashes))
       .select(
         col("*"),
         explode(array((0 until bands).map { b =>
+          val sliced = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
           struct(
             lit(b).as("band"),
-            hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+            (if (portable) concat_ws(",", sliced.cast("array<string>"))
+             else hash(sliced).cast("string")).as("bucket"))
         }: _*)).as("bb"))
       .drop("sig")
   }
@@ -80,10 +91,11 @@ object DocStreams {
       shingleN: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      portable: Boolean = false): DataFrame =
     bucketed(
       docs.withWatermark(tsCol, watermark),
-      textCol, idCol, shingleN, bands, rowsPerBand)
+      textCol, idCol, shingleN, bands, rowsPerBand, portable)
       .join(index, Seq("bb"))
       .withColumn("jaccard",
         graft.functions.SetSimilarity.jaccardSorted(

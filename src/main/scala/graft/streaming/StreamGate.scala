@@ -238,7 +238,8 @@ object StreamGate {
     * bounded-input determinism argument as [[stageEvents]]' sentinels.
     */
   def decontaminateScreenAvailableNow(
-      s: SparkSession, d: String, slices: Int = 4): DataFrame = {
+      s: SparkSession, d: String, slices: Int = 4,
+      portable: Boolean = false): DataFrame = {
     val docs = graft.core.Tables.documents(s, d)
     val bench = docs.where(col("doc_id") % 20 === 0)
     val train = docs
@@ -248,7 +249,7 @@ object StreamGate {
     val dir = stageSlices(train, col("doc_id"), slices, "docs")
     val index = DocStreams
       .minHashIndex(bench, "text", "doc_id", shingleN = 2,
-        bands = 8, rowsPerBand = 4)
+        bands = 8, rowsPerBand = 4, portable = portable)
       .localCheckpoint(false)
     // probe any staged slice for the schema (slice 0 may be empty and
     // therefore unstaged — slice membership is content-hashed)
@@ -267,7 +268,8 @@ object StreamGate {
       .parquet(dir.toString)
     val out = DocStreams.nearDupStream(
       stream, index, "text", "doc_id", "ts",
-      threshold = 0.5, shingleN = 2, bands = 8, rowsPerBand = 4)
+      threshold = 0.5, shingleN = 2, bands = 8, rowsPerBand = 4,
+      portable = portable)
     runAvailableNow(out)
       .select(col("doc_id"), col("corpus_id").as("bench_id"), col("jaccard"))
   }

@@ -50,6 +50,33 @@ class SinksSpec extends SparkSpec {
     assert(lines == Seq("1\tx", "k\tv"))
   }
 
+  test("mongo connector seam: insert and replace-by-key option contracts") {
+    // S12 plain insert (search/decorate.js:145-165)
+    val ins = Sinks.mongoWriterOptions(
+      "mongodb://host:27017", "gramene", "genes")
+    assert(ins == Map(
+      "connection.uri" -> "mongodb://host:27017",
+      "database" -> "gramene",
+      "collection" -> "genes",
+      "operationType" -> "insert"))
+    // S13 upsert-by-_id (trees/speciesTree.js:230-252
+    // update({_id},doc,{upsert:true}) -> idempotent replace-by-key)
+    val ups = Sinks.mongoWriterOptions(
+      "mongodb://host:27017", "gramene", "trees", upsertKey = Some("_id"))
+    assert(ups("operationType") == "replace")
+    assert(ups("idFieldList") == "_id")
+    assert(Sinks.MongoFormat == "mongodb")
+    // the deployment wiring is valid writer syntax end-to-end up to the
+    // (offline-absent) connector lookup: format resolution must be the
+    // ONLY failure, proving nothing upstream of the seam is broken
+    val w = Seq((1L, "x")).toDF("_id", "v").write
+      .format(Sinks.MongoFormat).options(ups).mode("append")
+    val e = intercept[Exception](w.save())
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msg.contains("mongodb") || msg.contains("failed to find"),
+      s"expected a data-source-lookup failure, got: ${e.getMessage}")
+  }
+
   test("withRejects splits errors to a side file") {
     val path = tmpDir() + "/e"
     val df = Seq((1L, "ok"), (-5L, "bad")).toDF("id", "s")
