@@ -37,6 +37,7 @@ object Bench {
     "q26b_minhash_lsh_portable",
     "q27b_simhash_pairs",
     "q28_lsh_ann",
+    "q28b_lsh_ann_portable",
     "q29_tree_stats",
     "q30_interval_merge",
     "q31_hour_bins",
@@ -52,6 +53,7 @@ object Bench {
     "q45_domain_clusters",
     "q47_split_rescue",
     "q50_embedding_neardup",
+    "q51b_embedding_neardup_lsh_portable",
     "q53_dedup_components",
     "q54_genes_pipeline",
     "q56_media_decode",
@@ -79,6 +81,7 @@ object Bench {
     "q82_epoch_mix",
     "q83_selfdedup_spans",
     "q84_semantic_neardup",
+    "q84b_semantic_neardup_portable",
     "q85_bucketed_batches",
     "q86_train_pipeline",
     "q87_corpus_shuffle")

@@ -622,12 +622,14 @@ object Dedup {
       bitsPerTable: Int = 0,
       numTables: Int = 8,
       seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     require(!portable || bitsPerTable > 0,
       "portable planes need explicit bitsPerTable (a static SQL oracle " +
         "can't replay corpus-derived bits)")
     val v = col(vecCol).cast("array<double>")
     val base = corpus.select(col(idCol).as("id"), v.as("v"))
+    lazy val nVecs = math.max(1L, base.count())
     // bitsPerTable <= 0 → size the buckets from the corpus: expected
     // occupancy n/2^bits drives candidate volume QUADRATICALLY (each
     // bucket self-joins), so any fixed bits turns superlinear as the
@@ -638,9 +640,8 @@ object Dedup {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
-        val n = math.max(1L, base.count())
         math.max(3, math.min(24,
-          math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+          math.ceil(math.log(nVecs / 32.0) / math.log(2.0)).toInt))
       }
     // portable = true is the ORACLE-TWIN configuration (q51b):
     // md5-derived planes a SQL oracle recomputes bit-for-bit
@@ -657,10 +658,28 @@ object Dedup {
       explode(array(tables.map { case (t, planes) =>
         struct(lit(t).as("tbl"), Similarity.srpBucket(col("v"), planes).as("bucket"))
       }: _*)).as("tb"))
+    // PRE-FLIGHT GUARD: bucket occupancy n/2^bits drives the self-join
+    // volume QUADRATICALLY, so a FIXED bits choice (the portable twin's
+    // static-SQL constraint, or a caller pin) that is right at one SF
+    // out-spills the box ten SFs later — the round-11 100× audit killed
+    // the disk exactly there (6 pinned bits, 200k vectors → ~2.5B
+    // candidate pairs). Predict Σ df·(df−1)/2 over (table, bucket) and
+    // REFUSE up front; the auto-sized bits path keeps occupancy — and
+    // with it this prediction — linear in n, so in-regime launches
+    // never trip it.
+    val predicted = SimilarityGuard.selfJoinVolume(bucketed, Seq("tb"))
+    SimilarityGuard.check(
+      predicted,
+      SimilarityGuard.resolveCap(maxCandidates, nVecs),
+      site = "Dedup.embeddingNearDupLsh",
+      reroute = "Auto-size the buckets (bitsPerTable = 0) so occupancy " +
+        "tracks the corpus")
     val a = bucketed.select(col("tb"), col("id").as("id_a"))
     val b = bucketed.select(col("tb"), col("id").as("id_b"))
-    a.join(b, Seq("tb"))
-      .where(col("id_a") < col("id_b"))
+    SimilarityGuard.observed(
+      a.join(b, Seq("tb"))
+        .where(col("id_a") < col("id_b")),
+      "Dedup.embeddingNearDupLsh", predicted)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
       .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")

@@ -894,12 +894,23 @@ object Queries {
     * banded self-join plan is hash-gated end-to-end (q28b's twin for
     * the pair form). Static bits (a SQL oracle can't replay
     * corpus-derived sizing); q51's auto-sized production path stays.
+    *
+    * GATE-SCALE configuration by design (the q84b pattern): pinned
+    * bits make bucket occupancy — and the self-join volume — grow
+    * quadratically with the corpus, so the query DECLARES its volume
+    * budget (100M pairs ≈ 50× the gate-scale need) and the
+    * [[graft.ops.SimilarityGuard]] refusal, not a disk death, is the
+    * out-of-regime behavior: at the round-11 100× audit the un-capped
+    * form predicted ~2.5B candidate pairs, slid under the
+    * corpus-scaled auto cap (4B at 200k vectors) and out-spilled the
+    * box; the explicit cap turns that launch into a refusal naming
+    * the volume and the re-route.
     */
   val q51bEmbeddingNearDupLshPortable: Q = (s, d) =>
     Dedup.embeddingNearDupLsh(
       Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.35, dim = 64, bitsPerTable = 6, numTables = 8,
-      portable = true)
+      portable = true, maxCandidates = 100L * 1000 * 1000)
 
   /** APSS exact cosine-threshold self-join with prefix filtering
     * ([[graft.ops.Apss.cosinePairs]]) over top-8-by-magnitude
@@ -1801,6 +1812,14 @@ object Queries {
     * Σ|cell|²/2 pre-flight guard, skew-blocked triangle join, canonical
     * pair dedup. q84's fitted k-means quantizer stays the production
     * path; this gates its machinery.
+    *
+    * GATE-SCALE configuration by design: a static SQL oracle can't
+    * scale the seed count, so k is pinned at 16 — at audit scales
+    * (100×: 200k vectors / 16 cells) the Σ|cell|²/2 pre-flight guard
+    * REFUSES the quadratic launch (verified at the round-11 100×
+    * audit: predicted 5.0B > 4.0B cap — the guard wiring through the
+    * seeded path is itself the evidence). q84's occupancy-scaled
+    * quantizer is the path that runs at scale.
     */
   val q84bSemanticNearDupPortable: Q = (s, d) =>
     Dedup.semanticNearDup(
