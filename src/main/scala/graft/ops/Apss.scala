@@ -241,10 +241,11 @@ object Apss {
     * BUILD-side posting list exceeds `dimCap` split into g salt
     * groups — the probe side keeps its own salt, the build side fans
     * out to all g, every pair still meets and the worst task shrinks
-    * g-fold. Output is distinct (id_a, id_b) PLUS the guard's predicted
-    * posting-join volume (an upper bound on the candidate count — what
-    * [[verifyAuto]] keys its sharding decision on); `ordered` adds the
-    * id_a < id_b self-join constraint.
+    * g-fold. Output is distinct (id_a, id_b); `ordered` adds the
+    * id_a < id_b self-join constraint. Pure plan construction — the
+    * pre-flight guard and the predicted posting-meeting volume (which
+    * also feeds the `observed` telemetry here) live in [[pairsAuto]],
+    * so sharded passes don't re-aggregate the dfs per pass.
     */
   private def candidatesOf(
       probeSide: DataFrame,
@@ -252,23 +253,7 @@ object Apss {
       ordered: Boolean,
       dimCap: Int,
       threshold: Double,
-      nVecs: => Long,
-      maxCandidates: Long = SimilarityGuard.Auto): (DataFrame, Long) = {
-    // PRE-FLIGHT GUARD: the posting lists carry per-dim frequencies;
-    // predict the posting join's row volume (self: Σ df·(df−1)/2,
-    // cross: Σ df_probe·df_build — salting redistributes but does not
-    // change it) and refuse a high-df-regime launch up front (cap
-    // auto-scales with the probe-side vector count). See
-    // [[SimilarityGuard]].
-    val predicted =
-      if (ordered) SimilarityGuard.selfJoinVolume(buildSide, Seq("dim"))
-      else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim"))
-    SimilarityGuard.check(
-      predicted,
-      SimilarityGuard.resolveCap(maxCandidates, nVecs),
-      "Apss.candidatesOf",
-      "Sparsify harder (Apss.sparsifyTopM with smaller m), raise the " +
-        "threshold, or re-route to an LSH/IVF screen (Similarity/Dedup)")
+      predicted: Long): DataFrame = {
     val groups = buildSide.groupBy("dim")
       .agg(ceil(count(lit(1)) / lit(dimCap)).cast("int").as("g"))
     val a = probeSide.join(groups, Seq("dim"))
@@ -323,7 +308,7 @@ object Apss {
           threshold - 1e-9 &&
         col("da") + col("db") + col("sd") >= threshold - 1e-9)
       .select("id_a", "id_b")
-    (cand, predicted)
+    cand
   }
 
   /** Exploded posting rows: (dim, id, residual bound, own weight,
@@ -422,6 +407,235 @@ object Apss {
       }
     }
 
+  /** Predicted posting-meeting volume above which [[pairsAuto]] shards
+    * CANDIDATE GENERATION itself into sequential passes. [[verifyAuto]]
+    * bounds the fat vector-attach stage, but the candidate join's own
+    * sort-aggregate (every posting meeting, ~80 B/row, grouped to pair
+    * bounds) is what fills the disk first when the meeting stream is
+    * 10× bigger than the verify survivors — the 1000× audit's q63
+    * died exactly there (~0.8 B meetings spilling against the staged
+    * corpus index). Overridable via GRAFT_APSS_CAND_SHARD_MEETINGS.
+    */
+  val CandMeetingsPerShard: Long =
+    sys.env.get("GRAFT_APSS_CAND_SHARD_MEETINGS").map(_.toLong)
+      .getOrElse(128L * 1000 * 1000)
+
+  /** Posting rows PER PASS (both grid sides together): k is sized so
+    * each pass's dim-shuffle moves at most this many posting rows —
+    * the bound is on the pass's actual shuffle slice (~2·postings/k
+    * rows ≈ 8 GB of shuffle files at the default), not on a per-side
+    * proxy, because the 1000× audit showed the per-pass posting
+    * shuffle plus ONE pass of reaping lag is exactly what must fit in
+    * one box's scratch (a k=3 grid at ~16 GB/pass died on its last
+    * passes; a build-side-only split is worse still — it re-shuffles
+    * the FULL probe postings every pass). Overridable via
+    * GRAFT_APSS_POSTING_SHARD_ROWS.
+    */
+  val PostingRowsPerShard: Long =
+    sys.env.get("GRAFT_APSS_POSTING_SHARD_ROWS").map(_.toLong)
+      .getOrElse(256L * 1000 * 1000)
+
+  /** Grid-side cap: ~k²/2 sequential passes is the price of bounded
+    * scratch, and past this k the pass count stops being a sensible
+    * single-box trade — a corpus that still out-spills at the cap
+    * belongs on a cluster (or behind the guard's refusal), not in
+    * more passes.
+    */
+  val MaxGridK: Int = 16
+
+  /** Candidate generation + verify with BOTH stages scratch-bounded.
+    * Computes the predicted posting-meeting volume once, runs the
+    * pre-flight guard once, then:
+    *
+    *  - predicted ≤ `meetingsPerShard`: the one-pass plan every
+    *    catalog query takes — [[candidatesOf]] into [[verifyAuto]],
+    *    byte-identical to the unsharded form;
+    *  - above it: a GRID of sequential passes, BOTH posting sides
+    *    sharded by `pmod(xxhash64(id), k)`. A pair's meetings need
+    *    both vectors to post the dim, and each shard keeps EVERY
+    *    posting of a vector it owns, so pair (a, b) meets on ALL its
+    *    shared dims in exactly the pass joining shard(a) against
+    *    shard(b) — the Bayardo residual and shared-dot prunes see the
+    *    complete meeting set per pair and stay EXACT; the union of
+    *    passes equals the one-pass pair set.
+    *
+    *    Self-join (`ordered`): the grid is TRIANGULAR — k(k+1)/2
+    *    passes over unordered shard cells {i, j}, i ≤ j. A diagonal
+    *    pass (i, i) runs the ordered form (`id_a < id_b` dedups
+    *    within the shard); an off-diagonal pass (i < j) runs ONE
+    *    cross-mode join of shard i against shard j — each cross-shard
+    *    pair meets in exactly that one cell, in one orientation — and
+    *    canonicalizes ids afterwards (`least/greatest`; cosine is
+    *    symmetric, so the verified sim is orientation-free). Half the
+    *    passes of the naive k×k enumeration for the same per-pass
+    *    peak. Cross-set mode keeps the full k×k grid (every (probe i,
+    *    build j) cell is a distinct pair population).
+    *
+    *    Both sides must shard: a build-only split still re-shuffles
+    *    the FULL probe postings every pass — at the 1000× audit that
+    *    single ~10⁹-row write filled the disk before any meeting
+    *    aggregate spilled. k is sized so one pass fits the scratch
+    *    budget on BOTH axes: posting rows (2·max-side-rows/k ≤
+    *    [[PostingRowsPerShard]]) and meetings (pass meetings ≤
+    *    `meetingsPerShard`, with the ordered off-diagonal cell
+    *    carrying 2·predicted/k²), capped at [[MaxGridK]]. Each pass's
+    *    verify output eagerly checkpoints (result-sized) and the
+    *    driver GC is nudged, so the ContextCleaner reaps pass s's
+    *    shuffle files before pass s+1 finishes writing: peak scratch
+    *    is ~two passes, not the sum. Cumulative cost is ~k·|postings|
+    *    rows re-shuffled (sequential and reaped — the small peak is
+    *    the trade); the verify sides pre-filter to the pass's
+    *    vectors, and [[verifyAuto]] still sub-shards a pass whose
+    *    surviving pairs outgrow one attach.
+    */
+  private def pairsAuto(
+      probeSide: DataFrame,
+      buildSide: DataFrame,
+      left: DataFrame,
+      right: DataFrame,
+      ordered: Boolean,
+      dimCap: Int,
+      threshold: Double,
+      nVecs: => Long,
+      maxCandidates: Long,
+      meetingsPerShard: Long = CandMeetingsPerShard,
+      verifyShardPairs: Long = VerifyPairsPerShard): DataFrame = {
+    // PRE-FLIGHT GUARD: the posting lists carry per-dim frequencies;
+    // predict the posting join's row volume (self: Σ df·(df−1)/2,
+    // cross: Σ df_probe·df_build — salting redistributes but does not
+    // change it) and refuse a high-df-regime launch up front (cap
+    // auto-scales with the probe-side vector count). See
+    // [[SimilarityGuard]].
+    val predicted =
+      if (ordered) SimilarityGuard.selfJoinVolume(buildSide, Seq("dim"))
+      else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim"))
+    SimilarityGuard.check(
+      predicted,
+      SimilarityGuard.resolveCap(maxCandidates, nVecs),
+      "Apss.candidatesOf",
+      "Sparsify harder (Apss.sparsifyTopM with smaller m), raise the " +
+        "threshold, or re-route to an LSH/IVF screen (Similarity/Dedup)")
+    if (predicted <= meetingsPerShard)
+      verifyAuto(
+        candidatesOf(probeSide, buildSide, ordered, dimCap, threshold,
+          predicted),
+        predicted, left, right, threshold, verifyShardPairs)
+    else {
+      // the guard df aggregate just shuffled the full posting set; reap
+      // its files (and anything upstream the caller released) before
+      // the grid starts writing its own — at the 1000× audit the
+      // un-nudged overlap of consecutive full-posting phases was tens
+      // of GB of dead shuffle files the 60 s periodicGC hadn't reached
+      System.gc()
+      // cheap scans (the posting frames sit on checkpointed indexes):
+      // the grid must bound BOTH the per-pass posting shuffle and the
+      // per-pass meeting aggregate. The ordered off-diagonal cell sees
+      // 2·predicted/k² meetings (two shard assignments per unordered
+      // pair), hence the factor in the meetings sizing.
+      val pRows = probeSide.count()
+      val bRows = if (probeSide eq buildSide) pRows else buildSide.count()
+      val meetFactor = if (ordered) 2.0 else 1.0
+      val k = math.min(MaxGridK.toLong, math.max(2L, math.max(
+        math.ceil(
+          math.sqrt(meetFactor * predicted / meetingsPerShard)).toLong,
+        math.ceil(2.0 * math.max(pRows, bRows)
+          / PostingRowsPerShard).toLong)))
+        .toInt
+      val cells: Seq[(Int, Int)] =
+        if (ordered) for (i <- 0 until k; j <- i until k) yield (i, j)
+        else for (j <- 0 until k; i <- 0 until k) yield (i, j)
+      val parts = cells.map { case (i, j) =>
+        val diag = i == j
+        val probeShard = pmod(xxhash64(col("id")), lit(k)) === i
+        val buildShard = pmod(xxhash64(col("id")), lit(k)) === j
+        val perPass = math.max(1L,
+          (if (ordered && !diag) (meetFactor * predicted).toLong
+           else predicted) / (k.toLong * k))
+        val raw = verifyAuto(
+          candidatesOf(probeSide.where(probeShard),
+            buildSide.where(buildShard), ordered = ordered && diag,
+            dimCap, threshold, perPass),
+          perPass, left.where(probeShard), right.where(buildShard),
+          threshold, verifyShardPairs)
+        // off-diagonal self-join cells ran cross-mode (one orientation
+        // per pair); restore the id_a < id_b output contract — sim is
+        // symmetric, so only the id columns swap
+        val oriented =
+          if (ordered && !diag)
+            raw.select(
+              least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              col("sim"))
+          else raw
+        val out = oriented.localCheckpoint()
+        // the pass's shuffle dependencies are unreachable once its
+        // output is checkpointed; a driver GC queues their cleanup so
+        // the files are reaped before the next pass writes (otherwise
+        // the 60s periodicGC lags a fast pass and peak scratch creeps
+        // toward two passes)
+        System.gc()
+        out
+      }
+      parts.reduce(_ union _)
+    }
+  }
+
+  /** The closed-corpus per-vector index, STAGED, plus its row count.
+    *
+    * `scratch = false` (every catalog-scale query): a lazy
+    * localCheckpoint — blocks free when the plan is garbage-collected,
+    * no files written.
+    *
+    * `scratch = true` (the audit decade, caller-flagged): the index
+    * materializes through [[graft.core.Staging.scratchParquet]]
+    * instead. The index build runs several full-corpus exchanges
+    * (bounds aggregation, explode–join–regroup), and with a
+    * checkpoint those shuffle files stay pinned on disk for as long
+    * as ANY reference still reaches their dependencies — which
+    * includes the caller's own frame bindings for the whole pairs
+    * computation. At the 1000× audit those dead files (~30 GB)
+    * out-spilled the box twice AFTER the q63-level staging moved to
+    * parquet; writing the index itself to scratch parquet severs the
+    * chain mechanically (this method's frame pops, nothing reaches
+    * the producer, the next GC tick reaps). The parquet scan is
+    * re-read per consumer — k² slim scans against a ~4× smaller file,
+    * the right trade exactly when the grid is running.
+    *
+    * A method, not an inline block: JVM frames may keep block-local
+    * slots alive to method end, and the whole point is that every
+    * producer reference is provably unreachable on return.
+    */
+  private def perVecStaged(
+      vecs: DataFrame,
+      idCol: String,
+      termsCol: String,
+      half: Double,
+      maxBroadcastDims: Int,
+      scratch: Boolean): (DataFrame, Long) = {
+    val (pv, innerStaged) =
+      perVecClosedOf(vecs, idCol, termsCol, half, maxBroadcastDims)
+    val staged =
+      if (scratch) graft.core.Staging.scratchParquet(pv)
+      else pv.localCheckpoint(false)
+    // the count materializes the checkpoint (the parquet write already
+    // did, but the count there is one cheap metadata-ish scan); the
+    // keyed path's inner staging is dead lineage from here — release
+    // its corpus-sized pinned blocks now rather than waiting for
+    // driver GC (repeated cosinePairs calls in one session would
+    // otherwise accumulate non-evictable blocks)
+    val nV = staged.count()
+    innerStaged.foreach { st =>
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(st)
+      // the build lineage behind the released staging holds the run's
+      // biggest shuffle files (several full-corpus exchanges); queue
+      // their cleanup now — the downstream phases each need that disk
+      // back before the 60 s periodicGC would reach it
+      System.gc()
+    }
+    (staged, nV)
+  }
+
   /** Exact cosine ≥ `threshold` pairs over a sparse vector column
     * `termsCol: array<struct<dim: int, w: double-castable>>` (dims
     * unique per row; vectors need not be pre-normalized). Returns
@@ -450,22 +664,17 @@ object Apss {
       threshold: Double,
       maxBroadcastDims: Int = DefaultMaxBroadcastDims,
       maxCandidates: Long = SimilarityGuard.Auto,
-      verifyShardPairs: Long = VerifyPairsPerShard): DataFrame = {
+      verifyShardPairs: Long = VerifyPairsPerShard,
+      candShardMeetings: Long = CandMeetingsPerShard,
+      scratchStage: Boolean = false): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val (pv, innerStaged) =
-      perVecClosedOf(vecs, idCol, termsCol, threshold / 2, maxBroadcastDims)
-    val perVec = pv.localCheckpoint(false)
+    val (perVec, nV) = perVecStaged(
+      vecs, idCol, termsCol, threshold / 2, maxBroadcastDims, scratchStage)
     val posted = postingsOf(perVec)
-    val (cand, predicted) = candidatesOf(posted, posted, ordered = true,
-      dimCap = 4096, threshold, perVec.count(), maxCandidates)
-    // perVec's own checkpoint materialized inside candidatesOf (guard
-    // aggregate + count); the keyed path's inner TF-IDF staging is dead
-    // lineage from here — release its corpus-sized pinned blocks now
-    // rather than waiting for driver GC (repeated cosinePairs calls in
-    // one session would otherwise accumulate non-evictable blocks)
-    innerStaged.foreach(
-      org.apache.spark.sql.classic.GraftColumnBridge.unpersistLocalCheckpoint)
-    verifyAuto(cand, predicted, perVec, perVec, threshold, verifyShardPairs)
+    pairsAuto(posted, posted, perVec, perVec, ordered = true,
+      dimCap = 4096, threshold, nV, maxCandidates,
+      meetingsPerShard = candShardMeetings,
+      verifyShardPairs = verifyShardPairs)
   }
 
   /** One-shot exact cross-set probe: every (query_id, corpus_id, sim)
@@ -489,9 +698,8 @@ object Apss {
       .localCheckpoint(false)
     val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
       .localCheckpoint(false)
-    val (cand, predicted) = candidatesOf(postingsOf(q), postingsOf(c),
-      ordered = false, dimCap = 4096, threshold, q.count(), maxCandidates)
-    verifyAuto(cand, predicted, q, c, threshold)
+    pairsAuto(postingsOf(q), postingsOf(c), q, c, ordered = false,
+      dimCap = 4096, threshold, q.count(), maxCandidates)
       .withColumnRenamed("id_a", "query_id")
       .withColumnRenamed("id_b", "corpus_id")
   }
@@ -543,9 +751,8 @@ object Apss {
     def selfPairs(
         maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
       val posted = postingsOf(perVec)
-      val (cand, predicted) = candidatesOf(posted, posted, ordered = true,
+      pairsAuto(posted, posted, perVec, perVec, ordered = true,
         dimCap = 4096, threshold, perVec.count(), maxCandidates)
-      verifyAuto(cand, predicted, perVec, perVec, threshold)
     }
 
     /** Exact cross-set pairs: every (query_id, corpus_id, sim) with
@@ -567,10 +774,8 @@ object Apss {
       // materialize once (same reasoning as cosinePairs)
       val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
         .localCheckpoint(false)
-      val (cand, predicted) = candidatesOf(
-        postingsOf(q), postingsOf(perVec), ordered = false, dimCap = 4096,
-        threshold, q.count(), maxCandidates)
-      verifyAuto(cand, predicted, q, perVec, threshold)
+      pairsAuto(postingsOf(q), postingsOf(perVec), q, perVec,
+        ordered = false, dimCap = 4096, threshold, q.count(), maxCandidates)
         .withColumnRenamed("id_a", "query_id")
         .withColumnRenamed("id_b", "corpus_id")
     }

@@ -997,13 +997,34 @@ object Queries {
     val n = sh.count() // corpus size for idf — one count job at any scale
     val e = sh.select(col("doc_id"), explode(col("sh")).as("dim"))
     val dfreq = e.groupBy("dim").agg(count(lit(1)).as("df"))
-    val terms = e.join(dfreq, "dim")
+    val termsRaw = e.join(dfreq, "dim")
       .groupBy("doc_id")
       .agg(collect_list(struct(
         col("dim"),
         log(lit(n.toDouble) / col("df")).as("w"))).as("terms"))
-    Apss.cosinePairs(terms, "doc_id", "terms",
-      threshold = 0.6, maxBroadcastDims = 0)
+    // Audit decade: stage the TF-IDF vectors through scratch parquet
+    // ([[graft.core.Staging]]) so the gram-explode / df / regroup
+    // shuffles — the biggest files this query ever writes — become
+    // reapable the moment the vectors exist, instead of pinning the
+    // disk for the whole pairs computation (the 1000× audit died on
+    // exactly those dead files three times). Below the threshold the
+    // plan is unchanged — Apss's own materialize-once staging already
+    // covers the gate scales.
+    val audit = n >= 1000000
+    val terms =
+      if (audit) graft.core.Staging.scratchParquet(termsRaw) else termsRaw
+    // scratchStage routes Apss's own per-vector index through the same
+    // seam at the audit decade — the index build's exchanges are the
+    // other ~30 GB of producer shuffle files that otherwise stay
+    // pinned while the grid passes need the disk
+    val pairs = Apss.cosinePairs(terms, "doc_id", "terms",
+      threshold = 0.6, maxBroadcastDims = 0, scratchStage = audit)
+    // the per-vector index (staged inside cosinePairs) is the ONLY
+    // leaf the pairs plan reads — the staged terms parquet is
+    // superseded the moment cosinePairs returns, so reclaim its ~5 GB
+    // before the grid passes need the disk
+    if (audit) graft.core.Staging.drop(terms)
+    pairs
   }
 
   /** Benchmark decontamination ([[graft.ops.Decontaminate]]): the

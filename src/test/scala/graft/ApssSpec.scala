@@ -59,6 +59,36 @@ class ApssSpec extends SparkSpec {
       s"missed=${one diff sharded} extra=${sharded diff one}")
   }
 
+  test("sharded CANDIDATE GENERATION == one-pass (k x k grid passes)") {
+    // candShardMeetings=100 forces a k x k grid of candidate passes
+    // (the posting-meeting volume of this corpus is in the thousands);
+    // each pair's full meeting set lands in pass (shard(a), shard(b)),
+    // so the Bayardo prunes stay exact and the union must be the exact
+    // same pair set/sims — composed with sub-sharded verify to cover
+    // the nested form
+    val corpus = sparseCorpus(17, n = 120, dims = 30, nnz = 8)
+    val df = toDf(corpus)
+    val one = Apss.cosinePairs(df, "id", "terms", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val sharded = Apss.cosinePairs(df, "id", "terms", 0.4,
+      candShardMeetings = 100L, verifyShardPairs = 7L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(one.nonEmpty)
+    assert(sharded == one,
+      s"missed=${one diff sharded} extra=${sharded diff one}")
+  }
+
+  test("scratch-parquet index staging gives identical pairs (audit seam)") {
+    val corpus = sparseCorpus(19, n = 120, dims = 30, nnz = 8)
+    val df = toDf(corpus)
+    val ck = Apss.cosinePairs(df, "id", "terms", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val pq = Apss.cosinePairs(df, "id", "terms", 0.4, scratchStage = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ck.nonEmpty && pq == ck,
+      s"missed=${ck diff pq} extra=${pq diff ck}")
+  }
+
   test("cosinePairs sims match local computation to 4 decimals") {
     val corpus = sparseCorpus(7, n = 80, dims = 20, nnz = 6)
     val maps = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
