@@ -176,22 +176,17 @@ object Similarity {
       */
     private[graft] def withCells(
         df: DataFrame, vec: Column, nProbe: Int): DataFrame = hierarchy match {
-      case None if nProbe == 1 =>
-        // array_min picks the same (d, cid)-least struct as the sorted
-        // slice without materializing the sort
-        df.withColumn("cells",
-          array(array_min(centroidDists(vec, centroids)).getField("cid")))
       case None =>
+        // native codegen kernel — one primitive (k·dim) pass + bounded
+        // insertion; semantics identical to the HOF reference
+        // slice(sort_array(centroidDists))… (parity pinned in
+        // SimilaritySpec — see [[graft.functions.VectorQuant]])
         df.withColumn("cells",
-          transform(
-            slice(sort_array(centroidDists(vec, centroids)), 1, nProbe),
-            s => s.getField("cid")))
+          graft.functions.VectorQuant.nearestCells(vec, centroids, nProbe))
       case Some(h) =>
         val subsType = "array<struct<cid:int,c:array<double>>>"
         val probed = df.withColumn("_g",
-          transform(
-            slice(sort_array(centroidDists(vec, h.coarse)), 1, h.nCoarseProbe),
-            s => s.getField("cid")))
+          graft.functions.VectorQuant.nearestCells(vec, h.coarse, h.nCoarseProbe))
         val joined = (0 until h.nCoarseProbe).foldLeft(probed) { (acc, i) =>
           acc.join(
             broadcast(h.subs.select(
@@ -200,13 +195,9 @@ object Similarity {
         }
         val allSubs = concat((0 until h.nCoarseProbe).map(i =>
           coalesce(col(s"_subs$i"), array().cast(subsType))): _*)
-        val scored = sort_array(transform(allSubs, s => struct(
-          aggregate(zip_with(vec, s.getField("c"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x).as("d"),
-          s.getField("cid").as("cid"))))
         joined
           .withColumn("cells",
-            transform(slice(scored, 1, nProbe), s => s.getField("cid")))
+            graft.functions.VectorQuant.nearestSubCells(vec, allSubs, nProbe))
           .drop(("_g" +: (0 until h.nCoarseProbe)
             .flatMap(i => Seq(s"_gid$i", s"_subs$i"))): _*)
     }
@@ -255,9 +246,12 @@ object Similarity {
   }
 
   /** (distance², centroid id) structs for every cell — the broadcast
-    * centroid literals evaluated against one vector column.
+    * centroid literals evaluated against one vector column. Kept as
+    * the HOF REFERENCE implementation the native assignment kernel
+    * ([[graft.functions.VectorQuant.nearestCells]]) is parity-tested
+    * against in SimilaritySpec; no production path evaluates it.
     */
-  private def centroidDists(
+  private[graft] def centroidDists(
       vec: Column, centroids: Array[(Int, Array[Double])]): Column =
     array(centroids.map { case (i, c) =>
       val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
@@ -331,8 +325,20 @@ object Similarity {
       vecCol: String,
       centroids: Array[(Int, Array[Double])],
       hierarchy: Option[IvfHierarchy]): IvfIndex = {
-    val sel = corpus.select(
+    val sel0 = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // The per-row argmin is COMPUTE-bound (O(k·dim) literal /
+    // O(√k·dim) hierarchical flops per row), so the assignment stage
+    // needs CPU-width parallelism, not the scan's split width: a
+    // single coalesced parquet file splits into ~4 input partitions at
+    // 128 MB maxPartitionBytes and would pin a 2M-row assignment to 4
+    // cores (measured on the 1000× audit). One narrow (id, vector)
+    // exchange is noise next to the pass it unblocks — and it also
+    // balances the persisted assignment below.
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val sel =
+      if (sel0.rdd.getNumPartitions >= target) sel0
+      else sel0.repartition(target)
     val assigned = IvfIndex(centroids, sel, hierarchy)
       .withCells(sel, col("cv"), 1)
       .select(element_at(col("cells"), 1).as("cell"),

@@ -207,6 +207,58 @@ class SimilaritySpec extends SparkSpec {
     idx.release()
   }
 
+  test("native nearestCells kernel is bit-identical to the HOF reference " +
+      "(incl. distance ties and nProbe > k)") {
+    val crng = new scala.util.Random(11)
+    val cents: Array[(Int, Array[Double])] =
+      Array.tabulate(37)(i => (i, Array.fill(dim)(crng.nextGaussian())))
+    // a duplicate centroid under a HIGHER cid: every vector ties on it
+    // exactly, and the lower cid must win in both formulations
+    val centsTie = cents :+ (99 -> cents(5)._2.clone())
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    for (p <- Seq(1, 3, 40)) {
+      val ref = df.select(col("vec_id"),
+        transform(
+          slice(sort_array(Similarity.centroidDists(col("v"), centsTie)), 1, p),
+          s => s.getField("cid")).as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val got = df.select(col("vec_id"),
+        graft.functions.VectorQuant.nearestCells(col("v"), centsTie, p).as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(got == ref, s"nProbe=$p")
+    }
+  }
+
+  test("native nearestSubCells kernel matches the HOF scoring reference") {
+    val crng = new scala.util.Random(13)
+    def sub(cid: Int) =
+      Similarity.SubCentroid(cid, Seq.fill(dim)(crng.nextGaussian()))
+    val rows: Seq[(Long, Array[Double], Seq[Similarity.SubCentroid])] =
+      vecs.take(50).map { case (id, v) =>
+        val base = Seq.tabulate(3 + (id % 7).toInt)(j => sub((id % 5).toInt * 10 + j))
+        // duplicate sub under a higher cid forces an exact tie
+        val withTie = if (base.nonEmpty) base :+ base.head.copy(cid = 900) else base
+        (id, v.map(_.toDouble), withTie)
+      } :+ ((999L, Array.fill(dim)(0.0), Seq.empty[Similarity.SubCentroid]))
+    val df = rows.toDF("vec_id", "v", "subs")
+    for (p <- Seq(1, 2, 16)) {
+      val scored = sort_array(transform(col("subs"), s => struct(
+        aggregate(
+          zip_with(col("v"), s.getField("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d"),
+        s.getField("cid").as("cid"))))
+      val ref = df.select(col("vec_id"),
+        transform(slice(scored, 1, p), s => s.getField("cid")).as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val got = df.select(col("vec_id"),
+        graft.functions.VectorQuant.nearestSubCells(col("v"), col("subs"), p)
+          .as("cells"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(got == ref, s"nProbe=$p")
+    }
+  }
+
   test("portable hyperplanes: md5-derived, in [-1,1), engine-stable") {
     val p = Similarity.portableHyperplanes(dim = 4, numPlanes = 2, table = 3)
     assert(p.length == 2 && p.forall(_.length == 4))
