@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Nearest-centroid selection as native codegen kernels — the IVF /
   * SemDeDup assignment hot path ([[graft.ops.Similarity.IvfIndex
@@ -148,6 +148,53 @@ object VectorQuant {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
+
+  /** SRP sign-bit bucket: bit p set iff `vec`'s dot with plane p is
+    * ≥ 0 — one fused pass over all planes. The HOF reference
+    * (`aggregate(zip_with(vec, planeLit, …))` per plane, OR-reduced)
+    * pays planes-many interpreted zip allocations per row. A
+    * dimension mismatch leaves the bit unset, exactly like the
+    * zip-pad path nulling the dot (`when(null >= 0)` is false);
+    * parity is pinned in SimilaritySpec.
+    */
+  def srpBucketImpl(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bits = 0L
+    val n = vec.numElements()
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      if (n == pl.length) {
+        var dot = 0.0
+        var t = 0
+        while (t < n) { dot += vec.getDouble(t) * pl(t); t += 1 }
+        if (dot >= 0) bits |= (1L << p)
+      }
+      p += 1
+    }
+    bits
+  }
+
+  case class SrpBucket(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override protected def nullSafeEval(v: Any): Any =
+      srpBucketImpl(v.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.VectorQuant.srpBucketImpl($v, $planesRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Sign-bit SRP bucket of `vec` (already `array<double>`) over the
+    * literal hyperplane set.
+    */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(SrpBucket(GraftColumnBridge.expression(vec), planes))
 
   /** `vec`'s `nProbe` nearest cells over the literal centroid set,
     * ascending (L2², cid); `vec` must already be `array<double>`.

@@ -104,9 +104,17 @@ object Similarity {
 
   /** Sign-bit bucket id: bit p set iff the vector is on the positive
     * side of hyperplane p. Vectors in the same bucket are likely within
-    * a small angle — the standard SRP-LSH for cosine.
+    * a small angle — the standard SRP-LSH for cosine. Native fused
+    * kernel ([[graft.functions.VectorQuant.srpBucket]]): one codegen'd
+    * pass over all planes instead of planes-many interpreted HOF dots.
     */
   def srpBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    graft.functions.VectorQuant.srpBucket(vec, planes.toArray)
+
+  /** The HOF formulation, kept as the reference implementation the
+    * native bucket kernel is parity-tested against in SimilaritySpec.
+    */
+  private[graft] def srpBucketHof(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex
       .map { case (p, i) =>
         val planeLit = array(p.toIndexedSeq.map(lit(_)): _*)

@@ -259,6 +259,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native srpBucket kernel is bit-identical to the HOF reference " +
+      "(incl. a dimension-mismatched plane)") {
+    val prng = new scala.util.Random(17)
+    // plane 2 has the wrong dimension: its bit must stay unset in both
+    // formulations (the zip-pad path nulls the dot)
+    val planes: Seq[Array[Double]] = Seq(
+      Array.fill(dim)(prng.nextGaussian()),
+      Array.fill(dim)(prng.nextGaussian()),
+      Array.fill(dim + 3)(prng.nextGaussian()),
+      Array.fill(dim)(prng.nextGaussian()))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ref = df.select(col("vec_id"),
+      Similarity.srpBucketHof(col("v"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val got = df.select(col("vec_id"),
+      Similarity.srpBucket(col("v"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    assert(ref.values.forall(b => (b & (1L << 2)) == 0L),
+      "mismatched plane's bit must be unset")
+  }
+
   test("portable hyperplanes: md5-derived, in [-1,1), engine-stable") {
     val p = Similarity.portableHyperplanes(dim = 4, numPlanes = 2, table = 3)
     assert(p.length == 2 && p.forall(_.length == 4))
