@@ -22,14 +22,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * whole-stage codegen with one bounded insertion pass (O(k·dim +
   * k·nProbe), allocation-free except the nProbe-int result).
   *
-  * Semantics match the HOF path bit-for-bit, and the q84b/q55 SQL
-  * oracles replay them: distance is the left-to-right Σ(xₜ−cₜ)² (the
-  * same IEEE addition order as the `aggregate` fold and as a SQL sum
-  * over ordinals), selection is the nProbe least by (d², cid)
-  * ascending — on equal distance the LOWER cid wins, exactly
-  * `sort_array`'s struct order. A dimension mismatch ranks the cell
-  * last (the zip-pad path nulled it out of contention); well-formed
-  * corpora never hit it.
+  * Semantics match the HOF path bit-for-bit on well-formed input, and
+  * the q84b/q55 SQL oracles replay them: distance is the left-to-right
+  * Σ(xₜ−cₜ)² (the same IEEE addition order as the `aggregate` fold and
+  * as a SQL sum over ordinals), selection is the nProbe least by
+  * (d², cid) ascending — on equal distance the LOWER cid wins, exactly
+  * `sort_array`'s struct order. Two INTENTIONAL divergences on
+  * malformed input:
+  *
+  *  - a row-vector/centroid DIMENSION MISMATCH is demoted to
+  *    Double.MaxValue — ranked LAST, out of contention. The HOF
+  *    reference would rank it FIRST (`zip_with` pads the short side
+  *    with nulls, nulling the distance, and `sort_array` sorts null
+  *    struct fields first) — a nonsensical pick the kernel refuses to
+  *    reproduce. The centroid side can't be ragged at all: the column
+  *    builders below assert uniform centroid dims at construction, so
+  *    a ragged seed corpus fails fast instead of silently demoting.
+  *  - a NULL ELEMENT inside the vector array reads as 0.0 (getDouble
+  *    on a null slot), where the HOF reference nulls the whole
+  *    distance — consistent with the cosineImpl precedent; declare
+  *    embedding columns with non-null elements to keep the two paths
+  *    bit-identical.
   */
 object VectorQuant {
 
@@ -200,10 +213,15 @@ object VectorQuant {
     * ascending (L2², cid); `vec` must already be `array<double>`.
     */
   def nearestCells(
-      vec: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column =
+      vec: Column, centroids: Array[(Int, Array[Double])], nProbe: Int): Column = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_._2.length == centroids.head._2.length),
+      "centroids must be non-empty and share one dimension " +
+        "(a ragged centroid set would be silently demoted, not ranked)")
     GraftColumnBridge.column(NearestCells(
       GraftColumnBridge.expression(vec),
       centroids.map(_._1), centroids.map(_._2), nProbe))
+  }
 
   /** `vec`'s `nProbe` nearest cells over a per-row
     * `array<struct<cid:int, c:array<double>>>` column.

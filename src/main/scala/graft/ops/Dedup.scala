@@ -763,11 +763,17 @@ object Dedup {
     // E[|cell|] constant. k ≤ MaxLiteralCells rides the plan as one
     // centroid literal (exact single-level argmin); past it the index
     // goes hierarchical ([[graft.ops.Similarity.IvfHierarchy]] — the
-    // keyed centroid attach), so occupancy keeps scaling to
-    // k = 65536 ≈ 134M vectors instead of stopping at ~524k.
+    // recursive keyed centroid attach: L = ceil(log256 k) routing
+    // levels), so occupancy scaling is UNBOUNDED by the quantizer —
+    // two levels to 65k cells (~134M vectors), three to 16.7M cells
+    // (~34B vectors). The binding constants past that are the fine
+    // level's broadcast bytes (see MaxLiteralCells' scaladoc) and the
+    // distributed k-means fit itself, both resource envelopes rather
+    // than hardcoded caps.
     val k =
       if (nLists > 0) nLists
-      else math.max(16, math.min(65536, math.ceil(n / 2048.0).toInt))
+      else math.min(Int.MaxValue.toLong,
+        math.max(16L, math.ceil(n / 2048.0).toLong)).toInt
     // seedQuantizer > 0 is the ORACLE-TWIN configuration (q84b): cells
     // are argmin-L2 over the corpus's first seedQuantizer vectors by
     // id — a quantizer SQL replays — instead of the fitted k-means

@@ -127,40 +127,63 @@ object Similarity {
     * expression. Past this, the centroid set stops being a plan literal
     * (codegen'd constant-pool/method-size limits aside, every row would
     * pay k·dim literal distance terms) and assignment goes HIERARCHICAL
-    * — see [[IvfHierarchy]]. 256 coarse cells × 256 subs each ≈ 65k
-    * fine cells, which at the n/2048 occupancy rule covers ~134M
-    * vectors before E[|cell|] starts growing again.
+    * — see [[IvfHierarchy]]. The hierarchy RECURSES (L =
+    * ceil(log₂₅₆ k) routing levels), so no cell-count ceiling remains:
+    * 65k fine cells route in two levels, 16.7M in three, and the
+    * occupancy rule n/2048 is never the binding constant again. The
+    * remaining resource envelope is the FINE level's broadcast
+    * (k·dim·8 bytes — ~500k cells at dim 768 inside a 4 GB broadcast,
+    * ~4M at dim 128, i.e. ~1–8 BILLION vectors at n/2048); past that
+    * the fine attach would go keyed-shuffle instead of broadcast, a
+    * byte-budget trade, not a structural cap.
     */
   val MaxLiteralCells: Int = 256
 
-  /** Two-level assignment for cell counts past [[MaxLiteralCells]]:
-    * the fine centroids are grouped under a small COARSE quantizer
-    * (k1 ≈ √k cells, fit driver-side on the k centroids themselves —
-    * k points, microseconds), and a row's cells are found by ranking
-    * the ≤256 coarse cells as plan literals, attaching the probed
-    * groups' sub-centroid ARRAYS by a broadcast keyed join (k1 rows
-    * total — the keyed centroid attach), and arg-sorting the attached
-    * arrays with codegen'd HOFs. No row inflation anywhere: per-row
-    * cost is O((k1 + nCoarseProbe·k/k1)·dim) ≈ O(√k·dim) instead of
-    * O(k·dim), and no single expression ever holds more than
-    * [[MaxLiteralCells]] centroids.
+  /** Multi-level assignment for cell counts past [[MaxLiteralCells]]:
+    * the fine centroids are grouped under a routing TREE with
+    * L = ceil(log(k)/log([[MaxLiteralCells]])) levels and fanout
+    * f = ceil(k^(1/L)) ≤ 256, fit driver-side on the k centroids
+    * themselves ([[hierarchyOf]]). A row's cells are found by ranking
+    * the ≤256 root centers as plan literals, then per level attaching
+    * the probed groups' child ARRAYS by a broadcast keyed join and
+    * arg-sorting them with the native codegen kernel — the last
+    * level's children are the fine cells. No row inflation anywhere:
+    * per-row cost is O((f + (L−1)·nCoarseProbe·f)·dim) ≈
+    * O(L·k^(1/L)·dim) instead of O(k·dim), and no single expression
+    * ever holds more than [[MaxLiteralCells]] centroids. For
+    * k ≤ 65536 this degenerates to exactly the round-11 two-level
+    * shape (root fanout ceil(√k), one attached level).
+    *
+    * `levels` holds the attached levels top→bottom, each a
+    * broadcastable (gid, subs: array<(cid, center)>) frame where cid
+    * is the NEXT level's gid — or the fine cell id at the last level.
+    * Identical level frames re-broadcast once per probe slot collapse
+    * under ReuseExchange. The fine level carries all k fine centroids
+    * (k·dim·8 bytes), which is the hierarchy's true resource envelope
+    * — see [[MaxLiteralCells]].
     *
     * Approximation note: a vector's true nearest FINE centroid can sit
-    * in a coarse group the probe skipped (boundary effect — the same
+    * in a group some level's probe skipped (boundary effect — the same
     * trade every IMI/hierarchical-k-means index makes); `nCoarseProbe`
-    * (default 4) bounds it, and the consumers' recall pins (DedupSpec)
-    * gate the net effect. The miss mostly cancels for PAIR recall —
-    * near-dup endpoints have near-identical distance profiles, so they
-    * still co-assign even when both miss the true argmin; on FITTED
-    * centroids (coarse groups aligned with real data clusters) argmin
-    * agreement is far higher than on the adversarial random-centroid
-    * spec fixture. k ≤ [[MaxLiteralCells]] keeps the exact
-    * single-level literal path.
+    * (default 4) bounds it per level, and the consumers' recall pins
+    * (DedupSpec) gate the net effect. The miss mostly cancels for PAIR
+    * recall — near-dup endpoints have near-identical distance
+    * profiles, so they still co-assign even when both miss the true
+    * argmin; on FITTED centroids (groups aligned with real data
+    * clusters) argmin agreement is far higher than on the adversarial
+    * random-centroid spec fixture. k ≤ [[MaxLiteralCells]] keeps the
+    * exact single-level literal path.
     */
   final case class IvfHierarchy(
       coarse: Array[(Int, Array[Double])],
-      subs: DataFrame,
-      nCoarseProbe: Int)
+      levels: Seq[DataFrame],
+      nCoarseProbe: Int) {
+    /** The FINE level — every leaf group's fine-centroid array
+      * (`levels.last` by construction; the two-level accessor specs
+      * inspect).
+      */
+    def subs: DataFrame = levels.last
+  }
 
   private[graft] final case class SubCentroid(cid: Int, c: Seq[Double])
   private[graft] final case class CoarseGroup(gid: Int, subs: Seq[SubCentroid])
@@ -192,22 +215,35 @@ object Similarity {
         df.withColumn("cells",
           graft.functions.VectorQuant.nearestCells(vec, centroids, nProbe))
       case Some(h) =>
+        // level-by-level routing: `_g` starts as the nCoarseProbe
+        // nearest ROOT literals, then each attached level joins the
+        // probed groups' child arrays (broadcast, one left join per
+        // probe slot — ReuseExchange collapses the repeats) and the
+        // native kernel re-ranks; the last level emits the caller's
+        // nProbe FINE cells, interior levels keep nCoarseProbe gids
         val subsType = "array<struct<cid:int,c:array<double>>>"
+        val p = h.nCoarseProbe
         val probed = df.withColumn("_g",
-          graft.functions.VectorQuant.nearestCells(vec, h.coarse, h.nCoarseProbe))
-        val joined = (0 until h.nCoarseProbe).foldLeft(probed) { (acc, i) =>
-          acc.join(
-            broadcast(h.subs.select(
-              col("gid").as(s"_gid$i"), col("subs").as(s"_subs$i"))),
-            try_element_at(col("_g"), lit(i + 1)) === col(s"_gid$i"), "left")
+          graft.functions.VectorQuant.nearestCells(vec, h.coarse, p))
+        val routed = h.levels.zipWithIndex.foldLeft(probed) {
+          case (cur, (lvl, li)) =>
+            val joined = (0 until p).foldLeft(cur) { (acc, i) =>
+              acc.join(
+                broadcast(lvl.select(
+                  col("gid").as(s"_gid$i"), col("subs").as(s"_subs$i"))),
+                try_element_at(col("_g"), lit(i + 1)) === col(s"_gid$i"),
+                "left")
+            }
+            val allSubs = concat((0 until p).map(i =>
+              coalesce(col(s"_subs$i"), array().cast(subsType))): _*)
+            val outProbe = if (li == h.levels.length - 1) nProbe else p
+            joined
+              .withColumn("_g",
+                graft.functions.VectorQuant.nearestSubCells(
+                  vec, allSubs, outProbe))
+              .drop((0 until p).flatMap(i => Seq(s"_gid$i", s"_subs$i")): _*)
         }
-        val allSubs = concat((0 until h.nCoarseProbe).map(i =>
-          coalesce(col(s"_subs$i"), array().cast(subsType))): _*)
-        joined
-          .withColumn("cells",
-            graft.functions.VectorQuant.nearestSubCells(vec, allSubs, nProbe))
-          .drop(("_g" +: (0 until h.nCoarseProbe)
-            .flatMap(i => Seq(s"_gid$i", s"_subs$i"))): _*)
+        routed.withColumn("cells", col("_g")).drop("_g")
     }
 
     /** Probe: each query ranks the broadcast centroids (sorting
@@ -273,7 +309,7 @@ object Similarity {
     * (a quantizer needs only the density shape — fitting on 100 TB
     * would be absurd), then assign every corpus row to its nearest
     * centroid — one O(nLists·dim) literal pass per row for
-    * nLists ≤ [[MaxLiteralCells]], the hierarchical O(√nLists·dim)
+    * nLists ≤ [[MaxLiteralCells]], the hierarchical O(L·nLists^(1/L)·dim)
     * attach past it ([[IvfHierarchy]]). Past the literal cap the fit
     * sample is also capped at max(65536, nLists·64) rows (the fit is
     * O(rows·k·dim·iters) — unbounded it would dwarf the query) and
@@ -319,11 +355,15 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[(Int, Array[Double])]): IvfIndex = {
+      centroids: Array[(Int, Array[Double])],
+      nCoarseProbe: Int = 4): IvfIndex = {
     require(centroids.nonEmpty, "need at least one centroid")
+    require(centroids.forall(_._2.length == centroids.head._2.length),
+      "centroids must share one dimension (ragged seed corpora fail " +
+        "fast here rather than silently demote in the assignment kernel)")
     val hierarchy =
       if (centroids.length <= MaxLiteralCells) None
-      else Some(hierarchyOf(corpus.sparkSession, centroids, nCoarseProbe = 4))
+      else Some(hierarchyOf(corpus.sparkSession, centroids, nCoarseProbe))
     assignedIndex(corpus, idCol, vecCol, centroids, hierarchy)
   }
 
@@ -343,9 +383,11 @@ object Similarity {
     // cores (measured on the 1000× audit). One narrow (id, vector)
     // exchange is noise next to the pass it unblocks — and it also
     // balances the persisted assignment below.
+    // toRdd, not .rdd: the partition-count probe must not compile a
+    // second Row-deserializing physical plan just to read a number
     val target = corpus.sparkSession.sparkContext.defaultParallelism
     val sel =
-      if (sel0.rdd.getNumPartitions >= target) sel0
+      if (sel0.queryExecution.toRdd.getNumPartitions >= target) sel0
       else sel0.repartition(target)
     val assigned = IvfIndex(centroids, sel, hierarchy)
       .withCells(sel, col("cv"), 1)
@@ -355,93 +397,151 @@ object Similarity {
     IvfIndex(centroids, assigned, hierarchy)
   }
 
-  /** Driver-side Lloyd over the k fine centroids themselves (k points
-    * — microseconds next to the distributed fit) into
-    * k1 = min(√k-ish, [[MaxLiteralCells]]) coarse groups; deterministic
-    * spread init (every (k/k1)-th centroid), empty groups keep their
-    * center. Returns the coarse literals plus the per-group
-    * sub-centroid arrays as a k1-row broadcastable DataFrame.
+  /** Point count past which one node's Lloyd fits its centers on a
+    * deterministic stride SAMPLE instead of every member (the final
+    * all-member assignment pass still runs, parallelized) — bounds the
+    * per-node fit at O(cap·f·dim·iters) so a multi-million-cell fine
+    * level doesn't turn the driver grouping quadratic. Below the cap
+    * the fit is bit-identical to the round-11 full Lloyd.
     */
-  private def hierarchyOf(
-      spark: org.apache.spark.sql.SparkSession,
-      centroids: Array[(Int, Array[Double])],
-      nCoarseProbe: Int): IvfHierarchy = {
-    val k = centroids.length
-    val k1 = math.max(1, math.min(MaxLiteralCells,
-      math.ceil(math.sqrt(k.toDouble)).toInt))
-    val pts = centroids.map(_._2)
-    val dim = pts.head.length
-    val centers = Array.tabulate(k1)(j => pts((j.toLong * k / k1).toInt).clone())
-    val assign = new Array[Int](k)
+  private val FitSampleCap: Int = 65536
+
+  /** Deterministic driver-side Lloyd of the points indexed by `ptIdx`
+    * into ≤ `g0` groups: spread init (every (n/g)-th point), ≤15
+    * assign/recompute rounds with early stop (on a stride sample past
+    * [[FitSampleCap]]), then one FINAL assignment of every member to
+    * the final centers (vectors route through these centers later, so
+    * a point must sit in the group its final center owns) —
+    * parallelized across points, per-point independent and
+    * deterministic. Returns (center, member indexes) per group; empty
+    * groups surface with empty member lists for the caller to drop.
+    */
+  private def lloydSplit(
+      all: Array[Array[Double]],
+      ptIdx: Array[Int],
+      g0: Int): Array[(Array[Double], Array[Int])] = {
+    val n = ptIdx.length
+    val g = math.max(1, math.min(g0, n))
+    val dim = all(ptIdx(0)).length
+    val fit: Array[Int] =
+      if (n <= FitSampleCap) ptIdx
+      else Array.tabulate(FitSampleCap)(j =>
+        ptIdx(((j.toLong * n) / FitSampleCap).toInt))
+    val m = fit.length
+    val centers = Array.tabulate(g)(j =>
+      all(fit(((j.toLong * m) / g).toInt)).clone())
+    def nearest(p: Array[Double]): Int = {
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < g) {
+        var d = 0.0
+        var t = 0
+        val c = centers(j)
+        while (t < dim) { val x = p(t) - c(t); d += x * x; t += 1 }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      best
+    }
+    val assignFit = new Array[Int](m)
     var round = 0
     var changed = true
     while (round < 15 && changed) {
       changed = false
       var i = 0
-      while (i < k) {
-        var best = 0
-        var bd = Double.MaxValue
-        var j = 0
-        while (j < k1) {
-          var d = 0.0
-          var t = 0
-          val c = centers(j)
-          val p = pts(i)
-          while (t < dim) { val x = p(t) - c(t); d += x * x; t += 1 }
-          if (d < bd) { bd = d; best = j }
-          j += 1
-        }
-        if (assign(i) != best) { assign(i) = best; changed = true }
+      while (i < m) {
+        val best = nearest(all(fit(i)))
+        if (assignFit(i) != best) { assignFit(i) = best; changed = true }
         i += 1
       }
-      val cnt = new Array[Int](k1)
-      val sums = Array.fill(k1)(new Array[Double](dim))
+      val cnt = new Array[Int](g)
+      val sums = Array.fill(g)(new Array[Double](dim))
       var i2 = 0
-      while (i2 < k) {
-        val g = assign(i2)
-        cnt(g) += 1
+      while (i2 < m) {
+        val gi = assignFit(i2)
+        cnt(gi) += 1
+        val p = all(fit(i2))
         var t = 0
-        while (t < dim) { sums(g)(t) += pts(i2)(t); t += 1 }
+        while (t < dim) { sums(gi)(t) += p(t); t += 1 }
         i2 += 1
       }
-      var g = 0
-      while (g < k1) {
-        if (cnt(g) > 0) {
+      var gi = 0
+      while (gi < g) {
+        if (cnt(gi) > 0) {
           var t = 0
-          while (t < dim) { centers(g)(t) = sums(g)(t) / cnt(g); t += 1 }
+          while (t < dim) { centers(gi)(t) = sums(gi)(t) / cnt(gi); t += 1 }
         }
-        g += 1
+        gi += 1
       }
       round += 1
     }
-    // one final reassignment so the groups are consistent with the
-    // FINAL centers (the last loop iteration moved the means after
-    // assigning) — vectors route through these centers later, so a
-    // fine centroid must sit in the group its final center owns
-    var fi = 0
-    while (fi < k) {
-      var best = 0
-      var bd = Double.MaxValue
-      var j = 0
-      while (j < k1) {
-        var d = 0.0
-        var t = 0
-        val c = centers(j)
-        val p = pts(fi)
-        while (t < dim) { val x = p(t) - c(t); d += x * x; t += 1 }
-        if (d < bd) { bd = d; best = j }
-        j += 1
+    val assign = new Array[Int](n)
+    java.util.stream.IntStream.range(0, n).parallel()
+      .forEach(i => assign(i) = nearest(all(ptIdx(i))))
+    val buf = Array.fill(g)(new scala.collection.mutable.ArrayBuilder.ofInt)
+    var i3 = 0
+    while (i3 < n) { buf(assign(i3)) += ptIdx(i3); i3 += 1 }
+    Array.tabulate(g)(j => (centers(j), buf(j).result()))
+  }
+
+  private final case class HNode(
+      center: Array[Double], kids: Array[HNode], fine: Array[Int])
+
+  /** Driver-side recursive grouping of the k fine centroids (k points —
+    * trivial next to the distributed fit) into the uniform-depth
+    * routing tree [[IvfHierarchy]] rides: L = ceil(log₂₅₆ k) levels,
+    * fanout f = ceil(k^(1/L)) per split, [[lloydSplit]] at every node
+    * (cost O(L·k·f·dim) total — the sample cap bounds each node's
+    * iterative fit). For k ≤ 65536 this is exactly the round-11
+    * two-level build: one split at fanout ceil(√k), full-point Lloyd.
+    * Empty Lloyd groups are dropped (a probe slot spent on an empty
+    * cell is a wasted slot). Level gids are assigned breadth-first, so
+    * each level frame's gid space is dense and the next level keys
+    * into it.
+    */
+  private[graft] def hierarchyOf(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[(Int, Array[Double])],
+      nCoarseProbe: Int): IvfHierarchy = {
+    val k = centroids.length
+    val pts = centroids.map(_._2)
+    val nLevels = math.max(2, math.ceil(
+      math.log(k.toDouble) / math.log(MaxLiteralCells.toDouble) - 1e-9).toInt)
+    val fanout = math.max(2, math.ceil(
+      math.pow(k.toDouble, 1.0 / nLevels) - 1e-9).toInt)
+    def build(ptIdx: Array[Int], splitsLeft: Int): Array[HNode] =
+      lloydSplit(pts, ptIdx, fanout).flatMap { case (ctr, members) =>
+        if (members.isEmpty) None
+        else if (splitsLeft == 1) Some(HNode(ctr, Array.empty, members))
+        else Some(HNode(ctr, build(members, splitsLeft - 1), Array.empty))
       }
-      assign(fi) = best
-      fi += 1
+    val roots = build(Array.tabulate(k)(identity), nLevels - 1)
+    val coarse = roots.zipWithIndex.map { case (nd, g) => (g, nd.center) }
+    val levelRows = scala.collection.mutable.ArrayBuffer.empty[Seq[CoarseGroup]]
+    var frontier: Array[(Int, HNode)] =
+      roots.zipWithIndex.map { case (nd, g) => (g, nd) }
+    while (frontier.nonEmpty) {
+      if (frontier.head._2.kids.isEmpty) {
+        levelRows += frontier.toSeq.map { case (gid, nd) =>
+          CoarseGroup(gid, nd.fine.toSeq.map(i =>
+            SubCentroid(centroids(i)._1, centroids(i)._2.toSeq)))
+        }
+        frontier = Array.empty
+      } else {
+        val next = scala.collection.mutable.ArrayBuffer.empty[(Int, HNode)]
+        levelRows += frontier.toSeq.map { case (gid, nd) =>
+          CoarseGroup(gid, nd.kids.toSeq.map { c =>
+            val g2 = next.length
+            next += ((g2, c))
+            SubCentroid(g2, c.center.toSeq)
+          })
+        }
+        frontier = next.toArray
+      }
     }
-    val coarse = centers.zipWithIndex.map { case (c, g) => (g, c) }
-    val subRows = (0 until k1).map { g =>
-      CoarseGroup(g, (0 until k).filter(assign(_) == g)
-        .map(i => SubCentroid(centroids(i)._1, centroids(i)._2.toSeq)))
-    }
-    IvfHierarchy(coarse, spark.createDataFrame(subRows),
-      math.min(nCoarseProbe, k1))
+    IvfHierarchy(coarse, levelRows.toSeq.map(spark.createDataFrame(_)),
+      math.min(nCoarseProbe, coarse.length))
   }
 
   /** One-call IVF ANN for the catalog: builds (or reuses — indexes are

@@ -207,6 +207,87 @@ class SimilaritySpec extends SparkSpec {
     idx.release()
   }
 
+  test("L=3 hierarchy (k > 65536): recursion partitions the fine cells, " +
+      "engine routing equals a driver-side replay, and exact-centroid " +
+      "queries route home") {
+    // 70000 fine centroids — past the old two-level 65536 ceiling — on
+    // an injective integer lattice (deterministic, duplicate-free, and
+    // clustered enough that routing has real structure to latch onto)
+    val k = 70000
+    def cent(i: Int): Array[Double] = Array(
+      (i % 40).toDouble, ((i / 40) % 40).toDouble,
+      ((i / 1600) % 40).toDouble, (i / 64000).toDouble * 40.0)
+    val cents: Array[(Int, Array[Double])] =
+      Array.tabulate(k)(i => (i, cent(i)))
+    // corpus: 300 vectors exactly AT spread-out fine centroids (true
+    // argmin is known: distance 0, unique — no duplicate centroids)
+    // plus 200 off-lattice midpoints
+    val homes = (0 until 300).map(j => (j * 233) % k)
+    val rows: Seq[(Long, Array[Double])] =
+      homes.zipWithIndex.map { case (h, j) => (j.toLong, cent(h)) } ++
+        (0 until 200).map(j => (300L + j,
+          cent((j * 991) % k).map(_ + 0.5)))
+    val df = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfFromCentroids(df, "vec_id", "embedding", cents)
+    val h = idx.hierarchy.get
+    // STRUCTURE: three levels (literal root + 2 attached), root within
+    // the literal cap, interior gids dense and consistent, and the
+    // fine level a PARTITION of all 70000 cells
+    assert(h.levels.length == 2, s"expected L=3, got ${h.levels.length + 1}")
+    assert(h.coarse.length <= Similarity.MaxLiteralCells)
+    val interiorKids = h.levels.head.select(explode(col("subs")).as("s"))
+      .select(col("s.cid")).as[Int].collect().sorted.toSeq
+    val leafGids = h.levels.last.select(col("gid")).as[Int].collect()
+      .sorted.toSeq
+    assert(interiorKids == leafGids,
+      "interior child gids must key the leaf level exactly once each")
+    val fine = h.levels.last.select(explode(col("subs")).as("s"))
+      .select(col("s.cid")).as[Int].collect()
+    assert(fine.sorted.toSeq == (0 until k),
+      "fine level must partition all 70000 cells")
+    // REPLAY: the engine's routed single-probe assignment must equal a
+    // driver-side replay of the same tree (same probe widths, same
+    // (d, cid) tie rule) — pins the broadcast attach + kernel plumbing
+    // exactly; the routing POLICY approximation is shared by both
+    val lvl: Seq[Map[Int, Array[(Int, Array[Double])]]] = h.levels.map(
+      _.select(col("gid"), col("subs"))
+        .as[(Int, Seq[(Int, Seq[Double])])].collect()
+        .map { case (g, ss) =>
+          g -> ss.map { case (c, v) => (c, v.toArray) }.toArray }
+        .toMap)
+    def rank(cands: Seq[(Int, Array[Double])], v: Array[Double], p: Int) =
+      cands.map { case (cid, c) =>
+        var d = 0.0
+        var t = 0
+        while (t < v.length) { val x = v(t) - c(t); d += x * x; t += 1 }
+        (d, cid)
+      }.sorted.take(p).map(_._2)
+    def route(v: Array[Double]): Int = {
+      var gids = rank(h.coarse.map { case (g, c) => (g, c) }.toSeq,
+        v, h.nCoarseProbe)
+      for ((level, li) <- lvl.zipWithIndex) {
+        val attached = gids.flatMap(g =>
+          level.getOrElse(g, Array.empty[(Int, Array[Double])]).toSeq)
+        gids = rank(attached, v,
+          if (li == lvl.length - 1) 1 else h.nCoarseProbe)
+      }
+      gids.head
+    }
+    val got = idx.assigned.select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == rows.size)
+    rows.foreach { case (id, v) =>
+      assert(got(id) == route(v), s"engine vs replay diverged on row $id")
+    }
+    // exact-centroid queries: distance-0 argmin; the routed result must
+    // find the home cell for the overwhelming majority (level-probe
+    // boundary misses are the documented IMI trade)
+    val home = homes.zipWithIndex.count { case (hc, j) => got(j.toLong) == hc }
+    assert(home.toDouble / homes.size >= 0.8,
+      s"only $home/${homes.size} exact-centroid queries routed home")
+    idx.release()
+  }
+
   test("native nearestCells kernel is bit-identical to the HOF reference " +
       "(incl. distance ties and nProbe > k)") {
     val crng = new scala.util.Random(11)
