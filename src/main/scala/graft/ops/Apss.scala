@@ -325,16 +325,32 @@ object Apss {
     * per-candidate hot kernel, O(|a|+|b|) (see
     * [[graft.functions.SetSimilarity.sparseDotSorted]]).
     */
+  private def dimTypeOf(pv: DataFrame): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    pv.schema("m").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("dim").dataType
+  }
+
   private def verify(
       candidates: DataFrame,
       left: DataFrame,
       right: DataFrame,
+      threshold: Double): DataFrame =
+    verifyShaped(candidates, left,
+      right.select(col("id").as("id_b"), col("m").as("mb")),
+      dimTypeOf(left), threshold)
+
+  /** [[verify]] against an already-shaped (id_b, mb) right side — the
+    * seam that lets [[verifyAuto]]'s sequential shards share ONE
+    * hash-partitioned checkpoint of the right vectors instead of
+    * re-shuffling them per pass.
+    */
+  private def verifyShaped(
+      candidates: DataFrame,
+      left: DataFrame,
+      rightShaped: DataFrame,
+      dimType: org.apache.spark.sql.types.DataType,
       threshold: Double): DataFrame = {
-    val dimType = {
-      import org.apache.spark.sql.types.{ArrayType, StructType}
-      left.schema("m").dataType.asInstanceOf[ArrayType]
-        .elementType.asInstanceOf[StructType]("dim").dataType
-    }
     // shuffle_hash on the vector side: a sort-merge attach would SORT
     // the candidate stream again after each join — and after the first
     // join every row carries a full dim-sorted vector, so that second
@@ -344,8 +360,7 @@ object Apss {
     candidates
       .join(left.select(col("id").as("id_a"), col("m").as("ma"))
         .hint("shuffle_hash"), "id_a")
-      .join(right.select(col("id").as("id_b"), col("m").as("mb"))
-        .hint("shuffle_hash"), "id_b")
+      .join(rightShaped.hint("shuffle_hash"), "id_b")
       .withColumn("sim",
         graft.functions.SetSimilarity.sparseDotSorted(
           col("ma"), col("mb"), dimType))
@@ -376,10 +391,14 @@ object Apss {
     * writes: peak verify scratch drops from total to ~total/k, the
     * within-one-stage form of the max-over-phases periodic-GC win.
     * The left (id_a) vector side pre-filters to the shard's ids; the
-    * right side re-shuffles per pass — k·|corpus| vector rows moved
-    * cumulatively, sequential and reaped, traded for the 1/k peak.
-    * Union of shards == the unsharded pair set (hash-partition of a
-    * distinct id_a key space).
+    * right side hash-partitions on id_b ONCE into an eager local
+    * checkpoint (LogicalRDD preserves outputPartitioning, so every
+    * pass's shuffle-hash join reads it exchange-free) — 1×|corpus|
+    * vector rows moved + k cached reads, where round 11 re-shuffled
+    * k·|corpus| rows cumulatively. Both staging handles release as
+    * soon as the last pass's output materializes. Union of shards ==
+    * the unsharded pair set (hash-partition of a distinct id_a key
+    * space).
     */
   private def verifyAuto(
       candidates: DataFrame,
@@ -395,14 +414,32 @@ object Apss {
       val k = math.ceil(n.toDouble / pairsPerShard).toInt
       if (k <= 1) verify(staged, left, right, threshold)
       else {
+        val nPart = right.sparkSession.sessionState.conf.numShufflePartitions
+        // the checkpoint IS hash-partitioned (explicit-n repartition,
+        // partition-preserving snapshot) but AQE loses the metadata —
+        // re-declare it so every pass's join reads the blocks in place
+        // (ApssSpec pins the exchange-free plan)
+        val rightCkpt = right
+          .select(col("id").as("id_b"), col("m").as("mb"))
+          .repartition(nPart, col("id_b"))
+          .localCheckpoint()
+        val rightShaped = org.apache.spark.sql.classic.GraftColumnBridge
+          .declareHashPartitioned(rightCkpt, nPart, "id_b")
+        val dimType = dimTypeOf(left)
         val parts = (0 until k).map { shard =>
           val cond = pmod(xxhash64(col("id_a")), lit(k)) === shard
-          verify(
+          verifyShaped(
             staged.where(cond),
             left.where(pmod(xxhash64(col("id")), lit(k)) === shard),
-            right, threshold)
+            rightShaped, dimType, threshold)
             .localCheckpoint()
         }
+        // every pass's output is materialized — the shared right-side
+        // checkpoint and the candidate staging are dead weight now
+        org.apache.spark.sql.classic.GraftColumnBridge
+          .unpersistLocalCheckpoint(rightCkpt)
+        org.apache.spark.sql.classic.GraftColumnBridge
+          .unpersistLocalCheckpoint(staged)
         parts.reduce(_ union _)
       }
     }

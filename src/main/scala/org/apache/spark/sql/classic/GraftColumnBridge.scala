@@ -44,6 +44,41 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** Rebuild a local-checkpoint DataFrame with its hash partitioning
+    * DECLARED. Under AQE `Dataset.localCheckpoint` captures
+    * `UnknownPartitioning` (the adaptive root's partitioning is not
+    * final when the checkpoint snapshots it), so every consumer
+    * re-shuffles a frame that is already hash-partitioned — exactly
+    * the k·|corpus| re-exchange Apss.verifyAuto's sequential shards
+    * must not pay. The checkpointed RDD's layout is the caller's
+    * INVARIANT to uphold: the checkpoint must have been taken directly
+    * on a `repartition(numPartitions, keys…)` result (explicit
+    * numPartitions — AQE never coalesces REPARTITION_BY_NUM shuffles,
+    * and the checkpoint's map(_.copy()) is partition-preserving), with
+    * the same key columns in the same order. Declaring a partitioning
+    * the rows do not have silently mis-joins; there is no runtime
+    * check possible here. Non-checkpoint roots pass through unchanged.
+    */
+  def declareHashPartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      numPartitions: Int,
+      keys: String*): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $k not in checkpoint output ${lr.output.map(_.name)}")))
+        val session = df.sparkSession.asInstanceOf[SparkSession]
+        Dataset.ofRows(session,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd,
+            org.apache.spark.sql.catalyst.plans.physical
+              .HashPartitioning(attrs, numPartitions),
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            session, None, None))
+      case _ => df
+    }
+
   /** Register a function into an ALREADY-RUNNING session's registry —
     * the live-session counterpart of `SparkSessionExtensions
     * .injectFunction` (which only applies at session build time).

@@ -329,4 +329,38 @@ class ApssSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == want, s"missed=${want diff got} extra=${got diff want}")
   }
+
+  test("sharded-verify right side: a hash-partitioned local checkpoint " +
+      "joins exchange-free (the k-pass reuse mechanism)") {
+    // verifyAuto checkpoints the right vector side repartitioned on
+    // id_b once and expects every sequential pass's shuffle-hash join
+    // to read it in place. AQE loses the checkpoint's partitioning
+    // (captures UnknownPartitioning), so the bridge re-declares it;
+    // pin BOTH the plan contract (exactly ONE exchange — the probe
+    // side; none above the checkpointed build side) and the join's
+    // correctness against the undeclared frame.
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ckpt = spark.range(1000)
+      .select(col("id").as("id_b"), (col("id") * 2).as("mb"))
+      .repartition(n, col("id_b")).localCheckpoint()
+    val right = org.apache.spark.sql.classic.GraftColumnBridge
+      .declareHashPartitioned(ckpt, n, "id_b")
+    val cands = spark.range(500).select((col("id") + 1).as("id_b"))
+    val joined = cands.join(right.hint("shuffle_hash"), "id_b")
+    val got = joined.collect().map(_.toSeq).toSet
+    val want = cands.join(ckpt.hint("shuffle_hash"), "id_b")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "declared-partitioning join changed results")
+    assert(got.size == 500)
+    val plan = (joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 exchange (probe side only), got $exchanges:\n$plan")
+    org.apache.spark.sql.classic.GraftColumnBridge
+      .unpersistLocalCheckpoint(ckpt)
+  }
 }
