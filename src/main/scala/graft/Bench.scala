@@ -153,6 +153,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(100).groupBy(org.apache.spark.sql.functions.col("id") % 7)
       .count().collect()
+    // Warm the PAGE CACHE for the media queries: their work is
+    // sub-second, so a cold read of the binary media column swings the
+    // measurement 0.75–3.7s (round 12's only false regression flag was
+    // q56's cold/warm bimodality, reproduced on both codebases in
+    // tools/bench_ab_r12.txt). One unmeasured pass pins them warm like
+    // every other query's first-of-three effectively is.
+    Seq("q35_media_meta", "q36_media_features",
+        "q56_media_decode", "q58_audio_decode")
+      .filter(sweep.contains).foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        }
+      }
     // per-pass telemetry: loadavg at every pass boundary plus the
     // JVM's cumulative GC time sliced per pass, so a judge can read
     // the run story (ambient drift, GC debt) from the artifact alone.
@@ -165,7 +178,10 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    val passLoads = scala.collection.mutable.ArrayBuffer[Double](loadavg())
+    // exactly `passes` entries, one per pass END — same framing as
+    // gc_ms_passes, so zipping the two arrays aligns; the pre-sweep
+    // ambient reading is already loadavg_start
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passGcMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var gcMark = gcMs()
     // passes interleave full sweeps (not per-query repeats) so repeat
@@ -212,6 +228,15 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) r3(v) else -1.0) }
       .mkString("{", ",", "}")
+    // per-pass raw times per query, in pass order — the medians above
+    // are the headline, but a reader judging one query's swing (q56's
+    // bimodality) needs the distribution, not a point estimate
+    val qsPasses = sweep
+      .filter(name => samples.exists(_._1 == name))
+      .map { name =>
+        "\"" + name + "\":" + samples.filter(_._1 == name)
+          .map(s => r3(s._2)).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => k }
     // ERROR GUARD, same contract as the load guard above: a sweep with
     // ANY errored query exits non-zero WITHOUT printing the result
@@ -232,7 +257,7 @@ object Bench {
     val loadEnd = loadavg()
     val passLoadsJson = passLoads.map(r3).mkString("[", ",", "]")
     val passGcJson = passGcMs.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_passes":$passLoadsJson,"gc_ms_passes":$passGcJson,"load_warning":$loadWarning}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_passes":$qsPasses,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_passes":$passLoadsJson,"gc_ms_passes":$passGcJson,"load_warning":$loadWarning}"""
     // sidecar copy: a fixed-size stdout tail capture can truncate the
     // line's head (BENCH_r09 shipped with parsed:null that way); the
     // file version survives regardless of window size. The sf tag in

@@ -380,6 +380,25 @@ object Apss {
     sys.env.get("GRAFT_APSS_VERIFY_SHARD_PAIRS").map(_.toLong)
       .getOrElse(32L * 1000 * 1000)
 
+  /** [[VerifyPairsPerShard]] is calibrated in PAIRS at 8-byte dims; the
+    * bound it really enforces is BYTES of vector-attach scratch per
+    * pass. Under the 128-bit gram key ([[graft.functions.Shingling
+    * .gramKey]] wide=true) every dim is a 32-char string — the 100×
+    * audit (`tools/check_sf10_r12.txt`) measured ~3× the verify bytes
+    * per pair, enough to pull the sharding threshold in by ~a decade
+    * (the wide one-pass configuration died by disk exactly where the
+    * 64-bit key fit). Scale the pair bound down ÷4 for string dims so
+    * flipping the width flag alone can never reinstate that death;
+    * explicit overrides (env or parameter) are scaled too, because the
+    * override is still a byte budget expressed in 8-byte-dim pairs.
+    */
+  private[graft] def widthScaledShardPairs(
+      pairs: Long, dimType: org.apache.spark.sql.types.DataType): Long =
+    dimType match {
+      case org.apache.spark.sql.types.StringType => math.max(1L, pairs / 4)
+      case _ => pairs
+    }
+
   /** [[verify]], sharded when the candidate stream is big enough to
     * out-spill a single pass: below [[VerifyPairsPerShard]] predicted
     * posting meetings this is exactly the lazy one-pass verify (the
@@ -406,14 +425,24 @@ object Apss {
       left: DataFrame,
       right: DataFrame,
       threshold: Double,
-      pairsPerShard: Long = VerifyPairsPerShard): DataFrame =
-    if (predicted <= pairsPerShard) verify(candidates, left, right, threshold)
+      pairsPerShard: Long = VerifyPairsPerShard): DataFrame = {
+    val shardPairs = widthScaledShardPairs(pairsPerShard, dimTypeOf(left))
+    if (predicted <= shardPairs) verify(candidates, left, right, threshold)
     else {
       val staged = candidates.localCheckpoint()
       val n = staged.count()
-      val k = math.ceil(n.toDouble / pairsPerShard).toInt
-      if (k <= 1) verify(staged, left, right, threshold)
-      else {
+      val k = math.ceil(n.toDouble / shardPairs).toInt
+      if (k <= 1) {
+        // mirror the sharded branch's lifecycle: materialize the
+        // (output-sized) verify result eagerly, then free the staged
+        // candidates — lazily they'd pin MEMORY_AND_DISK blocks until
+        // driver GC + ContextCleaner, the starvation pattern
+        // unpersistLocalCheckpoint exists to prevent
+        val out = verify(staged, left, right, threshold).localCheckpoint()
+        org.apache.spark.sql.classic.GraftColumnBridge
+          .unpersistLocalCheckpoint(staged)
+        out
+      } else {
         val nPart = right.sparkSession.sessionState.conf.numShufflePartitions
         // the checkpoint IS hash-partitioned (explicit-n repartition,
         // partition-preserving snapshot) but AQE loses the metadata —
@@ -443,6 +472,7 @@ object Apss {
         parts.reduce(_ union _)
       }
     }
+  }
 
   /** Predicted posting-meeting volume above which [[pairsAuto]] shards
     * CANDIDATE GENERATION itself into sequential passes. [[verifyAuto]]

@@ -41,7 +41,9 @@ object WideKeyAudit {
         graft.queries.Queries.apssTfidf(spark, sfDir, wideGramKeys = false) }
       val (wide, tw) = timed("q63 gramKey=128-bit") {
         graft.queries.Queries.apssTfidf(spark, sfDir, wideGramKeys = true) }
-      assert(narrow.toSeq == wide.toSeq,
+      // explicit error, not Scala assert: the equality gate is the
+      // tool's whole point and must survive -Xdisable-assertions
+      if (narrow.toSeq != wide.toSeq) sys.error(
         "q63 64- vs 128-bit gram keys DIVERGED — a hash collision " +
           "merged two grams' postings at this scale")
       println(f"[widekey] q63 hash-consistent; wide/narrow cost ${tw / tn}%.2fx")
@@ -53,7 +55,7 @@ object WideKeyAudit {
         .withColumnRenamed("id", "doc_id")
       val (narrow, tn) = timed("q83 gramKey=64-bit")(q83(wide = false))
       val (wide, tw) = timed("q83 gramKey=128-bit")(q83(wide = true))
-      assert(narrow.toSeq == wide.toSeq,
+      if (narrow.toSeq != wide.toSeq) sys.error(
         "q83 64- vs 128-bit gram keys DIVERGED — a hash collision " +
           "created a false excision span at this scale")
       println(f"[widekey] q83 hash-consistent; wide/narrow cost ${tw / tn}%.2fx")

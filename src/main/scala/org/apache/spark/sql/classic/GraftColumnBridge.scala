@@ -56,8 +56,11 @@ object GraftColumnBridge {
     * numPartitions — AQE never coalesces REPARTITION_BY_NUM shuffles,
     * and the checkpoint's map(_.copy()) is partition-preserving), with
     * the same key columns in the same order. Declaring a partitioning
-    * the rows do not have silently mis-joins; there is no runtime
-    * check possible here. Non-checkpoint roots pass through unchanged.
+    * the rows do not have silently mis-joins; the hash LAYOUT is not
+    * runtime-checkable, but the partition COUNT is — so count drift
+    * (e.g. a future AQE behavior change coalescing the repartition)
+    * fails fast here instead of corrupting joins. Non-checkpoint roots
+    * pass through unchanged.
     */
   def declareHashPartitioned(
       df: org.apache.spark.sql.DataFrame,
@@ -65,6 +68,12 @@ object GraftColumnBridge {
       keys: String*): org.apache.spark.sql.DataFrame =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        require(lr.rdd.getNumPartitions == numPartitions,
+          s"checkpoint has ${lr.rdd.getNumPartitions} partitions but the " +
+            s"caller declares HashPartitioning over $numPartitions — the " +
+            "layout invariant (checkpoint taken directly on a " +
+            "repartition(n, keys…) result) does not hold; declaring it " +
+            "anyway would silently mis-join")
         val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
           throw new IllegalArgumentException(
             s"column $k not in checkpoint output ${lr.output.map(_.name)}")))

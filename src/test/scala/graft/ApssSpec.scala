@@ -288,6 +288,62 @@ class ApssSpec extends SparkSpec {
     assert(got == want, s"missed=${want diff got} extra=${got diff want}")
   }
 
+  test("128-bit (string) gram keys auto-scale the verify-shard bound " +
+      "(the q63-wide 100x disk-death configuration now shards itself)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // the knob is a byte budget expressed in 8-byte-dim PAIRS: string
+    // dims attach ~3x the bytes per pair (measured, check_sf10_r12),
+    // so the same setting must hold ~4x fewer pairs — flipping the
+    // width flag alone can never reinstate the one-pass death
+    assert(Apss.widthScaledShardPairs(32000000L, LongType) == 32000000L)
+    assert(Apss.widthScaledShardPairs(32000000L, IntegerType) == 32000000L)
+    assert(Apss.widthScaledShardPairs(32000000L, StringType) == 8000000L)
+    assert(Apss.widthScaledShardPairs(2L, StringType) == 1L) // never 0
+    // end-to-end: a string-dim corpus under a bound the scaling pulls
+    // into the sharded regime still gives the exact brute-force pair
+    // set (union-of-shards == one-pass, now exercised at string width)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(91)
+    val corpus = (0L until 80L).map { i =>
+      val ds = rnd.shuffle(words).take(1 + rnd.nextInt(6))
+      (i, ds.sorted.map(w => (w, rnd.nextGaussian())))
+    }
+    def cosStr(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.iterator.map { case (d, w) => w * b.getOrElse(d, 0.0) }.sum
+      val na = math.sqrt(a.values.map(w => w * w).sum)
+      val nb = math.sqrt(b.values.map(w => w * w).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val maps = corpus.map { case (i, ts) => i -> ts.toMap }.toMap
+    val want = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      s = cosStr(maps(a), maps(b)) if s >= 0.5
+    } yield (a, b)).toSet
+    val df = corpus.toDF("id", "terms").select(
+      col("id"),
+      col("terms").cast("array<struct<dim:string,w:double>>").as("terms"))
+    val got = Apss.cosinePairs(df, "id", "terms", 0.5,
+      maxBroadcastDims = 0, verifyShardPairs = 40L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+  }
+
+  test("declareHashPartitioned fails fast on a partition-count mismatch " +
+      "instead of silently mis-joining") {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ckpt = spark.range(100)
+      .select(col("id").as("id_b"), (col("id") * 2).as("mb"))
+      .repartition(n, col("id_b")).localCheckpoint()
+    try {
+      assertThrows[IllegalArgumentException] {
+        org.apache.spark.sql.classic.GraftColumnBridge
+          .declareHashPartitioned(ckpt, n + 1, "id_b")
+      }
+    } finally org.apache.spark.sql.classic.GraftColumnBridge
+      .unpersistLocalCheckpoint(ckpt)
+  }
+
   test("zero-norm vectors are excluded, not crashed on") {
     val df = Seq(
       (1L, Seq((1, 1.0), (2, 1.0))),
