@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Nearest-centroid selection as native codegen kernels — the IVF /
   * SemDeDup assignment hot path ([[graft.ops.Similarity.IvfIndex
@@ -149,6 +150,57 @@ object VectorQuant {
       copy(child = c)
   }
 
+  /** [[nearestSubCellsImpl]] but returning `(d, cid)` structs ascending
+    * instead of bare cids — the KEYED level attach ranks each probed
+    * group's candidates independently and must merge across groups by
+    * distance afterwards, which the cid-only form cannot do. Same
+    * selection, same (d², cid) tie rule.
+    */
+  def nearestSubCellsWithDistImpl(
+      vec: ArrayData, subs: ArrayData, nProbe: Int): ArrayData = {
+    val k = subs.numElements()
+    val m = if (nProbe < k) nProbe else k
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val bd = new Array[Double](m)
+    val bc = new Array[Int](m)
+    var filled = 0
+    val n = vec.numElements()
+    var i = 0
+    while (i < k) {
+      val s = subs.getStruct(i, 2)
+      val c = s.getArray(1)
+      var d = 0.0
+      if (n != c.numElements()) d = Double.MaxValue
+      else {
+        var t = 0
+        while (t < n) { val x = vec.getDouble(t) - c.getDouble(t); d += x * x; t += 1 }
+      }
+      filled = insertSel(bd, bc, filled, d, s.getInt(0))
+      i += 1
+    }
+    new GenericArrayData(
+      Array.tabulate[Any](filled)(j => InternalRow(bd(j), bc(j))))
+  }
+
+  case class NearestSubCellsWithDist(
+      left: Expression, right: Expression, nProbe: Int)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("d", DoubleType, nullable = false),
+        StructField("cid", IntegerType, nullable = false))),
+      containsNull = false)
+    override protected def nullSafeEval(v: Any, s: Any): Any =
+      nearestSubCellsWithDistImpl(
+        v.asInstanceOf[ArrayData], s.asInstanceOf[ArrayData], nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, s) =>
+        s"graft.functions.VectorQuant.nearestSubCellsWithDistImpl($v, $s, $nProbe)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   case class NearestSubCells(left: Expression, right: Expression, nProbe: Int)
       extends BinaryExpression {
     override def nullIntolerant: Boolean = true
@@ -228,5 +280,13 @@ object VectorQuant {
     */
   def nearestSubCells(vec: Column, subs: Column, nProbe: Int): Column =
     GraftColumnBridge.column(NearestSubCells(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(subs), nProbe))
+
+  /** [[nearestSubCells]] with distances: `array<struct<d:double,
+    * cid:int>>` ascending by (d, cid) — for cross-group merging in the
+    * keyed level attach.
+    */
+  def nearestSubCellsWithDist(vec: Column, subs: Column, nProbe: Int): Column =
+    GraftColumnBridge.column(NearestSubCellsWithDist(
       GraftColumnBridge.expression(vec), GraftColumnBridge.expression(subs), nProbe))
 }

@@ -766,10 +766,12 @@ object Dedup {
     // recursive keyed centroid attach: L = ceil(log256 k) routing
     // levels), so occupancy scaling is UNBOUNDED by the quantizer —
     // two levels to 65k cells (~134M vectors), three to 16.7M cells
-    // (~34B vectors). The binding constants past that are the fine
-    // level's broadcast bytes (see MaxLiteralCells' scaladoc) and the
-    // distributed k-means fit itself, both resource envelopes rather
-    // than hardcoded caps.
+    // (~34B vectors). A level whose centroid payload outgrows the
+    // broadcast byte budget (Similarity.LevelBroadcastBytesKey,
+    // default 2 GiB) attaches by keyed shuffle automatically — no
+    // broadcast envelope remains; the binding constant past ~1B
+    // vectors is the distributed k-means fit itself, a resource
+    // envelope rather than a hardcoded cap.
     val k =
       if (nLists > 0) nLists
       else math.min(Int.MaxValue.toLong,

@@ -130,14 +130,35 @@ object Similarity {
     * — see [[IvfHierarchy]]. The hierarchy RECURSES (L =
     * ceil(log₂₅₆ k) routing levels), so no cell-count ceiling remains:
     * 65k fine cells route in two levels, 16.7M in three, and the
-    * occupancy rule n/2048 is never the binding constant again. The
-    * remaining resource envelope is the FINE level's broadcast
-    * (k·dim·8 bytes — ~500k cells at dim 768 inside a 4 GB broadcast,
-    * ~4M at dim 128, i.e. ~1–8 BILLION vectors at n/2048); past that
-    * the fine attach would go keyed-shuffle instead of broadcast, a
-    * byte-budget trade, not a structural cap.
+    * occupancy rule n/2048 is never the binding constant again. Nor is
+    * the fine level's broadcast an envelope anymore: a level whose
+    * centroid payload exceeds [[LevelBroadcastBytesKey]]'s budget
+    * (default [[DefaultLevelBroadcastBytes]]) attaches by KEYED SHUFFLE
+    * instead of broadcast ([[keyedLevelAttach]]) — a byte-budget trade
+    * the engine now takes automatically rather than dying mid-job on a
+    * Spark broadcast error past ~500k cells at dim 768.
     */
   val MaxLiteralCells: Int = 256
+
+  /** Session conf key bounding the per-level BROADCAST payload of the
+    * hierarchical attach, in bytes. A routing level whose total
+    * centroid bytes ([[IvfHierarchy.levelBytes]]) stay within the
+    * budget broadcasts (one copy per executor, ReuseExchange-collapsed
+    * across probe slots — the fast path); past it the level attaches by
+    * keyed shuffle ([[keyedLevelAttach]]): same cells bit-for-bit, no
+    * multi-GB broadcast. Default 2 GiB — inside Spark's broadcast
+    * limits with headroom for the row overhead; settable per session
+    * (`spark.conf.set`) for audits and constrained executors.
+    */
+  val LevelBroadcastBytesKey = "graft.similarity.levelBroadcastBytes"
+
+  /** Default for [[LevelBroadcastBytesKey]]: 2 GiB. */
+  val DefaultLevelBroadcastBytes: Long = 2L << 30
+
+  private def levelBroadcastBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(LevelBroadcastBytesKey).map(_.toLong)
+      .getOrElse(DefaultLevelBroadcastBytes)
 
   /** Multi-level assignment for cell counts past [[MaxLiteralCells]]:
     * the fine centroids are grouped under a routing TREE with
@@ -155,12 +176,16 @@ object Similarity {
     * shape (root fanout ceil(√k), one attached level).
     *
     * `levels` holds the attached levels top→bottom, each a
-    * broadcastable (gid, subs: array<(cid, center)>) frame where cid
-    * is the NEXT level's gid — or the fine cell id at the last level.
-    * Identical level frames re-broadcast once per probe slot collapse
-    * under ReuseExchange. The fine level carries all k fine centroids
-    * (k·dim·8 bytes), which is the hierarchy's true resource envelope
-    * — see [[MaxLiteralCells]].
+    * (gid, subs: array<(cid, center)>) frame where cid is the NEXT
+    * level's gid — or the fine cell id at the last level. A level
+    * within the [[LevelBroadcastBytesKey]] byte budget attaches by
+    * broadcast (identical frames re-broadcast once per probe slot
+    * collapse under ReuseExchange); past the budget it attaches by
+    * keyed shuffle ([[keyedLevelAttach]]) — the fine level's
+    * k·dim·8-byte payload is a per-level routing decision now, not a
+    * broadcast envelope. `levelCentroids(li)` is level li's total
+    * centroid count and `dim` the shared dimension, recorded at build
+    * time so the decision costs no job.
     *
     * Approximation note: a vector's true nearest FINE centroid can sit
     * in a group some level's probe skipped (boundary effect — the same
@@ -177,12 +202,20 @@ object Similarity {
   final case class IvfHierarchy(
       coarse: Array[(Int, Array[Double])],
       levels: Seq[DataFrame],
-      nCoarseProbe: Int) {
+      nCoarseProbe: Int,
+      levelCentroids: Seq[Long],
+      dim: Int) {
     /** The FINE level — every leaf group's fine-centroid array
       * (`levels.last` by construction; the two-level accessor specs
       * inspect).
       */
     def subs: DataFrame = levels.last
+
+    /** Predicted broadcast payload of level `li`: total centroid count
+      * × per-centroid bytes (dim doubles + struct/array-header
+      * overhead) — what [[LevelBroadcastBytesKey]]'s budget gates.
+      */
+    def levelBytes(li: Int): Long = levelCentroids(li) * (dim.toLong * 8 + 32)
   }
 
   private[graft] final case class SubCentroid(cid: Int, c: Seq[Double])
@@ -200,48 +233,60 @@ object Similarity {
       assigned: DataFrame,
       hierarchy: Option[IvfHierarchy] = None) {
 
-    /** Adds `cells` — the ids of `vec`'s `nProbe` nearest cells,
+    /** Adds `cells` — the ids of `vecName`'s `nProbe` nearest cells,
       * ascending (distance², cid) — to `df`. Literal single-level path
-      * for k ≤ [[MaxLiteralCells]]; coarse-literal + broadcast
-      * sub-centroid attach past it.
+      * for k ≤ [[MaxLiteralCells]]; coarse-literal + per-level keyed
+      * sub-centroid attach past it (broadcast within the
+      * [[LevelBroadcastBytesKey]] byte budget, keyed shuffle beyond —
+      * same cells either way). `rowKey` must uniquely identify `df`'s
+      * rows — the keyed path regroups exploded probes by it; every
+      * production caller keys by its id column.
       */
     private[graft] def withCells(
-        df: DataFrame, vec: Column, nProbe: Int): DataFrame = hierarchy match {
+        df: DataFrame, vecName: String, nProbe: Int,
+        rowKey: Seq[String]): DataFrame = hierarchy match {
       case None =>
         // native codegen kernel — one primitive (k·dim) pass + bounded
         // insertion; semantics identical to the HOF reference
         // slice(sort_array(centroidDists))… (parity pinned in
         // SimilaritySpec — see [[graft.functions.VectorQuant]])
         df.withColumn("cells",
-          graft.functions.VectorQuant.nearestCells(vec, centroids, nProbe))
+          graft.functions.VectorQuant.nearestCells(
+            col(vecName), centroids, nProbe))
       case Some(h) =>
         // level-by-level routing: `_g` starts as the nCoarseProbe
         // nearest ROOT literals, then each attached level joins the
-        // probed groups' child arrays (broadcast, one left join per
-        // probe slot — ReuseExchange collapses the repeats) and the
+        // probed groups' child arrays (broadcast when the level fits
+        // the byte budget — one left join per probe slot, ReuseExchange
+        // collapses the repeats — else ONE keyed shuffle) and the
         // native kernel re-ranks; the last level emits the caller's
         // nProbe FINE cells, interior levels keep nCoarseProbe gids
         val subsType = "array<struct<cid:int,c:array<double>>>"
         val p = h.nCoarseProbe
+        val budget = levelBroadcastBytes(df.sparkSession)
         val probed = df.withColumn("_g",
-          graft.functions.VectorQuant.nearestCells(vec, h.coarse, p))
+          graft.functions.VectorQuant.nearestCells(col(vecName), h.coarse, p))
         val routed = h.levels.zipWithIndex.foldLeft(probed) {
           case (cur, (lvl, li)) =>
-            val joined = (0 until p).foldLeft(cur) { (acc, i) =>
-              acc.join(
-                broadcast(lvl.select(
-                  col("gid").as(s"_gid$i"), col("subs").as(s"_subs$i"))),
-                try_element_at(col("_g"), lit(i + 1)) === col(s"_gid$i"),
-                "left")
-            }
-            val allSubs = concat((0 until p).map(i =>
-              coalesce(col(s"_subs$i"), array().cast(subsType))): _*)
             val outProbe = if (li == h.levels.length - 1) nProbe else p
-            joined
-              .withColumn("_g",
-                graft.functions.VectorQuant.nearestSubCells(
-                  vec, allSubs, outProbe))
-              .drop((0 until p).flatMap(i => Seq(s"_gid$i", s"_subs$i")): _*)
+            if (h.levelBytes(li) > budget)
+              keyedLevelAttach(cur, lvl, vecName, rowKey, outProbe)
+            else {
+              val joined = (0 until p).foldLeft(cur) { (acc, i) =>
+                acc.join(
+                  broadcast(lvl.select(
+                    col("gid").as(s"_gid$i"), col("subs").as(s"_subs$i"))),
+                  try_element_at(col("_g"), lit(i + 1)) === col(s"_gid$i"),
+                  "left")
+              }
+              val allSubs = concat((0 until p).map(i =>
+                coalesce(col(s"_subs$i"), array().cast(subsType))): _*)
+              joined
+                .withColumn("_g",
+                  graft.functions.VectorQuant.nearestSubCells(
+                    col(vecName), allSubs, outProbe))
+                .drop((0 until p).flatMap(i => Seq(s"_gid$i", s"_subs$i")): _*)
+            }
         }
         routed.withColumn("cells", col("_g")).drop("_g")
     }
@@ -260,7 +305,7 @@ object Similarity {
         nProbe: Int = 4): DataFrame = {
       val q0 = queries.select(
         col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      val q = withCells(q0, col("qv"), nProbe)
+      val q = withCells(q0, "qv", nProbe, Seq("query_id"))
         .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
       assigned.join(broadcast(q), Seq("cell"))
@@ -283,10 +328,67 @@ object Similarity {
       * pair volume guards must run on THIS table, not on [[assigned]].
       */
     def multiAssigned(nProbe: Int): DataFrame =
-      withCells(assigned, col("cv"), nProbe)
+      withCells(assigned, "cv", nProbe, Seq("neighbor_id"))
         .select(explode(col("cells")).as("cell"), col("neighbor_id"), col("cv"))
 
     def release(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** The hierarchical attach for a level whose centroid payload exceeds
+    * the [[LevelBroadcastBytesKey]] broadcast budget (the SemDeDup
+    * 100-TB envelope — billions of vectors at n/2048 occupancy put the
+    * FINE level's k·dim·8 bytes past any sane broadcast): EXPLODE the
+    * row's probed gids, meet the level's (gid, subs) rows in a
+    * hash-partitioned equi-join on gid, rank each probed group's
+    * candidates locally with the distance-carrying kernel, then regroup
+    * by the caller's row key and keep the global top `outProbe` by
+    * (d², cid). Bit-identical to the broadcast path: per-group
+    * top-outProbe retains every global top-outProbe member (each global
+    * winner ranks ≤ outProbe within its own group), the merge sorts by
+    * the same (d², cid) rule, and probed groups hold disjoint cid sets
+    * — pinned against the broadcast path in SimilaritySpec. Cost shape:
+    * the exploded (rowKey, vec, gid) stream shuffles once by gid and
+    * once by rowKey for the regroup — narrow rows (the carried columns
+    * ride as one struct), no per-executor level copy, no 4 GB broadcast
+    * block. Reference analog: every LUT attach in the reference is a
+    * keyed probe (`search/doc_merger.js:12-28`); this is the same move
+    * at quantizer scale.
+    */
+  private def keyedLevelAttach(
+      cur: DataFrame, lvl: DataFrame, vecName: String,
+      rowKey: Seq[String], outProbe: Int): DataFrame = {
+    val carry = cur.columns.toSeq
+      .filterNot(c => rowKey.contains(c) || c == "_g" || c == vecName)
+    val carrySel: Seq[Column] =
+      if (carry.isEmpty) Nil else Seq(struct(carry.map(col): _*).as("_carry"))
+    val exploded = cur.select(
+      rowKey.map(col) ++ carrySel ++ Seq(
+        col(vecName).as("_v"),
+        explode(col("_g")).as("_lgid")): _*)
+    val cands = exploded
+      .join(
+        lvl.select(col("gid").as("_lgid"), col("subs").as("_subs"))
+          .hint("shuffle_hash"),
+        Seq("_lgid"))
+      .select(
+        rowKey.map(col) ++ carrySel.map(_ => col("_carry")) ++ Seq(
+          col("_v"),
+          graft.functions.VectorQuant.nearestSubCellsWithDist(
+            col("_v"), col("_subs"), outProbe).as("_cand")): _*)
+    val aggs: Seq[Column] =
+      (if (carry.isEmpty) Nil else Seq(first(col("_carry")).as("_carry"))) ++
+        Seq(
+          first(col("_v")).as("_v"),
+          slice(array_sort(flatten(collect_list(col("_cand")))), 1, outProbe)
+            .as("_top"))
+    cands
+      .groupBy(rowKey.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        rowKey.map(col) ++
+          carry.map(c => col("_carry").getField(c).as(c)) ++ Seq(
+            col("_v").as(vecName),
+            transform(col("_top"), t => t.getField("cid")).as("_g")): _*)
   }
 
   /** (distance², centroid id) structs for every cell — the broadcast
@@ -390,7 +492,7 @@ object Similarity {
       if (sel0.queryExecution.toRdd.getNumPartitions >= target) sel0
       else sel0.repartition(target)
     val assigned = IvfIndex(centroids, sel, hierarchy)
-      .withCells(sel, col("cv"), 1)
+      .withCells(sel, "cv", 1, Seq("neighbor_id"))
       .select(element_at(col("cells"), 1).as("cell"),
         col("neighbor_id"), col("cv"))
       .persist()
@@ -540,8 +642,11 @@ object Similarity {
         frontier = next.toArray
       }
     }
-    IvfHierarchy(coarse, levelRows.toSeq.map(spark.createDataFrame(_)),
-      math.min(nCoarseProbe, coarse.length))
+    val levelSeq = levelRows.toSeq
+    IvfHierarchy(coarse, levelSeq.map(spark.createDataFrame(_)),
+      math.min(nCoarseProbe, coarse.length),
+      levelSeq.map(_.map(_.subs.length.toLong).sum),
+      pts(0).length)
   }
 
   /** One-call IVF ANN for the catalog: builds (or reuses — indexes are

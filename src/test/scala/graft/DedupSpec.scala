@@ -259,6 +259,29 @@ class DedupSpec extends SparkSpec {
       assert(sem.contains((i, 400L + i)), s"missed exact duplicate $i"))
   }
 
+  test("semanticNearDup under a tiny level-broadcast budget (forced keyed " +
+      "fine attach, the 100-TB reroute) returns the exact same pairs") {
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val vecs = (0L until 400L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    val dups = (0L until 5L).map(i => (400L + i, vecs(i.toInt)._2))
+    val df = (vecs ++ dups).toDF("vec_id", "embedding")
+    val want = Dedup.semanticNearDup(df, "vec_id", "embedding", 0.8,
+      nLists = 300).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    spark.conf.set(graft.ops.Similarity.LevelBroadcastBytesKey, "1")
+    try {
+      // where(lit(true)) changes the plan's semantic hash, so the
+      // keyed run builds a FRESH index (fit + assignment + multi-probe
+      // all through keyedLevelAttach) instead of hitting the cache
+      val got = Dedup.semanticNearDup(df.where(lit(true)), "vec_id",
+        "embedding", 0.8, nLists = 300)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want,
+        s"missed=${want diff got} extra=${got diff want}")
+    } finally spark.conf.unset(graft.ops.Similarity.LevelBroadcastBytesKey)
+  }
+
   test("semanticNearDup seedQuantizer (q84b): engine pairs equal the " +
       "driver-side portable replay") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -207,6 +207,45 @@ class SimilaritySpec extends SparkSpec {
     idx.release()
   }
 
+  test("level past the broadcast byte budget attaches by KEYED SHUFFLE: " +
+      "cells bit-identical to the broadcast attach, no broadcast join") {
+    val crng = new scala.util.Random(7)
+    val cents: Array[(Int, Array[Double])] =
+      Array.tabulate(300)(i => (i, Array.fill(dim)(crng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    // broadcast-attach reference (default budget, 300 cells ≪ 2 GiB)
+    val bIdx = Similarity.ivfFromCentroids(df, "vec_id", "embedding", cents)
+    val want1 = bIdx.assigned.select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val want2 = bIdx.multiAssigned(2).select("neighbor_id", "cell")
+      .as[(Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    bIdx.release()
+    // a 1-byte budget forces EVERY level through the keyed attach
+    spark.conf.set(Similarity.LevelBroadcastBytesKey, "1")
+    try {
+      val kIdx = Similarity.ivfFromCentroids(df, "vec_id", "embedding", cents)
+      val got1 = kIdx.assigned.select("neighbor_id", "cell")
+        .as[(Long, Int)].collect().toMap
+      assert(got1 == want1, "single-probe assignment diverged under keyed attach")
+      val multi = kIdx.multiAssigned(2)
+      val got2 = multi.select("neighbor_id", "cell")
+        .as[(Long, Int)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      assert(got2 == want2, "multi-probe assignment diverged under keyed attach")
+      // structural pin: the keyed path plans a shuffled hash join and
+      // leaves NO broadcast join anywhere (that is its whole point)
+      val plan = (multi.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(800))
+      assert(plan.contains("ShuffledHashJoin"), plan.take(800))
+      kIdx.release()
+    } finally spark.conf.unset(Similarity.LevelBroadcastBytesKey)
+  }
+
   test("L=3 hierarchy (k > 65536): recursion partitions the fine cells, " +
       "engine routing equals a driver-side replay, and exact-centroid " +
       "queries route home") {
