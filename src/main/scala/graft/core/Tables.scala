@@ -48,7 +48,9 @@ object Tables {
     // the many-split layout a deployment would have.
     val target = spark.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes > (64L << 10) && df.rdd.getNumPartitions < target)
+    // toRdd, not .rdd: the partition-count probe must not compile a
+    // second Row-deserializing physical plan just to read a number
+    if (bytes > (64L << 10) && df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
     else df
   }

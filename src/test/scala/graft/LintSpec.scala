@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level pins for recurring plan hazards that code review caught
+  * twice and grep can catch forever. These are structural rules, not
+  * style: each encodes a measured failure mode.
+  */
+class LintSpec extends AnyFunSuite {
+
+  private def mainSources: Seq[(java.nio.file.Path, String)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+      w.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => (p, java.nio.file.Files.readString(p)))
+        .toList
+    }
+  }
+
+  /** Lines with line-comments stripped; scaladoc and import lines
+    * dropped (prose and `org.apache.spark.rdd.RDD` imports are not
+    * call sites).
+    */
+  private def codeLines(src: String): Seq[(Int, String)] =
+    src.linesIterator.zipWithIndex.map { case (l, i) =>
+      (i + 1, l.replaceAll("//.*$", ""))
+    }.filterNot { case (_, l) =>
+      val t = l.trim
+      t.startsWith("*") || t.startsWith("import ")
+    }.toSeq
+
+  test("no production path calls .rdd on a Dataset — a partition-count " +
+      "probe via .rdd compiles a SECOND Row-deserializing physical plan " +
+      "(measured on the 1000x audit); use queryExecution.toRdd") {
+    // the bridge's whole job is LogicalRDD.rdd (checkpoint lifecycle);
+    // dev tools may introspect however they like
+    val allow = Set("GraftColumnBridge.scala")
+    val rddRef = """\.rdd\b""".r
+    val hits = for {
+      (p, src) <- mainSources
+      if !allow.contains(p.getFileName.toString)
+      if !p.toString.contains("/tools/")
+      (ln, line) <- codeLines(src)
+      if rddRef.findFirstIn(line).isDefined
+    } yield s"$p:$ln: ${line.trim}"
+    assert(hits.isEmpty, "use queryExecution.toRdd instead:\n" + hits.mkString("\n"))
+  }
+
+  test("no ??? stubs anywhere in src/main") {
+    val hits = for {
+      (p, src) <- mainSources
+      (ln, line) <- codeLines(src)
+      if line.contains("???")
+    } yield s"$p:$ln"
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
+
+  test("no Scala assert gates in tools mains (compiled out under " +
+      "-Xdisable-assertions; audit gates must use explicit errors)") {
+    val assertCall = """(?<![.\w])assert\(""".r
+    val hits = for {
+      (p, src) <- mainSources
+      if p.toString.contains("/tools/")
+      (ln, line) <- codeLines(src)
+      if assertCall.findFirstIn(line).isDefined
+    } yield s"$p:$ln: ${line.trim}"
+    assert(hits.isEmpty,
+      "tools must gate with sys.error/require, not assert:\n" + hits.mkString("\n"))
+  }
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env bash
+# Code-attribution A/B bench: full sweeps of HEAD vs a baseline ref,
+# BACK-TO-BACK on the same box and the same data, so artifact drift
+# (machine window, driver-regenerated testdata) can't masquerade as a
+# code regression. Round 12 settled its 1.06x cross-round artifact
+# drift exactly this way (tools/bench_ab_r12.txt: HEAD 0.936x on fixed
+# data); this script makes the next drift question a command instead
+# of an archaeology project.
+#
+# Usage: tools/bench_ab.sh <baseline-ref> [sfDir] [passes]
+#   baseline-ref  git ref of the comparison code (e.g. a round tag/sha)
+#   sfDir         data dir both sweeps read (default /root/testdata/sf0.1)
+#   passes        bench passes per sweep (default 3; Bench reports medians)
+#
+# The baseline checks out into a scratch worktree (removed on exit);
+# each sweep is graft.Bench's own refuse-on-load / refuse-on-error run,
+# so a contaminated or partial sweep aborts the A/B rather than
+# recording a bad comparison. Output format matches bench_ab_r12.txt.
+set -euo pipefail
+BASE_REF="${1:?usage: tools/bench_ab.sh <baseline-ref> [sfDir] [passes]}"
+SF_DIR="${2:-/root/testdata/sf0.1}"
+PASSES="${3:-3}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+WT="$(mktemp -d /tmp/graft_ab_XXXXXX)"
+trap 'git -C "$REPO" worktree remove --force "$WT" >/dev/null 2>&1 || true; rm -rf "$WT"' EXIT
+git -C "$REPO" worktree add --detach "$WT" "$BASE_REF" >/dev/null
+
+run_bench() { # $1 = checkout dir, $2 = tag
+  echo "# sweeping $2 ($1)..." >&2
+  (cd "$1" &&
+    SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES="$PASSES" \
+      sbt -batch "runMain graft.Bench" >"/tmp/graft_ab_$2.log" 2>&1) || {
+    echo "bench FAILED or refused for $2 — tail of /tmp/graft_ab_$2.log:" >&2
+    tail -5 "/tmp/graft_ab_$2.log" >&2
+    exit 1
+  }
+  cp "$1/bench_last.json" "/tmp/graft_ab_$2.json"
+}
+
+echo "# A/B: HEAD vs $BASE_REF on $SF_DIR, $PASSES passes each, back-to-back" >&2
+run_bench "$REPO" head
+run_bench "$WT" base
+
+python3 - "$BASE_REF" "$SF_DIR" <<'EOF'
+import json, sys, statistics
+head = json.load(open('/tmp/graft_ab_head.json'))
+base = json.load(open('/tmp/graft_ab_base.json'))
+hq, bq = head['queries'], base['queries']
+shared = [q for q in hq if q in bq and hq[q] > 0 and bq[q] > 0]
+print(f"# Code-attribution A/B: full {sys.argv[2]} bench sweeps BACK-TO-BACK, same box, same data")
+print(f"# head loadavg_start={head['loadavg_start']} passes={head['passes']}; "
+      f"base({sys.argv[1]}) loadavg_start={base['loadavg_start']} passes={base['passes']}")
+ratios = sorted(hq[q] / bq[q] for q in shared)
+th = sum(hq[q] for q in shared)
+tb = sum(bq[q] for q in shared)
+print(f"# TOTALS: head={th:.1f}s  base={tb:.1f}s  ratio={th/tb:.3f}  "
+      f"median per-query ratio={statistics.median(ratios):.3f}")
+movers = [q for q in shared if hq[q] / bq[q] > 1.25]
+if movers:
+    print(f"# >1.25x movers: {', '.join(movers)} — check queries_passes in "
+          f"/tmp/graft_ab_*.json for bimodality before calling it a regression")
+print(f"{'query':<38}{'head':>9}{'base':>9}  ratio")
+for q in shared:
+    print(f"{q:<38}{hq[q]:>9.3f}{bq[q]:>9.3f}  {hq[q]/bq[q]:6.2f}")
+EOF
