@@ -783,15 +783,42 @@ object Dedup {
       if (seedQuantizer > 0)
         Similarity.ivfSeededIndexFor(corpus, idCol, vecCol, seedQuantizer)
       else Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed)
-    val assigned = index
+    semanticPairsFromIndex(index, threshold, n, numBlocks, nProbe, maxCandidates)
+  }
+
+  /** [[semanticNearDup]]'s pair pipeline off an ALREADY-BUILT index —
+    * multi-probe assignment, Σ|cell|²/2 pre-flight guard, skew-blocked
+    * triangle join, exact-cosine verify, canonical pair dedup. The seam
+    * exists so audits can drive the SAME machinery with a differently-
+    * assigned index (e.g. the exact-argmin baseline the hierarchy-
+    * routing recall audit compares against); `nDocs` feeds the guard's
+    * auto cap.
+    */
+  private[graft] def semanticPairsFromIndex(
+      index: Similarity.IvfIndex,
+      threshold: Double,
+      nDocs: => Long,
+      numBlocks: Int = 8,
+      nProbe: Int = 2,
+      maxCandidates: Long = SimilarityGuard.Auto,
+      stageMulti: Boolean = false): DataFrame = {
+    // The multi-probe assignment feeds THREE plan consumers (the guard's
+    // Σ|cell|² aggregate and both triangle sides), so its per-row kernel
+    // re-evaluates 3x. Production leaves that lazy — the routed kernel
+    // is O(L·k^(1/L)·dim)/row, noise next to the pair join. stageMulti
+    // localCheckpoints it instead (nProbe·n rows with vectors): the
+    // audit's EXACT-argmin baseline pays O(k·dim)/row per evaluation,
+    // where 3x recompute turns minutes into hours at 2M×70k.
+    val multi0 = index
       .multiAssigned(nProbe)
       .select(col("cell"), col("neighbor_id").as("id"), col("cv").as("v"))
+    val assigned = if (stageMulti) multi0.localCheckpoint() else multi0
 
     val predicted = SimilarityGuard.selfJoinVolume(
       assigned.select("cell", "id"), Seq("cell"))
     SimilarityGuard.check(
       predicted,
-      SimilarityGuard.resolveCap(maxCandidates, n),
+      SimilarityGuard.resolveCap(maxCandidates, nDocs),
       site = "Dedup.semanticNearDup",
       reroute = "Re-route to embeddingNearDupLsh (SRP buckets hold " +
         "occupancy constant regardless of embedding-space collapse)")

@@ -187,16 +187,25 @@ object Similarity {
     * centroid count and `dim` the shared dimension, recorded at build
     * time so the decision costs no job.
     *
-    * Approximation note: a vector's true nearest FINE centroid can sit
-    * in a group some level's probe skipped (boundary effect — the same
-    * trade every IMI/hierarchical-k-means index makes); `nCoarseProbe`
-    * (default 4) bounds it per level, and the consumers' recall pins
-    * (DedupSpec) gate the net effect. The miss mostly cancels for PAIR
-    * recall — near-dup endpoints have near-identical distance
-    * profiles, so they still co-assign even when both miss the true
-    * argmin; on FITTED centroids (groups aligned with real data
-    * clusters) argmin agreement is far higher than on the adversarial
-    * random-centroid spec fixture. k ≤ [[MaxLiteralCells]] keeps the
+    * Approximation note — MEASURED, not argued
+    * (`tools/check_sf100_r13.txt`, via graft.tools.HierarchyRecallAudit
+    * at L=3 / k=70000 / 2M vectors vs exact argmin over the same
+    * centroids): a vector's true nearest FINE centroid can sit in a
+    * group some level's probe skipped (the IMI trade); `nCoarseProbe`
+    * (default 4) bounds it per level. On an UNCLUSTERED corpus the
+    * miss does NOT cancel for pair recall: argmin margins are tiny in
+    * high dim without cluster structure, so per-row agreement with
+    * exact assignment measured 0.18 and pair-set intersection recall
+    * 0.07 — while pair YIELD (true verified pairs caught) stayed
+    * 0.67–0.88 of exact assignment's, i.e. routing is a near-equal
+    * lottery for dedup mass but not a reproduction of the exact-argmin
+    * pair set. Seed coverage is not the driver (stride vs first-k
+    * seeds within 0.005 of each other). Where the SemDeDup assumptions
+    * hold (clustered corpus, high sim threshold) DedupSpec pins pair
+    * recall ≥ 0.8 vs the exact grid join; unclustered/low-threshold
+    * workloads belong on the exact grid or SRP-LSH paths
+    * ([[graft.ops.Dedup.embeddingNearDupExact]]/`Lsh`), as the q84
+    * catalog docs already steer. k ≤ [[MaxLiteralCells]] keeps the
     * exact single-level literal path.
     */
   final case class IvfHierarchy(
