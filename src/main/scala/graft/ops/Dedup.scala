@@ -753,7 +753,14 @@ object Dedup {
       numBlocks: Int = 8,
       nProbe: Int = 2,
       maxCandidates: Long = SimilarityGuard.Auto,
-      seedQuantizer: Int = 0): DataFrame = {
+      seedQuantizer: Int = 0,
+      nCoarseProbe: Int = 4): DataFrame = {
+    // nCoarseProbe widens the hierarchical router's per-level probe
+    // (only meaningful past MaxLiteralCells): the recall audit priced
+    // 4 -> 8 at +73% pair recall vs exact assignment for ~2x per-row
+    // routing flops on a boundary-dominated corpus
+    // (tools/check_sf100_r13.txt) — raise it when cells are many and
+    // the corpus is weakly clustered
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val base = corpus.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -782,7 +789,7 @@ object Dedup {
     val index =
       if (seedQuantizer > 0)
         Similarity.ivfSeededIndexFor(corpus, idCol, vecCol, seedQuantizer)
-      else Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed)
+      else Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed, nCoarseProbe)
     semanticPairsFromIndex(index, threshold, n, numBlocks, nProbe, maxCandidates)
   }
 

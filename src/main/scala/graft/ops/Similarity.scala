@@ -433,7 +433,8 @@ object Similarity {
       vecCol: String,
       nLists: Int = 16,
       sampleFraction: Double = 1.0,
-      seed: Long = 42L): IvfIndex = {
+      seed: Long = 42L,
+      nCoarseProbe: Int = 4): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -453,7 +454,7 @@ object Similarity {
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     val hierarchy =
       if (!hierarchical) None
-      else Some(hierarchyOf(corpus.sparkSession, centroids, nCoarseProbe = 4))
+      else Some(hierarchyOf(corpus.sparkSession, centroids, nCoarseProbe))
     assignedIndex(corpus, idCol, vecCol, centroids, hierarchy)
   }
 
@@ -690,13 +691,18 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nLists: Int,
-      seed: Long = 42L): IvfIndex = {
-    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, nLists, seed)
+      seed: Long = 42L,
+      nCoarseProbe: Int = 4): IvfIndex = {
+    // nCoarseProbe is part of the key: two callers wanting different
+    // routing widths over the same corpus must not share one hierarchy
+    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol,
+      nLists, seed, nCoarseProbe)
     ivfCache.synchronized {
       val hit = ivfCache.get(key)
       if (hit != null) hit
       else {
-        val built = ivfBuild(corpus, idCol, vecCol, nLists, seed = seed)
+        val built = ivfBuild(corpus, idCol, vecCol, nLists, seed = seed,
+          nCoarseProbe = nCoarseProbe)
         ivfCache.put(key, built)
         built
       }
@@ -715,7 +721,7 @@ object Similarity {
     */
   def ivfSeededIndexFor(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int): IvfIndex = {
-    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, -k, 0L)
+    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, -k, 0L, 4)
     ivfCache.synchronized {
       val hit = ivfCache.get(key)
       if (hit != null) hit
@@ -734,7 +740,7 @@ object Similarity {
   /** Max distinct IVF indexes the one-call wrapper keeps persisted. */
   val IvfCacheCap = 4
 
-  private type IvfKey = (Int, String, String, Int, Long)
+  private type IvfKey = (Int, String, String, Int, Long, Int)
   private val ivfCache =
     new java.util.LinkedHashMap[IvfKey, IvfIndex](16, 0.75f, true) {
       override def removeEldestEntry(

@@ -257,6 +257,15 @@ class DedupSpec extends SparkSpec {
     // identical vectors share every centroid distance -> same cells
     (0L until 5L).foreach(i =>
       assert(sem.contains((i, 400L + i)), s"missed exact duplicate $i"))
+    // the widened router (nCoarseProbe=8, the audit-priced knob) keeps
+    // the same contracts: zero false positives, exact dups co-route
+    // (identical vectors take identical probe paths at ANY width)
+    val wide = Dedup.semanticNearDup(df.where(lit(true)), "vec_id",
+      "embedding", 0.8, nLists = 300, nCoarseProbe = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((wide diff exact).isEmpty, s"false positives at p=8: ${wide diff exact}")
+    (0L until 5L).foreach(i =>
+      assert(wide.contains((i, 400L + i)), s"p=8 missed exact duplicate $i"))
   }
 
   test("semanticNearDup under a tiny level-broadcast budget (forced keyed " +
