@@ -380,24 +380,40 @@ object Apss {
     sys.env.get("GRAFT_APSS_VERIFY_SHARD_PAIRS").map(_.toLong)
       .getOrElse(32L * 1000 * 1000)
 
+  /** Per-dim-entry scratch bytes the verify's vector attach pays, by
+    * key width: 8 for the numeric dims (int feature ids, long hashed
+    * grams — the calibration width), 32 for the 128-bit hex string key
+    * ([[graft.functions.Shingling.gramKey]] wide=true: a 32-char
+    * UTF8String payload; the 100× audit `tools/check_sf10_r12.txt`
+    * measured ~3× total verify bytes per pair under it, dominated by
+    * exactly this term). A future dim type slots in by declaring its
+    * width here — the budget arithmetic below is width-agnostic.
+    */
+  private[graft] def dimKeyBytes(
+      dimType: org.apache.spark.sql.types.DataType): Long =
+    dimType match {
+      case org.apache.spark.sql.types.StringType => 32L
+      case _ => 8L
+    }
+
   /** [[VerifyPairsPerShard]] is calibrated in PAIRS at 8-byte dims; the
     * bound it really enforces is BYTES of vector-attach scratch per
-    * pass. Under the 128-bit gram key ([[graft.functions.Shingling
-    * .gramKey]] wide=true) every dim is a 32-char string — the 100×
-    * audit (`tools/check_sf10_r12.txt`) measured ~3× the verify bytes
-    * per pair, enough to pull the sharding threshold in by ~a decade
-    * (the wide one-pass configuration died by disk exactly where the
-    * 64-bit key fit). Scale the pair bound down ÷4 for string dims so
-    * flipping the width flag alone can never reinstate that death;
-    * explicit overrides (env or parameter) are scaled too, because the
-    * override is still a byte budget expressed in 8-byte-dim pairs.
+    * pass. Convert the pair bound to its byte budget (pairs × the
+    * 8-byte calibration width) and divide by the ACTUAL key width — so
+    * the 128-bit string key lands at ÷4 of the numeric bound (the
+    * configuration that died by disk in r12 under defaults shards
+    * automatically; `tools/check_sf10_r13.txt`), and any future dim
+    * width scales by ITS declared bytes instead of growing another
+    * case arm. Explicit overrides (env or parameter) are scaled too,
+    * because the override is still a byte budget expressed in
+    * 8-byte-dim pairs.
     */
   private[graft] def widthScaledShardPairs(
       pairs: Long, dimType: org.apache.spark.sql.types.DataType): Long =
-    dimType match {
-      case org.apache.spark.sql.types.StringType => math.max(1L, pairs / 4)
-      case _ => pairs
-    }
+    // BigInt: a Long.MaxValue-ish env override must saturate, not wrap
+    math.max(1L,
+      (BigInt(pairs) * 8 / dimKeyBytes(dimType))
+        .min(BigInt(Long.MaxValue)).toLong)
 
   /** [[verify]], sharded when the candidate stream is big enough to
     * out-spill a single pass: below [[VerifyPairsPerShard]] predicted

@@ -788,7 +788,8 @@ object Dedup {
     // id — a quantizer SQL replays — instead of the fitted k-means
     val index =
       if (seedQuantizer > 0)
-        Similarity.ivfSeededIndexFor(corpus, idCol, vecCol, seedQuantizer)
+        Similarity.ivfSeededIndexFor(corpus, idCol, vecCol, seedQuantizer,
+          nCoarseProbe)
       else Similarity.ivfIndexFor(corpus, idCol, vecCol, k, seed, nCoarseProbe)
     semanticPairsFromIndex(index, threshold, n, numBlocks, nProbe, maxCandidates)
   }
@@ -829,6 +830,13 @@ object Dedup {
       site = "Dedup.semanticNearDup",
       reroute = "Re-route to embeddingNearDupLsh (SRP buckets hold " +
         "occupancy constant regardless of embedding-space collapse)")
+    // the r13 recall finding as a RUNTIME signal: one bounded sampled
+    // job warns (never refuses) when the corpus is boundary-dominated —
+    // the regime where this op's routing recall measured 0.07 and the
+    // verify stage below would burn ~all its compute on sub-threshold
+    // pairs. Silent on clustered corpora (survival well above the bar).
+    SimilarityGuard.clusterednessProbe(
+      assigned, threshold, nDocs, "Dedup.semanticNearDup")
 
     // triangle grid WITHIN each cell (cf. embeddingNearDupExact): the
     // (ci, cj) sub-keys spread a hot cell's pairs across tasks
@@ -840,7 +848,7 @@ object Dedup {
     val right = v.select(col("cell"),
       explode(sequence(lit(0), col("blk"))).as("ci"),
       col("blk").as("cj"), col("id").as("id_r"), col("v").as("vr"))
-    SimilarityGuard.observed(
+    val pairs = SimilarityGuard.observed(
       left.join(right, Seq("cell", "ci", "cj"))
         .where(col("ci") < col("cj") || col("id_l") < col("id_r")),
       "Dedup.semanticNearDup", predicted)
@@ -854,5 +862,18 @@ object Dedup {
       // once per cell — dedup on the canonical key. Output-sized (only
       // verified >= threshold pairs), unlike the candidate stream.
       .dropDuplicates("id_a", "id_b")
+    if (!stageMulti) pairs
+    else {
+      // mirror Apss.verifyAuto's lifecycle: materialize the
+      // (output-sized) pair set eagerly, then free the staged
+      // multi-assignment — left lazy it would pin nProbe·n
+      // MEMORY_AND_DISK vector rows until driver GC across every
+      // audit pairsOf call, the exact starvation pattern the k<=1
+      // verify branch was written to avoid
+      val out = pairs.localCheckpoint()
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(assigned)
+      out
+    }
   }
 }

@@ -140,15 +140,26 @@ object Similarity {
     */
   val MaxLiteralCells: Int = 256
 
-  /** Session conf key bounding the per-level BROADCAST payload of the
-    * hierarchical attach, in bytes. A routing level whose total
-    * centroid bytes ([[IvfHierarchy.levelBytes]]) stay within the
-    * budget broadcasts (one copy per executor, ReuseExchange-collapsed
-    * across probe slots — the fast path); past it the level attaches by
-    * keyed shuffle ([[keyedLevelAttach]]): same cells bit-for-bit, no
-    * multi-GB broadcast. Default 2 GiB — inside Spark's broadcast
-    * limits with headroom for the row overhead; settable per session
-    * (`spark.conf.set`) for audits and constrained executors.
+  /** Session conf key bounding EVERY broadcast the similarity tier
+    * plans, in bytes — one discipline, two consumers:
+    *
+    *  - a hierarchical-attach routing level whose total centroid bytes
+    *    ([[IvfHierarchy.levelBytes]]) stay within the budget broadcasts
+    *    (one copy per executor, ReuseExchange-collapsed across probe
+    *    slots — the fast path); past it the level attaches by keyed
+    *    shuffle ([[keyedLevelAttach]]): same cells bit-for-bit, no
+    *    multi-GB broadcast;
+    *  - [[IvfIndex.probe]]'s exploded QUERY side broadcasts while its
+    *    measured payload (query count × vector bytes × nProbe) fits the
+    *    budget — the serving shape, hundreds of queries, corpus never
+    *    shuffled; past it (bulk kNN: the corpus AS the query set, the
+    *    exact mid-job broadcast crash shape the level budget already
+    *    retired) the probe joins by keyed shuffle on `cell`, identical
+    *    rows by construction.
+    *
+    * Default 2 GiB — inside Spark's broadcast limits with headroom for
+    * the row overhead; settable per session (`spark.conf.set`) for
+    * audits and constrained executors.
     */
   val LevelBroadcastBytesKey = "graft.similarity.levelBroadcastBytes"
 
@@ -307,11 +318,24 @@ object Similarity {
         routed.withColumn("cells", col("_g")).drop("_g")
     }
 
-    /** Probe: each query ranks the broadcast centroids (sorting
-      * `nLists` structs on the SMALL query side only), explodes into
-      * its `nProbe` cells, and meets its cells' corpus rows in an
-      * equi-join on cell id (hash join, never a cross product); exact
-      * cosine re-ranks. Cost per query ≈ |corpus|·nProbe/nLists.
+    /** Probe: each query ranks the centroids (sorting `nLists` structs
+      * on the query side only), explodes into its `nProbe` cells, and
+      * meets its cells' corpus rows in an equi-join on cell id (hash
+      * join, never a cross product); exact cosine re-ranks. Cost per
+      * query ≈ |corpus|·nProbe/nLists.
+      *
+      * The query side BROADCASTS only while its measured payload —
+      * query count × (dim doubles + row overhead) × nProbe, priced by
+      * one count job — fits the [[LevelBroadcastBytesKey]] byte budget:
+      * the serving contract (query batches of hundreds) never shuffles
+      * the corpus at all. Past the budget — bulk kNN, where a curation
+      * pipeline hands the CORPUS as the query set and a broadcast would
+      * die mid-job exactly like the pre-r13 fine-level attach — the
+      * join flips to a keyed shuffle-hash on `cell`: same rows by
+      * construction (one equi-join, either physical strategy), pinned
+      * against the broadcast plan in SimilaritySpec and at 2M-query
+      * scale in the r14 bulk-probe audit. Reference analog: the keyed
+      * LUT probe `search/doc_merger.js:12-28`.
       */
     def probe(
         queries: DataFrame,
@@ -323,8 +347,15 @@ object Similarity {
         col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       val q = withCells(q0, "qv", nProbe, Seq("query_id"))
         .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+      val dim = hierarchy.map(_.dim)
+        .orElse(centroids.headOption.map(_._2.length)).getOrElse(0)
+      val queryBytes = q0.count() * (dim.toLong * 8 + 64) * nProbe
+      val joined =
+        if (queryBytes > levelBroadcastBytes(queries.sparkSession))
+          assigned.join(q.hint("shuffle_hash"), Seq("cell"))
+        else assigned.join(broadcast(q), Seq("cell"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-      assigned.join(broadcast(q), Seq("cell"))
+      joined
         .where(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", cosine(col("qv"), col("cv")))
         .withColumn("rank", row_number().over(w))
@@ -362,7 +393,15 @@ object Similarity {
     * top-outProbe retains every global top-outProbe member (each global
     * winner ranks ≤ outProbe within its own group), the merge sorts by
     * the same (d², cid) rule, and probed groups hold disjoint cid sets
-    * — pinned against the broadcast path in SimilaritySpec. Cost shape:
+    * — pinned against the broadcast path in SimilaritySpec, INCLUDING
+    * the degenerate inputs: the level joins LEFT (a probed gid absent
+    * from the level frame — a hole-punched level — contributes no
+    * candidates rather than dropping the row, exactly as the broadcast
+    * path's left join + coalesce-empty does), rows ride explode_outer
+    * (a null vector's null probe list survives to a null cell set, the
+    * broadcast path's verdict for it). Duplicate rowKey values remain
+    * the caller's contract to prevent (the regroup would merge them via
+    * first) — every production caller keys by its unique id. Cost shape:
     * the exploded (rowKey, vec, gid) stream shuffles once by gid and
     * once by rowKey for the regroup — narrow rows (the carried columns
     * ride as one struct), no per-executor level copy, no 4 GB broadcast
@@ -380,17 +419,19 @@ object Similarity {
     val exploded = cur.select(
       rowKey.map(col) ++ carrySel ++ Seq(
         col(vecName).as("_v"),
-        explode(col("_g")).as("_lgid")): _*)
+        explode_outer(col("_g")).as("_lgid")): _*)
+    val subsType = "array<struct<cid:int,c:array<double>>>"
     val cands = exploded
       .join(
         lvl.select(col("gid").as("_lgid"), col("subs").as("_subs"))
           .hint("shuffle_hash"),
-        Seq("_lgid"))
+        Seq("_lgid"), "left")
       .select(
         rowKey.map(col) ++ carrySel.map(_ => col("_carry")) ++ Seq(
           col("_v"),
           graft.functions.VectorQuant.nearestSubCellsWithDist(
-            col("_v"), col("_subs"), outProbe).as("_cand")): _*)
+            col("_v"), coalesce(col("_subs"), array().cast(subsType)),
+            outProbe).as("_cand")): _*)
     val aggs: Seq[Column] =
       (if (carry.isEmpty) Nil else Seq(first(col("_carry")).as("_carry"))) ++
         Seq(
@@ -404,7 +445,11 @@ object Similarity {
         rowKey.map(col) ++
           carry.map(c => col("_carry").getField(c).as(c)) ++ Seq(
             col("_v").as(vecName),
-            transform(col("_top"), t => t.getField("cid")).as("_g")): _*)
+            // a null vector carries NULL probes through every level on
+            // the broadcast path (the kernel is null-intolerant); emit
+            // null, not empty, so the two paths agree on that verdict
+            when(col("_v").isNotNull,
+              transform(col("_top"), t => t.getField("cid"))).as("_g")): _*)
   }
 
   /** (distance², centroid id) structs for every cell — the broadcast
@@ -727,8 +772,13 @@ object Similarity {
     * twin/audit use only. The k-row collect is bounded by construction.
     */
   def ivfSeededIndexFor(
-      corpus: DataFrame, idCol: String, vecCol: String, k: Int): IvfIndex = {
-    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol, -k, 0L, 4)
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCoarseProbe: Int = 4): IvfIndex = {
+    // nCoarseProbe rides the cache key like the fitted path's — two
+    // callers wanting different routing widths over the same seeded
+    // quantizer must not share one hierarchy
+    val key = (corpus.queryExecution.logical.semanticHash(), idCol, vecCol,
+      -k, 0L, nCoarseProbe)
     ivfCache.synchronized {
       val hit = ivfCache.get(key)
       if (hit != null) hit
@@ -737,7 +787,7 @@ object Similarity {
           .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
           .orderBy("id").limit(k).collect()
           .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-        val built = ivfFromCentroids(corpus, idCol, vecCol, seeds)
+        val built = ivfFromCentroids(corpus, idCol, vecCol, seeds, nCoarseProbe)
         ivfCache.put(key, built)
         built
       }

@@ -148,6 +148,108 @@ object SimilarityGuard {
       count(lit(1)).as("actual_candidates"),
       max(lit(predicted)).as("predicted_candidates"))
 
+  // -------------------------------------------------------------------
+  // Clusteredness signal for the SEMANTIC dedup tier. Round 13 measured
+  // hierarchical-routing pair recall at 0.985 on clustered corpora (the
+  // regime SemDeDup assumes: tight blobs, duplicates within a blob) and
+  // 0.07 on unclustered ones (boundary-dominated: argmin margins tiny,
+  // near-dup pairs straddle every cell boundary) — but until this round
+  // only the scaladoc knew. The probe below turns the finding into a
+  // RUNTIME warning: sample the within-cell pair survival (the fraction
+  // of co-assigned sampled pairs actually at/above the threshold — the
+  // verify-survival rate the pipeline is about to pay for in full) with
+  // one bounded job, and warn with the measured reroutes when the
+  // corpus is in the low-recall regime. A warning, not a refusal: the
+  // pair YIELD on boundary-dominated corpora still measured 0.67-0.88
+  // (a near-equal lottery for dedup mass), so the launch can be the
+  // right call — the operator just should not read its output as the
+  // threshold pair set.
+  // -------------------------------------------------------------------
+
+  /** Within-cell sampled pair survival below which the corpus is
+    * called boundary-dominated. Calibrated against the r13 measurement
+    * matrix: the clustered audit corpus (GenClustered: blobs of 50 at
+    * within-blob cosine ~0.997) samples survival ~0.1-0.2 (same-blob
+    * pairs are a solid minority of within-cell pairs), while unclustered
+    * bench embeddings sample ~0 (random cosine clears a 0.8 threshold
+    * essentially never) — an order of magnitude of separation on each
+    * side of 0.02.
+    */
+  val MinClusteredSurvival: Double = 0.02
+
+  /** Target sample size (rows) for the clusteredness probe. */
+  val ClusterednessSampleRows: Long = 65536L
+
+  /** Sampled-pair floor below which the probe stays silent — too few
+    * co-assigned sampled pairs to call a regime (unit-test corpora,
+    * near-empty cells).
+    */
+  val ClusterednessMinPairs: Long = 200L
+
+  /** Per-cell cap on sampled members: bounds the probe's self-join at
+    * cells × C(cap, 2) pairs regardless of occupancy skew.
+    */
+  private val PerCellSampleCap = 16
+
+  /** Last warning [[clusterednessProbe]] emitted — spec-visible (reset
+    * before a run, assert after); production reads the WARN log.
+    */
+  @volatile private[graft] var lastClusterednessWarning: Option[String] = None
+
+  /** Measure within-cell pair survival on a bounded deterministic
+    * sample of `assigned` (columns `cell`, `id`, `v`) and WARN when the
+    * corpus is boundary-dominated. One job: hash-stride the ids down to
+    * ~[[ClusterednessSampleRows]] rows, cap each cell's sample at
+    * [[PerCellSampleCap]] members, self-join within cell, count the
+    * fraction of pairs at/above `threshold`. Returns the measured
+    * survival, or None when fewer than [[ClusterednessMinPairs]] pairs
+    * were sampled (silent — no regime call on no evidence).
+    */
+  def clusterednessProbe(
+      assigned: DataFrame,
+      threshold: Double,
+      nDocs: => Long,
+      site: String): Option[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val stride = math.max(1L, nDocs / ClusterednessSampleRows)
+    val sample = assigned
+      .where(pmod(xxhash64(col("id")), lit(stride)) === 0)
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("cell").orderBy("id")))
+      .where(col("_rn") <= PerCellSampleCap)
+      .select("cell", "id", "v")
+    val l = sample.select(col("cell"), col("id").as("id_l"), col("v").as("vl"))
+    val r = sample.select(col("cell"), col("id").as("id_r"), col("v").as("vr"))
+    val row = l.join(r, Seq("cell")).where(col("id_l") < col("id_r"))
+      .select(when(
+        coalesce(Similarity.cosine(col("vl"), col("vr")), lit(0.0))
+          >= threshold, 1.0).otherwise(0.0).as("hit"))
+      .agg(count(lit(1)).as("n"), coalesce(avg(col("hit")), lit(0.0)).as("s"))
+      .head()
+    val pairs = row.getLong(0)
+    val survival = row.getDouble(1)
+    if (pairs < ClusterednessMinPairs) None
+    else {
+      log.info(f"$site: sampled within-cell pair survival $survival%.4f " +
+        s"($pairs pairs at threshold $threshold)")
+      if (survival < MinClusteredSurvival) {
+        val msg = f"$site: sampled within-cell pair survival $survival%.4f " +
+          f"($pairs pairs at threshold $threshold) is below " +
+          f"$MinClusteredSurvival%.2f — BOUNDARY-DOMINATED corpus. In this " +
+          "regime cell scoping's pair recall vs exact assignment measured " +
+          "0.07 (vs 0.985 on clustered corpora) and nearly all verify " +
+          "compute is spent on sub-threshold pairs; treat the output as a " +
+          "dedup-mass sample (measured yield 0.67-0.88), not the threshold " +
+          "pair set. Re-route to embeddingNearDupExact (grid) or " +
+          "embeddingNearDupLsh (SRP buckets), or widen nCoarseProbe " +
+          "(4 -> 8 measured +73% pair recall for ~2x routing flops)."
+        lastClusterednessWarning = Some(msg)
+        log.warn(msg)
+      }
+      Some(survival)
+    }
+  }
+
   def check(predicted: Long, cap: Long, site: String, reroute: String): Unit = {
     // allowed launches log their headroom at INFO: at cluster scale an
     // operator watching the ratio creep toward 1 sees the df regime

@@ -299,6 +299,20 @@ class ApssSpec extends SparkSpec {
     assert(Apss.widthScaledShardPairs(32000000L, IntegerType) == 32000000L)
     assert(Apss.widthScaledShardPairs(32000000L, StringType) == 8000000L)
     assert(Apss.widthScaledShardPairs(2L, StringType) == 1L) // never 0
+    // the bound is ONE byte budget, not per-width special cases: every
+    // width's pair bound × its declared key bytes lands on the same
+    // byte figure (pairs × the 8-byte calibration width)
+    for (p <- Seq(32000000L, 1000L, 8L)) {
+      val budget = p * 8L
+      for (t <- Seq(LongType, IntegerType, StringType))
+        assert(Apss.widthScaledShardPairs(p, t) * Apss.dimKeyBytes(t) == budget,
+          s"width ${t} broke the byte-budget identity at $p pairs")
+    }
+    // a Long.MaxValue opt-out must saturate, not wrap negative
+    assert(Apss.widthScaledShardPairs(Long.MaxValue, StringType) ==
+      Long.MaxValue / 4)
+    assert(Apss.widthScaledShardPairs(Long.MaxValue, LongType) ==
+      Long.MaxValue)
     // end-to-end: a string-dim corpus under a bound the scaling pulls
     // into the sharded regime still gives the exact brute-force pair
     // set (union-of-shards == one-pass, now exercised at string width)

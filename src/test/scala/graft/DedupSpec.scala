@@ -291,6 +291,38 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.Similarity.LevelBroadcastBytesKey)
   }
 
+  test("clusteredness signal: semanticNearDup WARNS on a boundary-" +
+      "dominated corpus and stays silent on a clustered one") {
+    import graft.ops.SimilarityGuard
+    val dim = 16
+    val rnd = new scala.util.Random(41)
+    // clustered regime (GenClustered in miniature): 50 tight blobs of
+    // 40, members at center + 0.05 noise — within-blob cosine ~0.999,
+    // cross-blob ~0; the corpus shape SemDeDup assumes
+    val centers = Array.fill(50, dim)(rnd.nextDouble() * 2 - 1)
+    val clustered = (0L until 2000L).map { i =>
+      val c = centers((i / 40).toInt)
+      (i, c.map(x => x + (rnd.nextDouble() * 2 - 1) * 0.05))
+    }.toDF("vec_id", "embedding")
+    SimilarityGuard.lastClusterednessWarning = None
+    Dedup.semanticNearDup(clustered, "vec_id", "embedding", 0.8)
+    assert(SimilarityGuard.lastClusterednessWarning.isEmpty,
+      s"false alarm on clustered data: ${SimilarityGuard.lastClusterednessWarning}")
+    // boundary-dominated regime: unclustered gaussians — within-cell
+    // sampled pairs essentially never clear 0.8, the corpus where r13
+    // measured routing pair recall at 0.07
+    val random = (0L until 2000L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    SimilarityGuard.lastClusterednessWarning = None
+    Dedup.semanticNearDup(random, "vec_id", "embedding", 0.8)
+    val warning = SimilarityGuard.lastClusterednessWarning
+    assert(warning.nonEmpty, "no warning on a boundary-dominated corpus")
+    assert(warning.get.contains("BOUNDARY-DOMINATED") &&
+      warning.get.contains("embeddingNearDupLsh") &&
+      warning.get.contains("nCoarseProbe"),
+      s"warning must name the regime and the reroutes: ${warning.get}")
+  }
+
   test("semanticNearDup seedQuantizer (q84b): engine pairs equal the " +
       "driver-side portable replay") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

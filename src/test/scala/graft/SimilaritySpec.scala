@@ -246,6 +246,75 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(Similarity.LevelBroadcastBytesKey)
   }
 
+  test("probe past the query-side byte budget joins by KEYED SHUFFLE: " +
+      "rows identical to the broadcast probe, no broadcast join") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val index = Similarity.ivfBuild(df, "vec_id", "embedding",
+      nLists = 8, seed = 7L)
+    try {
+      val queries = df.filter(col("vec_id") < 5)
+      val want = index.probe(queries, "vec_id", "embedding", k = 3, nProbe = 4)
+        .select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      // a 1-byte budget forces the bulk-kNN join shape on a tiny batch
+      spark.conf.set(Similarity.LevelBroadcastBytesKey, "1")
+      val keyed = index.probe(queries, "vec_id", "embedding", k = 3, nProbe = 4)
+      val got = keyed.select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got == want, s"missed=${want diff got} extra=${got diff want}")
+      val plan = (keyed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(800))
+      assert(plan.contains("ShuffledHashJoin"), plan.take(800))
+    } finally {
+      spark.conf.unset(Similarity.LevelBroadcastBytesKey)
+      index.release()
+    }
+  }
+
+  test("keyed attach contract equals broadcast on DEGENERATE inputs: a " +
+      "hole-punched level keeps the row; a null vector keeps null cells") {
+    val crng = new scala.util.Random(11)
+    val cents: Array[(Int, Array[Double])] =
+      Array.tabulate(300)(i => (i, Array.fill(dim)(crng.nextGaussian())))
+    val base = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .union(Seq((999L, null: Array[Float])).toDF("vec_id", "embedding")
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv")))
+    val idx = Similarity.ivfFromCentroids(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+    try {
+      val h = idx.hierarchy.get
+      // punch a hole: the level frame loses gid 0 — rows probing that
+      // group must degrade identically on both paths (no candidates
+      // from the hole, row NEVER dropped)
+      val punched = h.copy(levels =
+        h.levels.init :+ h.levels.last.where(col("gid") =!= 0))
+      val pIdx = idx.copy(hierarchy = Some(punched))
+      def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+        pIdx.withCells(df, "cv", 2, Seq("neighbor_id"))
+          .select(col("neighbor_id"), col("cells"))
+          .as[(Long, Seq[Int])].collect().toMap
+      val want = cellsOf(base)
+      assert(want.size == vecs.size + 1, "broadcast path dropped a row")
+      assert(want(999L) == null, "null vector must keep NULL cells")
+      spark.conf.set(Similarity.LevelBroadcastBytesKey, "1")
+      try {
+        val got = cellsOf(base)
+        assert(got == want, {
+          val diff = (want.keySet ++ got.keySet).filter(k =>
+            want.get(k) != got.get(k))
+          s"diverged at ids $diff: want=${diff.map(want.get)} got=${diff.map(got.get)}"
+        })
+      } finally spark.conf.unset(Similarity.LevelBroadcastBytesKey)
+    } finally idx.release()
+  }
+
   test("L=3 hierarchy (k > 65536): recursion partitions the fine cells, " +
       "engine routing equals a driver-side replay, and exact-centroid " +
       "queries route home") {
