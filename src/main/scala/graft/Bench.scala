@@ -257,7 +257,22 @@ object Bench {
     val loadEnd = loadavg()
     val passLoadsJson = passLoads.map(r3).mkString("[", ",", "]")
     val passGcJson = passGcMs.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_passes":$qsPasses,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_passes":$passLoadsJson,"gc_ms_passes":$passGcJson,"load_warning":$loadWarning}"""
+    // the LOAD-CONTROLLED comparison rides the artifact: tools/
+    // bench_ab.sh commits its back-to-back HEAD-vs-baseline headline
+    // (same box, same data, refuse-on-load both sides) to
+    // tools/ab_headline.json; embedding it here means a reader of
+    // BENCH_rN.json sees the code-attribution ratio next to the raw
+    // sweep instead of having to acquit a cross-round artifact ratio
+    // measured under different machine windows (the r13 lesson: the
+    // sweep read 1.16x while the controlled A/B proved 0.921x).
+    val ab = try {
+      val p = java.nio.file.Paths.get("tools/ab_headline.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.readString(p).trim
+        if (s.startsWith("{") && s.endsWith("}")) s else "null"
+      } else "null"
+    } catch { case _: Throwable => "null" }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_passes":$qsPasses,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_passes":$passLoadsJson,"gc_ms_passes":$passGcJson,"load_warning":$loadWarning,"ab":$ab}"""
     // sidecar copy: a fixed-size stdout tail capture can truncate the
     // line's head (BENCH_r09 shipped with parsed:null that way); the
     // file version survives regardless of window size. The sf tag in

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to FILE-backed stream caches: every
+  // ImageIO.read/write over a plain Input/OutputStream spins up a temp
+  // file in java.io.tmpdir — two per decoded doc here, tens of
+  // thousands per pass at bench scale, none of them needed (our streams
+  // are in-memory byte arrays of tiny images). Correctness-neutral but
+  // it coupled every decode to tmpdir's dirty-page/disk state — the
+  // source of q56_media_decode's 2.7-6.2 s per-pass bimodality (the
+  // actual decode work is sub-second). Memory-backed caches are
+  // strictly cheaper for in-memory streams; runs once per JVM when an
+  // executor first touches this object inside a decode closure.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque bytes + declared format. */
   case class MediaRow(media_id: Long, content: Array[Byte], format: String)
 

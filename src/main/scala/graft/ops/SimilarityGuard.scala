@@ -196,6 +196,12 @@ object SimilarityGuard {
     */
   @volatile private[graft] var lastClusterednessWarning: Option[String] = None
 
+  /** Last survival [[clusterednessProbe]] measured (None when the pair
+    * floor wasn't met) — read by specs and the audit tooling; the
+    * production surface is the INFO/WARN log.
+    */
+  @volatile private[graft] var lastClusterednessSurvival: Option[Double] = None
+
   /** Measure within-cell pair survival on a bounded deterministic
     * sample of `assigned` (columns `cell`, `id`, `v`) and WARN when the
     * corpus is boundary-dominated. One job: hash-stride the ids down to
@@ -228,6 +234,8 @@ object SimilarityGuard {
       .head()
     val pairs = row.getLong(0)
     val survival = row.getDouble(1)
+    lastClusterednessSurvival =
+      if (pairs < ClusterednessMinPairs) None else Some(survival)
     if (pairs < ClusterednessMinPairs) None
     else {
       log.info(f"$site: sampled within-cell pair survival $survival%.4f " +

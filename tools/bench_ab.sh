@@ -26,6 +26,16 @@ trap 'git -C "$REPO" worktree remove --force "$WT" >/dev/null 2>&1 || true; rm -
 git -C "$REPO" worktree add --detach "$WT" "$BASE_REF" >/dev/null
 
 run_bench() { # $1 = checkout dir, $2 = tag
+  # SYMMETRIC warm-up: one discarded media-only pass per checkout, so a
+  # baseline ref that predates Bench's own in-process page-cache warm-up
+  # starts from the same cache state as HEAD (r13 ADVICE: without this,
+  # HEAD's media queries got an artificial 0.75-3.7s edge at passes<=2
+  # against pre-warm-up refs). Failures are ignored — an old Bench that
+  # errors on the restricted sweep still got its JVM+cache touch.
+  (cd "$1" &&
+    SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES=1 \
+    SPARK_GRAFT_BENCH_ONLY="q35_media_meta,q36_media_features,q56_media_decode,q58_audio_decode" \
+      sbt -batch "runMain graft.Bench" >/dev/null 2>&1) || true
   echo "# sweeping $2 ($1)..." >&2
   (cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES="$PASSES" \
@@ -41,7 +51,7 @@ echo "# A/B: HEAD vs $BASE_REF on $SF_DIR, $PASSES passes each, back-to-back" >&
 run_bench "$REPO" head
 run_bench "$WT" base
 
-python3 - "$BASE_REF" "$SF_DIR" <<'EOF'
+python3 - "$BASE_REF" "$SF_DIR" "$REPO" <<'EOF'
 import json, sys, statistics
 head = json.load(open('/tmp/graft_ab_head.json'))
 base = json.load(open('/tmp/graft_ab_base.json'))
@@ -55,6 +65,16 @@ th = sum(hq[q] for q in shared)
 tb = sum(bq[q] for q in shared)
 print(f"# TOTALS: head={th:.1f}s  base={tb:.1f}s  ratio={th/tb:.3f}  "
       f"median per-query ratio={statistics.median(ratios):.3f}")
+# committed headline: graft.Bench embeds this file into its JSON line
+# ("ab" field), so the official BENCH artifact carries the
+# load-controlled comparison instead of needing post-hoc acquittal
+with open(f"{sys.argv[3]}/tools/ab_headline.json", "w") as f:
+    json.dump({"base_ref": sys.argv[1], "sf": sys.argv[2],
+               "shared_queries": len(shared),
+               "head_total_s": round(th, 1), "base_total_s": round(tb, 1),
+               "ratio": round(th / tb, 3),
+               "median_ratio": round(statistics.median(ratios), 3)}, f)
+    f.write("\n")
 movers = [q for q in shared if hq[q] / bq[q] > 1.25]
 if movers:
     print(f"# >1.25x movers: {', '.join(movers)} — check queries_passes in "
