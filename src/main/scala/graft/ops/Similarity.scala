@@ -336,6 +336,17 @@ object Similarity {
       * against the broadcast plan in SimilaritySpec and at 2M-query
       * scale in the r14 bulk-probe audit. Reference analog: the keyed
       * LUT probe `search/doc_merger.js:12-28`.
+      *
+      * Ranking stays a row_number window on BOTH paths — a negative
+      * result, measured not guessed (r14 audit): ranking the bulk
+      * path with the bounded [[graft.ops.TopK.TopKAggregator]] (k rows
+      * per (query, partition) shuffled instead of the whole candidate
+      * stream) produced bit-identical rows but ran 1.5× SLOWER at
+      * 2M-query scale (364 s vs 240 s) — per-query group counts blow
+      * past ObjectHashAggregate's 128-key in-memory fallback, so the
+      * "sort-free" plan sort-aggregates anyway and adds typed-encoder
+      * deserialization of every candidate row on top. The window sorts
+      * once, codegen'd, no object churn.
       */
     def probe(
         queries: DataFrame,
@@ -349,12 +360,14 @@ object Similarity {
         .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
       val dim = hierarchy.map(_.dim)
         .orElse(centroids.headOption.map(_._2.length)).getOrElse(0)
-      val queryBytes = q0.count() * (dim.toLong * 8 + 64) * nProbe
+      val keyedPath =
+        q0.count() * (dim.toLong * 8 + 64) * nProbe >
+          levelBroadcastBytes(queries.sparkSession)
       val joined =
-        if (queryBytes > levelBroadcastBytes(queries.sparkSession))
-          assigned.join(q.hint("shuffle_hash"), Seq("cell"))
+        if (keyedPath) assigned.join(q.hint("shuffle_hash"), Seq("cell"))
         else assigned.join(broadcast(q), Seq("cell"))
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
       joined
         .where(col("neighbor_id") =!= col("query_id"))
         .withColumn("sim", cosine(col("qv"), col("cv")))
