@@ -84,7 +84,8 @@ object Bench {
     "q84b_semantic_neardup_portable",
     "q85_bucketed_batches",
     "q86_train_pipeline",
-    "q87_corpus_shuffle")
+    "q87_corpus_shuffle",
+    "q88_pii_redact")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

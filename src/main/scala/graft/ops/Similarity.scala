@@ -48,6 +48,19 @@ object Similarity {
   /** Exact top-k: for every row of `queries`, the `k` nearest rows of
     * `corpus` by cosine (self-matches excluded), rank ties broken by
     * neighbor id. Returns (query_id, rank, neighbor_id, sim).
+    *
+    * The query side broadcasts — the serving contract (bounded query
+    * batches) that makes brute force the right baseline at all. Unlike
+    * [[IvfIndex.probe]], there is NO keyed fallback here: the join has
+    * no equi-key (every query meets every corpus row by design), and a
+    * corpus-sized query set is |corpus|² cosine evaluations whatever
+    * the physical join — so past the [[LevelBroadcastBytesKey]] budget
+    * the launch REFUSES with the measured payload and the scale
+    * reroute (the IVF bulk path, whose probe keys on `cell` and
+    * byte-budgets itself), completing the tier's discipline: every
+    * similarity broadcast is byte-budgeted, flipping to a keyed plan
+    * where one exists and refusing with a named reroute where none
+    * does.
     */
   def cosineTopK(
       corpus: DataFrame,
@@ -57,6 +70,13 @@ object Similarity {
       k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    SimilarityGuard.broadcastBudgetCheck(
+      q, "qv", levelBroadcastBytes(queries.sparkSession),
+      site = "Similarity.cosineTopK",
+      reroute = "Re-route bulk kNN (corpus-scale query sets) to " +
+        "ivfIndexFor(corpus).probe — it keys candidates on cell and " +
+        "switches its own query side to a shuffle-hash join past the " +
+        "same budget")
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))

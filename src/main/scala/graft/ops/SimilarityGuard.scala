@@ -50,6 +50,61 @@ object SimilarityGuard {
         s"true-pair count). $reroute, or raise maxCandidates explicitly if the " +
         s"volume is intended.")
 
+  /** Refusal for a similarity launch whose BROADCAST payload prices
+    * past the tier's byte budget AND which has no keyed fallback plan
+    * (no equi-key to shuffle on): the broadcast would die mid-job, and
+    * the non-broadcast physical alternative is a shuffled nested loop
+    * with the same infeasible compute, so the only honest answer is to
+    * refuse up front and name the scale path.
+    */
+  final class BroadcastPayloadExceeded(
+      val bytes: Long,
+      val budgetBytes: Long,
+      site: String,
+      reroute: String)
+    extends RuntimeException(
+      s"$site: measured broadcast payload $bytes bytes exceeds the " +
+        s"similarity-tier broadcast budget $budgetBytes bytes " +
+        s"(${graft.ops.Similarity.LevelBroadcastBytesKey}). This operator " +
+        s"has no keyed fallback (no equi-key to shuffle on) and its " +
+        s"compute is |corpus| x |queries| regardless of join strategy — " +
+        s"past the serving contract's bounded query batches it is the " +
+        s"wrong plan, not just the wrong join. $reroute, or raise the " +
+        s"budget conf if the payload is intended.")
+
+  /** Measured broadcast-payload pre-flight for a frame about to be
+    * broadcast whole: Σ over rows of (|vecCol| · 8 + [[RowOverheadBytes]])
+    * — the same pricing model [[graft.ops.Similarity.IvfIndex.probe]]
+    * and the routing-level attach use, but MEASURED per row (one cheap
+    * aggregation) because the caller has no static dim. Refuses past
+    * `budgetBytes` with the named reroute; logs the headroom at INFO so
+    * an operator sees the payload creeping toward the budget before the
+    * first refusal, exactly like [[check]].
+    */
+  def broadcastBudgetCheck(
+      frame: DataFrame,
+      vecCol: String,
+      budgetBytes: Long,
+      site: String,
+      reroute: String): Unit = {
+    val bytes = frame
+      .agg(coalesce(
+        sum(size(col(vecCol)).cast("long") * 8L + RowOverheadBytes),
+        lit(0L)))
+      .head().getLong(0)
+    log.info(s"$site: measured broadcast payload $bytes bytes / budget " +
+      f"$budgetBytes (${bytes.toDouble / budgetBytes}%.3f of budget)")
+    if (bytes > budgetBytes)
+      throw new BroadcastPayloadExceeded(bytes, budgetBytes, site, reroute)
+  }
+
+  /** Per-row overhead the broadcast pricing model adds on top of the
+    * vector payload (UnsafeRow header, id column, offsets) — the same
+    * constant [[graft.ops.Similarity.IvfIndex.probe]]'s static model
+    * uses.
+    */
+  val RowOverheadBytes: Long = 64L
+
   /** Sentinel for the default `maxCandidates` parameter: resolve the
     * cap from corpus size ([[autoCap]]). An explicit positive value is
     * a hard cap.

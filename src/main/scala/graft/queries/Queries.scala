@@ -1954,6 +1954,36 @@ object Queries {
       .select(col("doc_id"), col("start_offset").as("shuffle_rank"))
   }
 
+  /** PII redaction ([[graft.functions.Redaction]]): scrub emails, IPv4
+    * addresses, and phone numbers from document text and publish the
+    * per-doc audit counts plus the scrubbed text's md5. The synthetic
+    * corpus carries no PII, so the query INJECTS deterministic
+    * PII-shaped tokens derived from doc_id — built by the identical
+    * `||`-concatenation in the oracle, so the gate tests the REDACTION
+    * semantics (pattern matching + replacement order) across engines,
+    * not the injection. Per-row, shuffle-free, codegen regex — scan
+    * speed at any corpus size.
+    */
+  val q88PiiRedact: Q = (s, d) => {
+    import graft.functions.Redaction
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact doc"), col("doc_id").cast("string"),
+        lit("@example.com at 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"), lit(" call 555-"),
+        lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+    aug.select(
+      col("doc_id"),
+      Redaction.emailCount(col("t")).cast("long").as("n_email"),
+      Redaction.ipv4Count(col("t")).cast("long").as("n_ipv4"),
+      Redaction.phoneCount(col("t")).cast("long").as("n_phone"),
+      md5(Redaction.redact(col("t"))).as("redacted_md5"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2050,7 +2080,8 @@ object Queries {
     "q84b_semantic_neardup_portable" -> q84bSemanticNearDupPortable,
     "q85_bucketed_batches" -> q85BucketedBatches,
     "q86_train_pipeline" -> q86TrainPipeline,
-    "q87_corpus_shuffle" -> q87CorpusShuffle)
+    "q87_corpus_shuffle" -> q87CorpusShuffle,
+    "q88_pii_redact" -> q88PiiRedact)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3586,7 +3617,33 @@ object Queries {
            FROM isl)
          SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
            count(*) AS n_hits
-         FROM sp GROUP BY doc_id, island""")
+         FROM sp GROUP BY doc_id, island""",
+    "q88_pii_redact" ->
+      // the patterns interpolate from graft.functions.Redaction — ONE
+      // source of truth, restricted to the Java/RE2-identical subset;
+      // the injected PII is built by the same ||-concatenation the
+      // engine uses, so the gate exercises redaction, not injection
+      s"""WITH aug AS (
+           SELECT doc_id,
+             text || ' contact doc' || doc_id::VARCHAR ||
+               '@example.com at 10.' || (doc_id % 256)::VARCHAR || '.0.' ||
+               (doc_id % 100)::VARCHAR || ' call 555-' ||
+               lpad((doc_id * 7 % 1000)::VARCHAR, 3, '0') || '-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t,
+             '${graft.functions.Redaction.EmailPattern}'))::BIGINT AS n_email,
+           len(regexp_extract_all(t,
+             '${graft.functions.Redaction.Ipv4Pattern}'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(t,
+             '${graft.functions.Redaction.PhonePattern}'))::BIGINT AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '${graft.functions.Redaction.EmailPattern}', '<EMAIL>', 'g'),
+             '${graft.functions.Redaction.Ipv4Pattern}', '<IP>', 'g'),
+             '${graft.functions.Redaction.PhonePattern}', '<PHONE>', 'g'))
+             AS redacted_md5
+         FROM aug""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Similarity, SimilarityGuard}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -46,6 +46,25 @@ class SimilaritySpec extends SparkSpec {
         .take(3).map(_._1)
       assert(got(q) == want, s"query $q")
     }
+  }
+
+  test("cosineTopK REFUSES past the broadcast byte budget with the IVF " +
+      "reroute (no keyed fallback exists for an un-keyed join)") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    spark.conf.set(Similarity.LevelBroadcastBytesKey, "1")
+    try {
+      val ex = intercept[SimilarityGuard.BroadcastPayloadExceeded] {
+        Similarity.cosineTopK(df, queries, "vec_id", "embedding", k = 3)
+      }
+      assert(ex.bytes > ex.budgetBytes)
+      assert(ex.getMessage.contains("ivfIndexFor"), ex.getMessage)
+      assert(ex.getMessage.contains(Similarity.LevelBroadcastBytesKey),
+        ex.getMessage)
+    } finally spark.conf.unset(Similarity.LevelBroadcastBytesKey)
+    // and under the default budget the same launch is untouched
+    assert(Similarity
+      .cosineTopK(df, queries, "vec_id", "embedding", k = 3).count() == 15L)
   }
 
   test("LSH ANN returns verified-cosine ranks with decent recall") {
