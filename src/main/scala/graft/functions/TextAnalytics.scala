@@ -43,13 +43,22 @@ object TextAnalytics {
     * (x10000) so the value is engine-exact — float rounding at a
     * half-boundary would otherwise diverge between engines.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreScaled(text) / lit(10000.0)
+
+  /** [[qualityScore]]'s exact integer numerator (score · 10000, in
+    * [0, 10000]) — the fixed-point form rank-based consumers
+    * ([[graft.ops.Eval.binaryAuc]]) use directly: same ordering as the
+    * double score, but an exact BIGINT both engines group and rank
+    * identically.
+    */
+  def qualityScoreScaled(text: Column): Column = {
     val n = tokenCount(text).cast("long")
     val d = distinctTokenCount(text).cast("long")
     val lengthPart = least(n, lit(100L)) * lit(50L)
     val diversityPart =
       when(n > 0, ((d * 5000L) / n).cast("long")).otherwise(lit(0L))
-    (lengthPart + diversityPart) / lit(10000.0)
+    lengthPart + diversityPart
   }
 
   /** Stopword-vote language ID. Each candidate language has a tiny

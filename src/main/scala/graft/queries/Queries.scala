@@ -1984,6 +1984,23 @@ object Queries {
       md5(Redaction.redact(col("t"))).as("redacted_md5"))
   }
 
+  /** Classifier-evaluation AUC ([[graft.ops.Eval.binaryAuc]]): the
+    * tie-averaged Mann-Whitney ROC-AUC of the q19 quality score
+    * (fixed-point integer form) against a binary label (`lang = 'en'`
+    * as the demo target — the NUMBER is what the gate checks, not the
+    * model's merit), with ranks computed by the two-level distributed
+    * prefix sum — no global sort, no one-task window — and the rank
+    * sum folded in exact integer space. The published `auc_ppm` is
+    * ⌊AUC·10⁶⌋: one floating division on exact integers, floor-scaled
+    * so no round-half tie can split the engines.
+    */
+  val q89QualityAuc: Q = (s, d) =>
+    graft.ops.Eval.binaryAuc(
+      Tables.documents(s, d).select(
+        TextAnalytics.qualityScoreScaled(col("text")).as("score"),
+        (col("lang") === "en").cast("long").as("pos")),
+      "score", "pos")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2081,7 +2098,8 @@ object Queries {
     "q85_bucketed_batches" -> q85BucketedBatches,
     "q86_train_pipeline" -> q86TrainPipeline,
     "q87_corpus_shuffle" -> q87CorpusShuffle,
-    "q88_pii_redact" -> q88PiiRedact)
+    "q88_pii_redact" -> q88PiiRedact,
+    "q89_quality_auc" -> q89QualityAuc)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3643,7 +3661,34 @@ object Queries {
              '${graft.functions.Redaction.Ipv4Pattern}', '<IP>', 'g'),
              '${graft.functions.Redaction.PhonePattern}', '<PHONE>', 'g'))
              AS redacted_md5
-         FROM aug""")
+         FROM aug""",
+    "q89_quality_auc" ->
+      // tie-averaged Mann-Whitney AUC replayed rank-free: per-score
+      // counts, a window prefix sum for each run's start, 2*R+ folded
+      // as an exact BIGINT, one floor-scaled division at the end —
+      // identical integer arithmetic to Eval.binaryAuc
+      s"""WITH t AS (SELECT len($toks)::BIGINT AS n,
+             len(list_distinct($toks))::BIGINT AS dd,
+             (lang = 'en')::BIGINT AS pos
+           FROM documents),
+         sc AS (SELECT least(n, 100) * 50 +
+             CASE WHEN n > 0 THEN (dd * 5000) // n ELSE 0 END AS score, pos
+           FROM t),
+         g AS (SELECT score, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS npos
+           FROM sc GROUP BY score),
+         r AS (SELECT score, cnt, npos,
+             coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start FROM g),
+         a AS (SELECT sum(npos * (start * 2 + cnt + 1))::BIGINT AS rank_sum2,
+             sum(npos)::BIGINT AS n_pos, sum(cnt - npos)::BIGINT AS n_neg
+           FROM r)
+         SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             floor(((rank_sum2 - n_pos * (n_pos + 1))::DOUBLE * 1000000.0)
+               / (n_pos::DOUBLE * n_neg * 2.0))::BIGINT
+           END AS auc_ppm,
+           n_pos, n_neg, rank_sum2
+         FROM a""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of
