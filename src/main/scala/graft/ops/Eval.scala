@@ -83,6 +83,10 @@ object Eval {
           col("n_pos"), col("n_neg"), col("rank_sum2"))
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
-    } finally { staged.unpersist(); () }
+    } finally
+      // Dataset.unpersist would miss the checkpoint RDD hiding behind
+      // the LogicalRDD — the bridge releases the blocks themselves
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(staged)
   }
 }
