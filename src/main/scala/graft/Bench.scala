@@ -86,7 +86,8 @@ object Bench {
     "q86_train_pipeline",
     "q87_corpus_shuffle",
     "q88_pii_redact",
-    "q89_quality_auc")
+    "q89_quality_auc",
+    "q90_normalize")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

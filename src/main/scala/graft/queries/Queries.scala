@@ -2001,6 +2001,47 @@ object Queries {
         (col("lang") === "en").cast("long").as("pos")),
       "score", "pos")
 
+  /** The q90 decomposed-sequence probes, ONE source of truth for both
+    * engines (Spark literals and the interpolated oracle SQL): café /
+    * über / mañana with the accent carried as a COMBINING mark
+    * (U+0301/U+0308/U+0303) that NFC must compose. All three target
+    * precomposed codepoints frozen by Unicode's normalization
+    * stability policy, so JDK and utf8proc agree byte-for-byte.
+    */
+  private val nfcProbes = Seq(" cafe\u0301", " u\u0308ber", " man\u0303ana")
+
+  /** Unicode NFC normalization + full text cleanup
+    * ([[graft.functions.TextNormalize]]): the canonicalization step
+    * that runs before tokenization/dedup/decontamination in any real
+    * corpus pipeline. The synthetic corpus is pure ASCII (NFC no-op,
+    * exercising the kernel's no-allocation fast path), so the query
+    * injects decomposed accent sequences chosen by doc_id — built by
+    * the identical concatenation in the oracle — and gates the
+    * composed bytes (md5), the changed flag, and the codepoint-count
+    * contraction cross-engine; a quarter of the rows stay uninjected
+    * to pin the ASCII identity path. Per-row, shuffle-free, native
+    * codegen.
+    */
+  val q90Normalize: Q = (s, d) => {
+    import graft.functions.TextNormalize
+    val m = pmod(col("doc_id"), lit(4))
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(m === 0, lit(nfcProbes(0)))
+          .when(m === 1, lit(nfcProbes(1)))
+          .when(m === 2, lit(nfcProbes(2)))
+          .otherwise(lit(""))).as("t"))
+    val norm = TextNormalize.nfc(col("t"))
+    aug.select(
+      col("doc_id"),
+      (norm =!= col("t")).as("changed"),
+      length(col("t")).cast("long").as("n_before"),
+      length(norm).cast("long").as("n_after"),
+      md5(norm).as("norm_md5"),
+      md5(TextNormalize.cleanText(col("t"))).as("clean_md5"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2099,7 +2140,8 @@ object Queries {
     "q86_train_pipeline" -> q86TrainPipeline,
     "q87_corpus_shuffle" -> q87CorpusShuffle,
     "q88_pii_redact" -> q88PiiRedact,
-    "q89_quality_auc" -> q89QualityAuc)
+    "q89_quality_auc" -> q89QualityAuc,
+    "q90_normalize" -> q90Normalize)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3688,7 +3730,27 @@ object Queries {
                / (n_pos::DOUBLE * n_neg * 2.0))::BIGINT
            END AS auc_ppm,
            n_pos, n_neg, rank_sum2
-         FROM a""")
+         FROM a""",
+    "q90_normalize" ->
+      // nfcProbes interpolate VERBATIM (the decomposed base+combining
+      // bytes ride inside the SQL literal), so both engines normalize
+      // the identical input; utf8proc's nfc_normalize is the oracle
+      // for the JDK kernel
+      s"""WITH aug AS (
+           SELECT doc_id, text || CASE doc_id % 4
+               WHEN 0 THEN '${nfcProbes(0)}'
+               WHEN 1 THEN '${nfcProbes(1)}'
+               WHEN 2 THEN '${nfcProbes(2)}'
+               ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           nfc_normalize(t) <> t AS changed,
+           length(t)::BIGINT AS n_before,
+           length(nfc_normalize(t))::BIGINT AS n_after,
+           md5(nfc_normalize(t)) AS norm_md5,
+           md5(lower(trim(regexp_replace(nfc_normalize(t), '\\s+', ' ', 'g'))))
+             AS clean_md5
+         FROM aug""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of
