@@ -81,6 +81,84 @@ object Decontaminate {
         (col("n_hit") > 0).as("contaminated"))
   }
 
+  /** [[ngramOverlap]] with a broadcast Bloom PREFILTER on the training
+    * side — same output, bit-for-bit, different shuffle bill. The
+    * plain screen shuffles every distinct training gram into the
+    * equi-join (corpus-sized: the gram stream IS the token stream, to
+    * a constant). Here the benchmark's gram set is additionally
+    * sketched into one Bloom bitset ([[graft.functions.Bloom]],
+    * distributed build, broadcast once), and the training explode
+    * drops every gram the filter rejects BEFORE the exchange — the
+    * join then carries only true hits + false positives, and the
+    * exact inner join against the real benchmark gram set removes the
+    * false positives, so the result CANNOT differ from
+    * [[ngramOverlap]]: Bloom filters have no false negatives, and
+    * every surviving candidate is re-verified exactly.
+    *
+    * Plan shape at 100 TB: per-doc spine `(id, n_grams)` straight off
+    * the scan (no explode, no shuffle until the final narrow id-join);
+    * candidate stream = explode → Bloom predicate (codegen, inside the
+    * scan stage) → keyed join on gram (hits-sized) → per-id count;
+    * spine LEFT-joins the counts (id + one long — the narrow shuffle).
+    * For a typical contamination rate (≪1% of grams hit), the gram
+    * exchange shrinks by orders of magnitude; the price is one extra
+    * pass over the (small) benchmark side to build the sketch and the
+    * broadcast of a budget-capped bitset
+    * ([[graft.functions.Bloom.BloomBytesKey]] — capping degrades
+    * selectivity, never results).
+    */
+  def bloomOverlap(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    def grams(docs: DataFrame) = docs
+      .select(col(idCol).as("id"),
+        Shingling.sortedShingles(
+          TextAnalytics.tokens(col(textCol)), n).as("grams"))
+
+    val benchGrams = grams(bench)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+
+    // One count job over the (small) benchmark side sizes the sketch's
+    // hash count; the byte budget caps the bitset.
+    val nBench = benchGrams.count()
+    val filter = graft.functions.Bloom.buildString(
+      benchGrams, "gram", nBench, fpp,
+      graft.functions.Bloom.bloomBytes(spark))
+    log.info(
+      s"bloomOverlap: $nBench benchmark grams sketched into " +
+        s"${filter.bitSize() / 8} bytes (expected fpp " +
+        f"${filter.expectedFpp()}%.4f)")
+    val bc = spark.sparkContext.broadcast(filter)
+
+    val spine = grams(train).select(
+      col("id"),
+      greatest(coalesce(size(col("grams")), lit(0)), lit(0))
+        .cast("long").as("n_grams"))
+
+    val hits = grams(train)
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .where(graft.functions.Bloom.mightContain(col("gram"), bc))
+      .join(benchGrams, Seq("gram")) // exact verify: false positives die here
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit"))
+
+    spine.join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 4))
+          .otherwise(lit(0.0)).as("hit_frac"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SPAN-LEVEL decontamination: WHERE in each training document the
     * benchmark hits are, as merged token-offset windows — so a
     * downstream stage can EXCISE contaminated spans and split the

@@ -2042,6 +2042,26 @@ object Queries {
       md5(TextNormalize.cleanText(col("t"))).as("clean_md5"))
   }
 
+  /** Bloom-prefiltered decontamination ([[graft.ops.Decontaminate
+    * .bloomOverlap]]): the q64 n-gram screen re-planned for the 100 TB
+    * corpus — the benchmark gram set is sketched into one broadcast
+    * Bloom bitset and the training-side explode drops non-candidate
+    * grams INSIDE the scan stage, so the gram exchange carries hits +
+    * false positives instead of the whole token stream; an exact
+    * verify join then removes the false positives, making the output
+    * bit-identical to the plain screen by construction. Gated on its
+    * own split (every 10th doc, 3-grams) so q64 and q91 are
+    * independent oracle rows.
+    */
+  val q91DecontaminateBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.Decontaminate.bloomOverlap(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 3)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2141,7 +2161,8 @@ object Queries {
     "q87_corpus_shuffle" -> q87CorpusShuffle,
     "q88_pii_redact" -> q88PiiRedact,
     "q89_quality_auc" -> q89QualityAuc,
-    "q90_normalize" -> q90Normalize)
+    "q90_normalize" -> q90Normalize,
+    "q91_decontaminate_bloom" -> q91DecontaminateBloom)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3750,7 +3771,31 @@ object Queries {
            md5(nfc_normalize(t)) AS norm_md5,
            md5(lower(trim(regexp_replace(nfc_normalize(t), '\\s+', ' ', 'g'))))
              AS clean_md5
-         FROM aug""")
+         FROM aug""",
+    "q91_decontaminate_bloom" ->
+      // the q64 derivation at width 3 / split %10 — the Bloom prefilter
+      // is a physical-plan device, invisible to the semantics, so the
+      // oracle is the plain exact screen
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 2),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+           FROM t WHERE len(l) >= 3),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+                 WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+         hits AS (SELECT g.doc_id, count(*) AS n_hit
+                  FROM g JOIN bench USING (gram)
+                  WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id)
+         SELECT t.doc_id,
+           coalesce(tot.n_grams, 0) AS n_grams,
+           coalesce(hits.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(tot.n_grams, 0) > 0
+             THEN round(coalesce(hits.n_hit, 0)::DOUBLE / tot.n_grams, 4)
+             ELSE 0.0 END AS hit_frac,
+           coalesce(hits.n_hit, 0) > 0 AS contaminated
+         FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+         WHERE t.doc_id % 10 <> 0""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

@@ -276,4 +276,70 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.selfHitSpans(cleaned, "text", "id", n = 3)
       .count() === 0)
   }
+
+  // --- Bloom-prefiltered screen -------------------------------------
+
+  private val bloomBench = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),
+    (101L, "pack my box with five dozen liquor jugs"))
+  private val bloomTrain = Seq(
+    (1L, "a quick brown fox appeared"),
+    (2L, "the dog sleeps all day long"),
+    (3L, "pack my box with five dozen liquor jugs"),
+    (4L, "hi there"),
+    (5L, null.asInstanceOf[String])) // null text -> n_grams = 0 row
+
+  private def asRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .toSet
+
+  test("bloomOverlap is bit-identical to ngramOverlap (null text included)") {
+    val train = bloomTrain.toDF("id", "text")
+    val bench = bloomBench.toDF("id", "text")
+    val exact = asRows(Decontaminate.ngramOverlap(train, bench, "text", "id", 3))
+    val bloom = asRows(Decontaminate.bloomOverlap(train, bench, "text", "id", 3))
+    assert(bloom === exact)
+    assert(bloom.map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("bloomOverlap under a 1-byte budget (saturated filter, all false " +
+      "positives) still verifies exactly") {
+    spark.conf.set(graft.functions.Bloom.BloomBytesKey, "1")
+    try {
+      val train = bloomTrain.toDF("id", "text")
+      val bench = bloomBench.toDF("id", "text")
+      assert(
+        asRows(Decontaminate.bloomOverlap(train, bench, "text", "id", 3)) ===
+          asRows(Decontaminate.ngramOverlap(train, bench, "text", "id", 3)))
+    } finally spark.conf.unset(graft.functions.Bloom.BloomBytesKey)
+  }
+
+  test("bloomOverlap's candidate prefilter is in the plan (codegen predicate " +
+      "before the gram join)") {
+    val out = Decontaminate.bloomOverlap(
+      bloomTrain.toDF("id", "text"), bloomBench.toDF("id", "text"),
+      "text", "id", 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"))
+  }
+
+  test("Bloom.buildString caps the bitset at the byte budget and never " +
+      "false-negatives") {
+    import graft.functions.Bloom
+    val df = (1 to 1000).map(i => s"tok$i").toDF("gram")
+    val capped = Bloom.buildString(df, "gram",
+      expectedItems = 1000, fpp = 0.001, maxBytes = 64)
+    assert(capped.bitSize() <= 64 * 8)
+    val roomy = Bloom.buildString(df, "gram",
+      expectedItems = 1000, fpp = 0.01, maxBytes = 1L << 20)
+    assert(roomy.bitSize() >
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(1000, 0.01) - 64)
+    // no false negatives on either filter
+    (1 to 1000).foreach { i =>
+      assert(capped.mightContainString(s"tok$i"))
+      assert(roomy.mightContainString(s"tok$i"))
+    }
+  }
 }
