@@ -1,0 +1,239 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.util.{HashMap => JHashMap}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** EXACT corpus heavy hitters — every term whose occurrence count is
+  * at least `ceil(N / denom)` (N = total occurrences), with its exact
+  * count — without ever shuffling the vocabulary. The naive plan
+  * (`groupBy(term).count().filter(...)`) exchanges every distinct term
+  * each map partition saw; on a web-scale corpus that is a
+  * billions-of-keys shuffle to answer a question whose output is at
+  * most `denom` rows.
+  *
+  * Two passes, both bounded:
+  *
+  *  1. CANDIDATES: one Misra-Gries summary (k = denom + 1 counters,
+  *     MG'82; mergeable with the summed error bound, Agarwal et al.
+  *     PODS'12) built as a native [[MisraGriesAgg]]
+  *     `TypedImperativeAggregate` — partial per partition (O(k)
+  *     memory, amortized O(1) per row), ONE k-entry sketch per
+  *     partition on the wire, merged with the trim-to-k rule. The MG
+  *     guarantee makes the candidate set COMPLETE: a term absent from
+  *     the merged summary has true count ≤ N/(k+1) < ceil(N/denom),
+  *     so no true hitter is ever missed — the sketch can only
+  *     over-admit, exactly like the Bloom prefilter in
+  *     [[Decontaminate.bloomOverlap]].
+  *  2. VERIFY: exact counts for candidate terms only — an `InSet`
+  *     scan-stage predicate (small candidate sets) or a semi-join
+  *     (large), then `groupBy(term)` whose map-side partials are
+  *     bounded by |candidates| per partition. Over-admitted candidates
+  *     die on the final `>= T` filter, so the output is EXACT and
+  *     independent of partition layout, input order, and merge order.
+  *
+  * The driver holds the merged candidate list — at most k strings,
+  * bounded by the `denom` the caller chose (require-gated), the same
+  * bounded-by-construction collect discipline as Components' seed
+  * threshold.
+  */
+object HeavyHitters {
+
+  /** Candidates admitted to an `isin`/InSet predicate rather than a
+    * semi-join: past this the In-list stops being a sane plan node.
+    */
+  private val InSetMax = 8192
+
+  /** Max counters (= max denom + 1): bounds both executor sketch
+    * memory (k entries) and the driver-side candidate collect.
+    */
+  val MaxCounters: Int = 1 << 20
+
+  /** Misra-Gries frequent-candidates summary over a string column.
+    * Buffer = at most k (term → lower-bound count) counters; update
+    * is the classic decrement-all-on-overflow (amortized O(1): every
+    * decrement cancels an increment); merge sums counters then
+    * subtracts the (k+1)-th largest value and drops non-positives
+    * (the mergeable-summaries rule — error bounds ADD, keeping the
+    * absent ⇒ count ≤ N/(k+1) guarantee under any merge tree). Emits
+    * the surviving terms, binary-sorted for determinism; counts stay
+    * internal — they are lower bounds, and the exact verify pass
+    * recounts anyway.
+    */
+  case class MisraGriesAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[JHashMap[UTF8String, java.lang.Long]]
+      with ExpectsInputTypes with UnaryLike[Expression] {
+
+    require(k >= 1 && k <= MaxCounters,
+      s"counter budget must be in [1, $MaxCounters], got $k")
+
+    override def prettyName: String = "misra_gries_candidates"
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+
+    override def createAggregationBuffer(): JHashMap[UTF8String, java.lang.Long] =
+      new JHashMap[UTF8String, java.lang.Long](k * 2)
+
+    override def update(
+        buf: JHashMap[UTF8String, java.lang.Long],
+        input: InternalRow): JHashMap[UTF8String, java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.asInstanceOf[UTF8String]
+        val cur = buf.get(key)
+        if (cur != null) {
+          // present: HashMap.put keeps the stored key, so the
+          // row-buffer-backed transient key never leaks into the map
+          buf.put(key, cur + 1L)
+        } else if (buf.size < k) {
+          // absent with room: own the bytes (the scan reuses row buffers)
+          buf.put(key.clone(), java.lang.Long.valueOf(1L))
+        } else {
+          // absent and full: decrement every counter, drop zeros
+          val it = buf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val nv = e.getValue - 1L
+            if (nv == 0L) it.remove() else e.setValue(nv)
+          }
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        a: JHashMap[UTF8String, java.lang.Long],
+        b: JHashMap[UTF8String, java.lang.Long])
+        : JHashMap[UTF8String, java.lang.Long] = {
+      val bit = b.entrySet().iterator()
+      while (bit.hasNext) {
+        val e = bit.next()
+        val cur = a.get(e.getKey)
+        // keys of b are deserialized (owned) — no clone needed
+        a.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+      }
+      if (a.size > k) {
+        val vals = new Array[Long](a.size)
+        var i = 0
+        val vit = a.values().iterator()
+        while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(vals)
+        val cut = vals(vals.length - 1 - k) // (k+1)-th largest
+        val ait = a.entrySet().iterator()
+        while (ait.hasNext) {
+          val e = ait.next()
+          val nv = e.getValue - cut
+          if (nv <= 0L) ait.remove() else e.setValue(nv)
+        }
+      }
+      a
+    }
+
+    override def eval(buf: JHashMap[UTF8String, java.lang.Long]): Any = {
+      val keys = buf.keySet().toArray(new Array[UTF8String](buf.size))
+      // binaryCompare, not compareTo — see Shingling.sortedShinglesImpl
+      java.util.Arrays.sort(keys,
+        (x: UTF8String, y: UTF8String) => x.binaryCompare(y))
+      new GenericArrayData(keys.asInstanceOf[Array[AnyRef]])
+    }
+
+    override def serialize(
+        buf: JHashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val bytes = e.getKey.getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+        out.writeLong(e.getValue)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(
+        bytes: Array[Byte]): JHashMap[UTF8String, java.lang.Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = new JHashMap[UTF8String, java.lang.Long](math.max(n * 2, 16))
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val kb = new Array[Byte](len)
+        in.readFully(kb)
+        buf.put(UTF8String.fromBytes(kb), java.lang.Long.valueOf(in.readLong()))
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): MisraGriesAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): MisraGriesAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
+      copy(child = c)
+  }
+
+  /** The MG candidate summary as an aggregate Column. */
+  def mgCandidates(term: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      MisraGriesAgg(GraftColumnBridge.expression(term), k)
+        .toAggregateExpression())
+
+  /** All terms with count ≥ ceil(N / denom) and their EXACT counts:
+    * `(termCol, cnt)`. `terms` is one term occurrence per row (nulls
+    * ignored); it is evaluated twice — once for the sketch+total,
+    * once for the verify — both column-pruned scans, neither
+    * materialized.
+    */
+  def heavyHitters(
+      terms: DataFrame,
+      termCol: String,
+      denom: Long,
+      inSetMax: Int = InSetMax): DataFrame = {
+    require(denom >= 1 && denom < MaxCounters,
+      s"denom must be in [1, ${MaxCounters - 1}], got $denom")
+    val k = denom.toInt + 1
+    // Bounded collect: one row, candidate array ≤ k (require-gated).
+    val row = terms
+      .agg(mgCandidates(col(termCol), k).as("cand"),
+        count(col(termCol)).as("n"))
+      .first()
+    val cand = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val threshold = if (n == 0L) 1L else (n + denom - 1L) / denom
+    val candidateRows =
+      if (cand.size <= inSetMax) {
+        if (cand.isEmpty) terms.where(lit(false))
+        else terms.where(col(termCol).isin(cand: _*))
+      } else {
+        val spark = terms.sparkSession
+        import spark.implicits._
+        terms.join(
+          broadcast(cand.toDF(termCol).distinct()), Seq(termCol), "left_semi")
+      }
+    candidateRows
+      .groupBy(termCol)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
+}

@@ -2062,6 +2062,24 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Exact corpus heavy hitters ([[graft.ops.HeavyHitters]]): every
+    * token BIGRAM occurring at least once per 1000 bigram occurrences,
+    * with its exact count — candidates from one merged Misra-Gries
+    * sketch (k = 1001 counters, one k-entry summary per partition on
+    * the wire instead of the vocabulary), then an exact scan-stage
+    * verify, so the output is exact and layout-independent while the
+    * shuffle stays O(k·P) at any corpus size. Bigrams (not unigrams)
+    * because the synthetic corpus's 31-word vocabulary makes every
+    * unigram a hitter — the 916-bigram distribution actually splits
+    * at the 1/1000 threshold.
+    */
+  val q92HeavyHitters: Q = (s, d) => {
+    val terms = Tables.documents(s, d).select(
+      explode(graft.functions.Shingling.orderedShingles(
+        TextAnalytics.tokens(col("text")), 2)).as("term"))
+    graft.ops.HeavyHitters.heavyHitters(terms, "term", denom = 1000L)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2162,7 +2180,8 @@ object Queries {
     "q88_pii_redact" -> q88PiiRedact,
     "q89_quality_auc" -> q89QualityAuc,
     "q90_normalize" -> q90Normalize,
-    "q91_decontaminate_bloom" -> q91DecontaminateBloom)
+    "q91_decontaminate_bloom" -> q91DecontaminateBloom,
+    "q92_heavy_hitters" -> q92HeavyHitters)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3795,7 +3814,19 @@ object Queries {
              ELSE 0.0 END AS hit_frac,
            coalesce(hits.n_hit, 0) > 0 AS contaminated
          FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
-         WHERE t.doc_id % 10 <> 0""")
+         WHERE t.doc_id % 10 <> 0""",
+    "q92_heavy_hitters" ->
+      // the MG sketch is a candidate-generation device; semantically
+      // the query is "exact counts of terms with cnt >= ceil(N/1000)",
+      // with the threshold in pure integer arithmetic on both engines
+      s"""WITH t AS (SELECT $toks AS l FROM documents),
+         g AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i+1])) AS term
+           FROM t WHERE len(l) >= 2),
+         n AS (SELECT count(*)::BIGINT AS n FROM g),
+         c AS (SELECT term, count(*)::BIGINT AS cnt FROM g GROUP BY term)
+         SELECT c.term, c.cnt FROM c, n
+         WHERE c.cnt >= (n.n + 999) // 1000""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

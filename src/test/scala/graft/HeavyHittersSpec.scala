@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.HeavyHitters
+
+/** Exact heavy hitters via MG-candidates + verify: the output must
+  * equal the brute-force `groupBy.count.filter` answer on EVERY input
+  * and partitioning — the sketch only generates candidates; any
+  * over-admission dies on the exact threshold filter, and the MG
+  * bound makes under-admission impossible.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(terms: Seq[String], denom: Long): Map[String, Long] = {
+    val n = terms.size.toLong
+    val t = if (n == 0) 1L else (n + denom - 1) / denom
+    terms.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= t).toMap
+  }
+
+  private def run(
+      terms: Seq[String], denom: Long, parts: Int,
+      inSetMax: Int = 8192): Map[String, Long] =
+    HeavyHitters.heavyHitters(
+      spark.createDataset(terms).repartition(parts).toDF("term"),
+      "term", denom, inSetMax)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("matches brute force on a skewed corpus, all partitionings, " +
+      "with heavy sketch eviction (k far below vocab)") {
+    // zipf-ish: term i appears ~ 2000/i times; vocab 200 >> k = 6
+    val rnd = new scala.util.Random(7)
+    val terms = rnd.shuffle(
+      (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"t$i")).toVector)
+    // N ≈ 11.8k, T = ceil(N/20) ≈ 590: t1(2000), t2(1000), t3(666) hit
+    val expected = brute(terms, denom = 20) // k = 21 counters, vocab 200
+    assert(expected.nonEmpty)
+    for (parts <- Seq(1, 3, 8))
+      assert(run(terms, 20, parts) === expected, s"parts=$parts")
+  }
+
+  test("randomized: equals brute force across seeds, denoms, layouts") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = 1 + rnd.nextInt(60)
+      val terms = Vector.fill(500 + rnd.nextInt(2000))(
+        s"w${(math.pow(rnd.nextDouble(), 2) * vocab).toInt}")
+      for (denom <- Seq(3L, 10L, 50L)) {
+        val expected = brute(terms, denom)
+        val got = run(terms, denom, 1 + rnd.nextInt(6))
+        assert(got === expected, s"seed=$seed denom=$denom")
+      }
+    }
+  }
+
+  test("semi-join verify branch (inSetMax = 0) gives the same answer " +
+      "as the InSet branch") {
+    val terms = Vector.tabulate(3000)(i => s"x${i % 40}")
+    val a = run(terms, 30, 4)
+    val b = run(terms, 30, 4, inSetMax = 0)
+    assert(a === b)
+    assert(a === brute(terms, 30))
+  }
+
+  test("nulls are ignored; empty corpus yields no hitters") {
+    val withNulls = Seq("a", null, "a", null, "b").toDF("term")
+    val got = HeavyHitters.heavyHitters(withNulls, "term", 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = 3 non-null, T = ceil(3/2) = 2: only "a"
+    assert(got === Map("a" -> 2L))
+    assert(HeavyHitters.heavyHitters(
+      Seq.empty[String].toDF("term"), "term", 10L).count() === 0)
+  }
+
+  test("merge trim keeps the completeness bound: no true hitter lost " +
+      "when many partitions merge at the counter ceiling") {
+    // 16 partitions, each dominated by its own local noise, one global
+    // hitter spread thin across all partitions (the case a naive
+    // "local top-k" would drop): "hot" is 8% of every partition.
+    val perPart = (0 until 16).flatMap { p =>
+      Seq.fill(25)("hot") ++ (1 to 275).map(i => s"noise${p}_$i")
+    }
+    val expected = brute(perPart, denom = 12) // T = ceil(4800/12) = 400
+    val got = run(perPart, 12, 16)
+    assert(got === expected)
+    assert(got.contains("hot") === expected.contains("hot"))
+    // and at a threshold "hot" does meet (400 occurrences >= T=400):
+    val expected2 = brute(perPart, denom = 12)
+    assert(expected2.keySet.forall(got.keySet))
+  }
+}
