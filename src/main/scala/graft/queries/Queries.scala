@@ -2080,6 +2080,23 @@ object Queries {
     graft.ops.HeavyHitters.heavyHitters(terms, "term", denom = 1000L)
   }
 
+  /** Exact corpus length quantiles ([[graft.ops.Quantiles]]): the
+    * p10/p25/p50/p75/p90/p99 of the per-document token count, exact
+    * and sort-free — distinct-value collapse + the two-level
+    * distributed prefix sum, with each fraction resolved to an
+    * integer target rank so no floating arithmetic touches the
+    * result. The numbers a filter stage turns into "drop below p10 /
+    * cap at p99" thresholds.
+    */
+  val q93LengthQuantiles: Q = (s, d) =>
+    graft.ops.Quantiles.exactQuantiles(
+      Tables.documents(s, d).select(
+        greatest(coalesce(size(TextAnalytics.tokens(col("text"))), lit(0)),
+          lit(0)).cast("long").as("n_tokens")),
+      "n_tokens",
+      Seq(10L -> 100L, 25L -> 100L, 50L -> 100L,
+        75L -> 100L, 90L -> 100L, 99L -> 100L))
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2181,7 +2198,8 @@ object Queries {
     "q89_quality_auc" -> q89QualityAuc,
     "q90_normalize" -> q90Normalize,
     "q91_decontaminate_bloom" -> q91DecontaminateBloom,
-    "q92_heavy_hitters" -> q92HeavyHitters)
+    "q92_heavy_hitters" -> q92HeavyHitters,
+    "q93_length_quantiles" -> q93LengthQuantiles)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3826,7 +3844,27 @@ object Queries {
          n AS (SELECT count(*)::BIGINT AS n FROM g),
          c AS (SELECT term, count(*)::BIGINT AS cnt FROM g GROUP BY term)
          SELECT c.term, c.cnt FROM c, n
-         WHERE c.cnt >= (n.n + 999) // 1000""")
+         WHERE c.cnt >= (n.n + 999) // 1000""",
+    "q93_length_quantiles" ->
+      // type-1 quantile replay: cumulative-count window over distinct
+      // values, integer target rank ceil(num*N/den), pick the value
+      // whose (start, start+cnt] range covers the target
+      s"""WITH v AS (SELECT greatest(coalesce(len($toks), 0), 0)::BIGINT
+             AS value FROM documents),
+         n AS (SELECT count(*)::BIGINT AS n FROM v),
+         c AS (SELECT value, count(*)::BIGINT AS cnt FROM v GROUP BY value),
+         r AS (SELECT value, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start FROM c),
+         qs AS (SELECT pct_num::BIGINT AS pct_num, pct_den::BIGINT AS pct_den
+           FROM (VALUES (10, 100), (25, 100), (50, 100),
+                        (75, 100), (90, 100), (99, 100)) AS t(pct_num, pct_den))
+         SELECT qs.pct_num, qs.pct_den, r.value
+         FROM qs, n, r
+         WHERE r.start < (qs.pct_num * n.n + qs.pct_den - 1) // qs.pct_den
+           AND (qs.pct_num * n.n + qs.pct_den - 1) // qs.pct_den
+             <= r.start + r.cnt""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

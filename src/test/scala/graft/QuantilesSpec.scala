@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantiles
+
+/** Exact sort-free quantiles: must equal the textbook type-1 quantile
+  * (smallest value with ≥ ceil(num·N/den) rows ≤ it) on every input
+  * and partitioning.
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(values: Seq[Long], num: Long, den: Long): Long = {
+    val sorted = values.sorted
+    val target = ((num * values.size + den - 1) / den).toInt
+    sorted(target - 1) // 1-based rank
+  }
+
+  private def run(
+      values: Seq[Long], qs: Seq[(Long, Long)],
+      parts: Int): Map[(Long, Long), Long] =
+    Quantiles.exactQuantiles(
+      spark.createDataset(values).repartition(parts).toDF("v"), "v", qs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("hand case: median and extremes on a tied distribution") {
+    // values: 1×4, 2×3, 5×2, 9×1 → N=10
+    val vs = Seq.fill(4)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(2)(5L) :+ 9L
+    val got = run(vs, Seq(1L -> 10L, 50L -> 100L, 100L -> 100L), 3)
+    // p10: target ceil(1) = 1 → 1; p50: target 5 → 2; p100: target 10 → 9
+    assert(got === Map((1L, 10L) -> 1L, (50L, 100L) -> 2L, (100L, 100L) -> 9L))
+  }
+
+  test("randomized: equals the sorted-rank definition across seeds, " +
+      "fractions, and partitionings") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 100 + rnd.nextInt(3000)
+      // heavy ties: values from a small domain, skewed
+      val vs = Vector.fill(n)((math.pow(rnd.nextDouble(), 3) * 40).toLong)
+      val qs = Seq(1L -> 100L, 10L -> 100L, 25L -> 100L, 50L -> 100L,
+        75L -> 100L, 99L -> 100L, 1L -> 1L)
+      val got = run(vs, qs, 1 + rnd.nextInt(7))
+      qs.foreach { case (num, den) =>
+        assert(got((num, den)) === brute(vs, num, den),
+          s"seed=$seed q=$num/$den")
+      }
+    }
+  }
+
+  test("single row, single value; and empty input yields no rows") {
+    assert(run(Seq(42L), Seq(50L -> 100L), 2) === Map((50L, 100L) -> 42L))
+    assert(Quantiles.exactQuantiles(
+      Seq.empty[Long].toDF("v"), "v", Seq(50L -> 100L)).count() === 0)
+  }
+
+  test("invalid fractions are refused") {
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "v", Seq(0L -> 100L))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "v", Seq(101L -> 100L))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "v", Seq.empty)
+    }
+  }
+}
