@@ -87,7 +87,10 @@ object Bench {
     "q87_corpus_shuffle",
     "q88_pii_redact",
     "q89_quality_auc",
-    "q90_normalize")
+    "q90_normalize",
+    "q91_decontaminate_bloom",
+    "q92_heavy_hitters",
+    "q93_length_quantiles")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

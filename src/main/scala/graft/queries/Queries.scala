@@ -2097,6 +2097,32 @@ object Queries {
       Seq(10L -> 100L, 25L -> 100L, 50L -> 100L,
         75L -> 100L, 90L -> 100L, 99L -> 100L))
 
+  /** Leakage-safe splitting: q67's deterministic md5 split assigns by
+    * DOCUMENT, so two near-duplicates can land in train and test —
+    * the classic evaluation-leakage hole near-dup detection exists to
+    * close. Here the q53 near-dup components supply a group id (each
+    * doc's component representative; singletons are their own group)
+    * and [[graft.ops.Splits.splitLabel]] hashes the GROUP, so an
+    * entire near-dup cluster moves to one split atomically — same
+    * stable-hash reproducibility, zero straddle by construction.
+    */
+  val q94LeakSafeSplit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val comps = graft.ops.Components.components(
+      Dedup.ngramJaccardPairs(
+        docs, "text", "doc_id",
+        blockCol = "lang", shingleN = 2, threshold = 0.5)
+        .select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("group_id"))
+      .withColumn("split",
+        graft.ops.Splits.splitLabel(
+          col("group_id"), Seq("train" -> 90, "val" -> 95), "test"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2199,7 +2225,8 @@ object Queries {
     "q90_normalize" -> q90Normalize,
     "q91_decontaminate_bloom" -> q91DecontaminateBloom,
     "q92_heavy_hitters" -> q92HeavyHitters,
-    "q93_length_quantiles" -> q93LengthQuantiles)
+    "q93_length_quantiles" -> q93LengthQuantiles,
+    "q94_leak_safe_split" -> q94LeakSafeSplit)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3864,7 +3891,43 @@ object Queries {
          FROM qs, n, r
          WHERE r.start < (qs.pct_num * n.n + qs.pct_den - 1) // qs.pct_den
            AND (qs.pct_num * n.n + qs.pct_den - 1) // qs.pct_den
-             <= r.start + r.cnt""")
+             <= r.start + r.cnt""",
+    "q94_leak_safe_split" ->
+      // q53's component derivation, then q67's md5 bucket applied to
+      // the GROUP id (component representative; singletons fall back
+      // to their own doc_id)
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(l) - 1),
+                                          i -> l[i] || ' ' || l[i + 1])) AS g
+           FROM (SELECT doc_id, lang, $toks AS l FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE len(a.g) > 0 AND len(b.g) > 0
+             AND len(list_intersect(a.g, b.g))::DOUBLE /
+                 len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+         e AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION
+           SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM e)
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+         comp AS (SELECT src AS doc_id, min(node) AS component
+                  FROM reach GROUP BY src),
+         g AS (SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN comp c USING (doc_id))
+         SELECT doc_id, group_id,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, group_id,
+                 CAST(('0x' || substring(md5(group_id::VARCHAR), 1, 8))
+                   AS UBIGINT) % 100 AS b
+               FROM g)""")
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of

@@ -96,4 +96,34 @@ class SplitsSpec extends SparkSpec {
       assert(r.getString(2) == expected, r)
     }
   }
+
+  test("group-keyed split (the q94 shape): near-dup groups never " +
+      "straddle splits, even when their members' OWN hashes would") {
+    // ids chosen so per-doc buckets straddle within group A: md5
+    // buckets are 1→train, 8→val (93), 20→test (96); group B =
+    // {10, 11}; singletons 21 (train), 30 (test).
+    val membership = Seq(
+      (1L, 1L), (8L, 1L), (20L, 1L),
+      (10L, 10L), (11L, 10L),
+      (21L, 21L), (30L, 30L)).toDF("doc_id", "group_id")
+    val out = membership.withColumn("split",
+      Splits.splitLabel(col("group_id"), Seq("train" -> 90, "val" -> 95),
+        "test"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // one split per group, always
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, rows.toSeq)
+    }
+    // and the per-doc hash WOULD have straddled group A (sanity that
+    // the test is not vacuous)
+    val own = membership.withColumn("split",
+      Splits.splitLabel(col("doc_id"), Seq("train" -> 90, "val" -> 95),
+        "test"))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toSeq
+    assert(own.filter(_._1 == 1L).map(_._2).distinct.size == 3,
+      "expected ids 1/8/20 to hash into three different splits on their own")
+    // singleton groups degrade to exactly the q67 per-doc assignment
+    val gkeyed = out.filter(r => r._1 >= 21L).map(r => r._1 -> r._3).toMap
+    assert(gkeyed === Map(21L -> "train", 30L -> "test"))
+  }
 }
