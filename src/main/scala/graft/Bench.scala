@@ -90,7 +90,9 @@ object Bench {
     "q90_normalize",
     "q91_decontaminate_bloom",
     "q92_heavy_hitters",
-    "q93_length_quantiles")
+    "q93_length_quantiles",
+    "q94_leak_safe_split",
+    "q95_neardup_pagerank")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -2123,6 +2123,30 @@ object Queries {
           col("group_id"), Seq("train" -> 90, "val" -> 95), "test"))
   }
 
+  /** Near-dup-graph PageRank ([[graft.ops.PageRank]]): link-style
+    * centrality over the symmetrized q53 near-dup pair graph — high
+    * rank marks template/boilerplate hubs (docs similar to MANY
+    * others), the Common-Crawl-lineage signal for demoting
+    * machine-generated filler. 5 fixed iterations, all arithmetic in
+    * exact scaled integers (`div`, no floats), so the mass vector is
+    * bit-identical across engines and partitionings; the oracle
+    * unrolls the same 5 steps as chained CTEs. Isolated docs sit at
+    * exactly the base mass.
+    */
+  val q95NearDupPageRank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id",
+      blockCol = "lang", shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b")
+    val edges = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    graft.ops.PageRank.pageRank(
+      docs.select("doc_id"), edges, "id_a", "id_b", iterations = 5)
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("rank", "rank_scaled")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2226,7 +2250,8 @@ object Queries {
     "q91_decontaminate_bloom" -> q91DecontaminateBloom,
     "q92_heavy_hitters" -> q92HeavyHitters,
     "q93_length_quantiles" -> q93LengthQuantiles,
-    "q94_leak_safe_split" -> q94LeakSafeSplit)
+    "q94_leak_safe_split" -> q94LeakSafeSplit,
+    "q95_neardup_pagerank" -> q95NearDupPageRank)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3927,7 +3952,47 @@ object Queries {
          FROM (SELECT doc_id, group_id,
                  CAST(('0x' || substring(md5(group_id::VARCHAR), 1, 8))
                    AS UBIGINT) % 100 AS b
-               FROM g)""")
+               FROM g)""",
+    "q95_neardup_pagerank" -> q95OracleSql)
+
+  /** The q95 oracle replays the integer PageRank by UNROLLING the
+    * fixed 5 iterations as chained CTEs (standard SQL forbids
+    * aggregates in a recursive term) — generated from the same
+    * constants the engine uses so the two cannot drift.
+    */
+  private lazy val q95OracleSql: String = {
+    val scale = 1000000000L
+    val damp = 85
+    val iters = 5
+    val base = scale * (100L - damp) / 100L
+    val chain = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.doc_id AS node,
+           (${base}::BIGINT + coalesce(s.m, 0)) AS r
+         FROM documents n LEFT JOIN (
+           SELECT e.dst AS node,
+             sum((p.r * $damp) // (100 * e.deg))::BIGINT AS m
+           FROM e JOIN pr${i - 1} p ON p.node = e.src
+           GROUP BY e.dst) s ON s.node = n.doc_id)"""
+    }.mkString(",\n         ")
+    s"""WITH sh AS (
+         SELECT doc_id, lang,
+           list_distinct(list_transform(generate_series(1, len(l) - 1),
+                                        i -> l[i] || ' ' || l[i + 1])) AS g
+         FROM (SELECT doc_id, lang, $toks AS l FROM documents)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE len(a.g) > 0 AND len(b.g) > 0
+           AND len(list_intersect(a.g, b.g))::DOUBLE /
+               len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+       eu AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+       deg AS (SELECT src, count(*)::BIGINT AS deg FROM eu GROUP BY src),
+       e AS (SELECT eu.src, eu.dst, deg.deg FROM eu JOIN deg USING (src)),
+       pr0 AS (SELECT doc_id AS node, ${scale}::BIGINT AS r FROM documents),
+       $chain
+       SELECT node AS doc_id, r AS rank_scaled FROM pr$iters"""
+  }
 
   /** The streaming forms are gated against their batch twins' oracles
     * VERBATIM: on bounded input, streaming sessionization / as-of
