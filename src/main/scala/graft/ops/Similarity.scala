@@ -87,6 +87,61 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training
+    * (DPR/Contriever-style): for every query, the k most similar
+    * corpus items EXCLUDING the query's own near-dup group — similar
+    * enough to be informative negatives, provably not positives. The
+    * group table (e.g. [[Components.components]] over
+    * [[Dedup.embeddingNearDupExact]] pairs) may cover only grouped
+    * ids: ungrouped rows fall back to their own id as a singleton
+    * group, so self-exclusion still holds and nothing else is
+    * excluded. Exclusion happens BEFORE the rank window, so the
+    * output is the true top-k of the eligible set (a post-filter on
+    * plain top-k would return fewer than k).
+    *
+    * Scale shape = [[cosineTopK]]: brute-force scoring with the
+    * byte-budgeted broadcast query side (same refusal + IVF reroute
+    * past the budget); the group attach is one keyed left join per
+    * side, corpus-sized but narrow (id + group).
+    */
+  def cosineTopKExcluding(
+      corpus: DataFrame,
+      queries: DataFrame,
+      groups: DataFrame,
+      idCol: String,
+      groupIdCol: String,
+      groupCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val g = groups.select(col(groupIdCol).cast("long").as("__gid"),
+      col(groupCol).cast("long").as("__grp"))
+    def sided(df: DataFrame, id: String, vec: String, grp: String) =
+      df.select(col(idCol).cast("long").as(id), asDouble(col(vecCol)).as(vec))
+        .join(g.withColumnRenamed("__gid", id), Seq(id), "left")
+        .withColumn(grp, coalesce(col("__grp"), col(id)))
+        .drop("__grp")
+    val c = sided(corpus, "neighbor_id", "cv", "ngrp")
+    val q = sided(queries, "query_id", "qv", "qgrp")
+    SimilarityGuard.broadcastBudgetCheck(
+      q, "qv", levelBroadcastBytes(queries.sparkSession),
+      site = "Similarity.cosineTopKExcluding",
+      reroute = "Re-route bulk mining (corpus-scale query sets) to " +
+        "ivfIndexFor(corpus).probe with a post-join group filter — " +
+        "its bulk path keys on cell and byte-budgets itself")
+    val scored = c
+      .join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") &&
+          col("ngrp") =!= col("qgrp"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Deterministic random hyperplanes (fixed seed) for sign-bit LSH. */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

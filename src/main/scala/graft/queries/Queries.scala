@@ -2147,6 +2147,27 @@ object Queries {
       .withColumnRenamed("rank", "rank_scaled")
   }
 
+  /** Hard-negative mining ([[graft.ops.Similarity
+    * .cosineTopKExcluding]]): for each query embedding, the 5 most
+    * similar corpus vectors excluding the query's own near-dup
+    * component (q50 exact pairs → q53 components) — the contrastive-
+    * training negative sampler that never hands a disguised positive
+    * to the loss. Exclusion precedes the rank window, so the output
+    * is the true top-5 of the eligible set.
+    */
+  val q96HardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val comps = graft.ops.Components.components(
+      Dedup.embeddingNearDupExact(
+        emb, "vec_id", "embedding", threshold = 0.35)
+        .select("id_a", "id_b"))
+    Similarity.cosineTopKExcluding(
+      emb, emb.filter(col("vec_id") < 20), comps,
+      "vec_id", "id", "component", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2251,7 +2272,8 @@ object Queries {
     "q92_heavy_hitters" -> q92HeavyHitters,
     "q93_length_quantiles" -> q93LengthQuantiles,
     "q94_leak_safe_split" -> q94LeakSafeSplit,
-    "q95_neardup_pagerank" -> q95NearDupPageRank)
+    "q95_neardup_pagerank" -> q95NearDupPageRank,
+    "q96_hard_negatives" -> q96HardNegatives)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -3953,7 +3975,36 @@ object Queries {
                  CAST(('0x' || substring(md5(group_id::VARCHAR), 1, 8))
                    AS UBIGINT) % 100 AS b
                FROM g)""",
-    "q95_neardup_pagerank" -> q95OracleSql)
+    "q95_neardup_pagerank" -> q95OracleSql,
+    "q96_hard_negatives" ->
+      // q50's exact pair derivation, the q53 component closure, then
+      // the q21 ranked-knn replay with the same-group join exclusion
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+         ed AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+         reach(src, node) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+           UNION SELECT r.src, ed.v FROM reach r JOIN ed ON ed.u = r.node),
+         comp AS (SELECT src AS id, min(node) AS component
+                  FROM reach GROUP BY src),
+         gq AS (SELECT e.vec_id, e.v,
+                  coalesce(c.component, e.vec_id) AS grp
+                FROM e LEFT JOIN comp c ON c.id = e.vec_id)
+         SELECT query_id, rank, neighbor_id, sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id) AS rank
+           FROM gq q JOIN gq c
+             ON c.vec_id <> q.vec_id AND c.grp <> q.grp
+           WHERE q.vec_id < 20)
+         WHERE rank <= 5""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

@@ -503,4 +503,52 @@ class SimilaritySpec extends SparkSpec {
     // distinct tables give distinct planes
     assert(Similarity.portableHyperplanes(4, 2, 4)(1)(2) != p(1)(2))
   }
+
+  test("cosineTopKExcluding: own-group neighbors are skipped and the " +
+      "output is the true top-k of the ELIGIBLE set") {
+    // group {0,1,2}: near-identical vectors; 3/4 are distinct
+    val base = Array.fill(dim)(1.0f)
+    def jitter(eps: Float) = base.zipWithIndex.map {
+      case (x, i) => x + (if (i == 0) eps else 0f)
+    }
+    val emb = Seq(
+      (0L, jitter(0.001f)), (1L, jitter(0.002f)), (2L, jitter(0.003f)),
+      (3L, Array.fill(dim)(-0.5f).updated(0, 2.0f)),
+      (4L, Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("id", "component")
+    val q = emb.filter(col("vec_id") === 0L)
+    val plain = Similarity
+      .cosineTopK(emb, q, "vec_id", "embedding", k = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val mined = Similarity
+      .cosineTopKExcluding(emb, q, groups,
+        "vec_id", "id", "component", "embedding", k = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    // plain top-2 are the group-mates; mined must be exactly the others
+    assert(plain.toSet === Set(1L, 2L))
+    assert(mined.toSet === Set(3L, 4L))
+    // rank covers the eligible set fully (k rows, ranks 1..k)
+    val ranks = Similarity
+      .cosineTopKExcluding(emb, q, groups,
+        "vec_id", "id", "component", "embedding", k = 2)
+      .select("rank").as[Int].collect().toSeq.sorted
+    assert(ranks === Seq(1, 2))
+  }
+
+  test("cosineTopKExcluding with an EMPTY group table equals cosineTopK " +
+      "(singleton fallback = self-exclusion only)") {
+    val df = vecs.take(40).toDF("vec_id", "embedding")
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    val a = Similarity
+      .cosineTopK(df, df.filter(col("vec_id") < 3), "vec_id", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Similarity
+      .cosineTopKExcluding(df, df.filter(col("vec_id") < 3), empty,
+        "vec_id", "id", "component", "embedding", 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
 }
