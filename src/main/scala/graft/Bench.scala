@@ -92,7 +92,8 @@ object Bench {
     "q92_heavy_hitters",
     "q93_length_quantiles",
     "q94_leak_safe_split",
-    "q95_neardup_pagerank")
+    "q95_neardup_pagerank",
+    "q96_hard_negatives")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -51,8 +51,11 @@ object PlanAudit {
       // q21 is the BRUTE-FORCE exact-cosine BASELINE: a bounded query
       // set broadcast against the streamed corpus IS the intended
       // cross product (its scaladoc says so; q28/q42/q55 are the
-      // scale paths). Everything else must stay keyed.
-      val intendedCross = Set("q21_knn_cosine")
+      // scale paths). q96 is the same brute-force scoring with a
+      // group-exclusion predicate (cosineTopKExcluding inherits
+      // cosineTopK's byte-budgeted broadcast + refusal reroute).
+      // Everything else must stay keyed.
+      val intendedCross = Set("q21_knn_cosine", "q96_hard_negatives")
       var bad = List.empty[String]
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (streaming(name))
