@@ -93,7 +93,8 @@ object Bench {
     "q93_length_quantiles",
     "q94_leak_safe_split",
     "q95_neardup_pagerank",
-    "q96_hard_negatives")
+    "q96_hard_negatives",
+    "q97_inverted_index")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalytics
+
+/** SHARDED inverted index — the retrieval-side artifact (term →
+  * posting list with positions) a corpus pipeline materializes for
+  * BM25/phrase search over its training data. The classic failure at
+  * corpus scale is the unsharded posting row: a stopword's list is
+  * corpus-sized, so "one row per term" OOMs the task that builds it.
+  * Here the posting space is sharded by `doc_id div shardSpan` —
+  * group key (term, shard) — so NO output row ever aggregates more
+  * than `shardSpan` documents, whatever the term's document
+  * frequency; a reader streams a term's shards in doc-id order (the
+  * shard id is the doc-id prefix, so shard order IS doc order).
+  *
+  * Optionally `maxDocFreq` drops terms whose GLOBAL document
+  * frequency exceeds the cap (stopword elision — the standard way to
+  * keep index size proportional to useful postings); the df table is
+  * one extra narrow aggregation.
+  *
+  * Output, one row per (term, shard):
+  * `(term, shard, df_shard, tf_shard, postings_md5)` — counts plus an
+  * md5 digest of the canonical posting serialization
+  * `zeropad12(doc_id):pos,pos,...` joined by `;` in doc-id order
+  * (zero-padding makes lexical order equal numeric order, so any SQL
+  * engine replays the digest byte-for-byte). The digest stands in for
+  * the nested array-of-structs so the artifact is flat, hashable, and
+  * engine-portable; a production sink would keep the arrays.
+  */
+object InvertedIndex {
+
+  def postingShards(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shardSpan: Long,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
+    maxDocFreq.foreach(m => require(m >= 1, s"maxDocFreq must be >= 1, got $m"))
+    val tp = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
+    val scoped = maxDocFreq match {
+      case None => tp
+      case Some(m) =>
+        val df = tp.select("term", "doc_id").distinct()
+          .groupBy("term").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= m)
+          .select("term")
+        tp.join(df, Seq("term"), "left_semi")
+    }
+    val perDoc = scoped
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col("term"),
+        expr(s"doc_id div ${shardSpan}L").as("shard"),
+        size(col("ps")).cast("long").as("tf"),
+        concat(
+          lpad(col("doc_id").cast("string"), 12, "0"), lit(":"),
+          concat_ws(",", transform(col("ps"), _.cast("string")))).as("s"))
+    perDoc
+      .groupBy("term", "shard")
+      .agg(
+        count(lit(1)).as("df_shard"),
+        sum(col("tf")).as("tf_shard"),
+        md5(concat_ws(";", sort_array(collect_list(col("s")))))
+          .as("postings_md5"))
+  }
+}

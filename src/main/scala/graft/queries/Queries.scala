@@ -2168,6 +2168,18 @@ object Queries {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Sharded inverted index ([[graft.ops.InvertedIndex]]): term →
+    * positional posting lists over the corpus, sharded by doc-id span
+    * so no output row aggregates more than `shardSpan` documents
+    * regardless of a term's document frequency (the stopword-row OOM
+    * is unconstructible). Postings ride as an engine-portable md5
+    * digest of the canonical `doc:pos,...` serialization, replayed
+    * byte-for-byte by the oracle.
+    */
+  val q97InvertedIndex: Q = (s, d) =>
+    graft.ops.InvertedIndex.postingShards(
+      Tables.documents(s, d), "text", "doc_id", shardSpan = 100L)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2273,7 +2285,8 @@ object Queries {
     "q93_length_quantiles" -> q93LengthQuantiles,
     "q94_leak_safe_split" -> q94LeakSafeSplit,
     "q95_neardup_pagerank" -> q95NearDupPageRank,
-    "q96_hard_negatives" -> q96HardNegatives)
+    "q96_hard_negatives" -> q96HardNegatives,
+    "q97_inverted_index" -> q97InvertedIndex)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4004,7 +4017,28 @@ object Queries {
            FROM gq q JOIN gq c
              ON c.vec_id <> q.vec_id AND c.grp <> q.grp
            WHERE q.vec_id < 20)
-         WHERE rank <= 5""")
+         WHERE rank <= 5""",
+    "q97_inverted_index" ->
+      // positional postings replay: per-(term,doc) sorted positions,
+      // zero-padded doc prefix makes lexical order numeric, md5 over
+      // the ';'-joined canonical strings per (term, shard)
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         tp AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l)),
+               i -> {'pos': i - 1, 'term': l[i]})) AS u
+           FROM t WHERE len(l) >= 1),
+         f AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tp),
+         pd AS (SELECT term, doc_id, list_sort(list(pos)) AS ps
+                FROM f GROUP BY term, doc_id),
+         sd AS (SELECT term, doc_id // 100 AS shard, len(ps)::BIGINT AS tf,
+                  lpad(doc_id::VARCHAR, 12, '0') || ':' ||
+                    array_to_string(list_transform(ps, x -> x::VARCHAR), ',')
+                    AS s
+                FROM pd)
+         SELECT term, shard, count(*)::BIGINT AS df_shard,
+           sum(tf)::BIGINT AS tf_shard,
+           md5(string_agg(s, ';' ORDER BY s)) AS postings_md5
+         FROM sd GROUP BY term, shard""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

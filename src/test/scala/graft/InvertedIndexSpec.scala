@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.InvertedIndex
+
+/** Sharded positional postings: hand-checkable digests, shard-bound
+  * row sizes, df-cap elision.
+  */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  test("hand case: positions, shard split, and the canonical digest") {
+    val docs = Seq(
+      (1L, "a b a"),      // a@0,2  b@1
+      (2L, "b a"),        // b@0    a@1
+      (150L, "a")         // a@0, lands in shard 1 at span 100
+    ).toDF("doc_id", "text")
+    val out = InvertedIndex.postingShards(docs, "text", "doc_id", 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out.keySet === Set(("a", 0L), ("a", 1L), ("b", 0L)))
+    // term a, shard 0: docs 1 (pos 0,2) and 2 (pos 1)
+    assert(out(("a", 0L))._1 === 2L)
+    assert(out(("a", 0L))._2 === 3L)
+    assert(out(("a", 0L))._3 ===
+      md5Hex("000000000001:0,2;000000000002:1"))
+    // term a, shard 1: doc 150 only
+    assert(out(("a", 1L)) === ((1L, 1L, md5Hex("000000000150:0"))))
+    // term b, shard 0: docs 1 (pos 1) and 2 (pos 0)
+    assert(out(("b", 0L))._3 ===
+      md5Hex("000000000001:1;000000000002:0"))
+  }
+
+  test("no (term, shard) row ever covers more than shardSpan docs, " +
+      "even for a term in EVERY doc") {
+    val docs = (0L until 300L).map(i => (i, "stop word" + (i % 7)))
+      .toDF("doc_id", "text")
+    val out = InvertedIndex.postingShards(docs, "text", "doc_id", 50L)
+    val maxDf = out.where(col("term") === "stop")
+      .agg(max("df_shard")).head().getLong(0)
+    assert(maxDf <= 50L)
+    // 300 docs at span 50 -> exactly 6 shards for the ubiquitous term
+    assert(out.where(col("term") === "stop").count() === 6L)
+  }
+
+  test("maxDocFreq elides stop-terms globally, keeps the rest intact") {
+    val docs = (0L until 40L).map(i => (i, s"common tok$i")).toDF("doc_id", "text")
+    val all = InvertedIndex.postingShards(docs, "text", "doc_id", 10L)
+    val capped = InvertedIndex.postingShards(
+      docs, "text", "doc_id", 10L, maxDocFreq = Some(5L))
+    assert(all.where(col("term") === "common").count() === 4L)
+    assert(capped.where(col("term") === "common").count() === 0L)
+    // the rare terms' rows are untouched by the cap
+    assert(capped.count() === all.count() - 4L)
+  }
+
+  test("deterministic across partitionings") {
+    val docs = (0L until 120L).map(i =>
+      (i, s"w${i % 5} w${i % 11} w${i % 5}")).toDF("doc_id", "text")
+    def run(parts: Int) =
+      InvertedIndex.postingShards(
+        docs.repartition(parts), "text", "doc_id", 30L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    assert(run(1) === run(7))
+  }
+}
