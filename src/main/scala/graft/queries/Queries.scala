@@ -2180,6 +2180,27 @@ object Queries {
     graft.ops.InvertedIndex.postingShards(
       Tables.documents(s, d), "text", "doc_id", shardSpan = 100L)
 
+  /** Watermarked windowed aggregation, streamed ([[graft.streaming
+    * .EventStreams.windowedTypeCounts]]) — the canonical Structured
+    * Streaming primitive (event-time window + watermark + append
+    * emission) run to completion over the bounded events table and
+    * gated against q31's batch hour-binning oracle VERBATIM. One
+    * sentinel 2h past the max stamp pushes the watermark beyond every
+    * real window's end so append mode emits them all; the sentinel's
+    * own window never emits (the watermark cannot pass the last
+    * event's window), so no post-filter is needed.
+    */
+  val q98WindowStream: Q = (s, d) => {
+    import graft.streaming.{EventStreams, StreamGate}
+    val maxNs = StreamGate.maxEventNs(s, d)
+    val dir = StreamGate.stageEvents(s, d, Seq(maxNs + 7200L * 1000000000L))
+    val counts = EventStreams.windowedTypeCounts(
+      StreamGate.streamEvents(s, dir).toDF())
+    StreamGate.runAvailableNow(counts)
+      .select(expr("unix_micros(window_start) div 3600000000").as("bucket"),
+        col("event_type"), col("n_events"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2286,7 +2307,8 @@ object Queries {
     "q94_leak_safe_split" -> q94LeakSafeSplit,
     "q95_neardup_pagerank" -> q95NearDupPageRank,
     "q96_hard_negatives" -> q96HardNegatives,
-    "q97_inverted_index" -> q97InvertedIndex)
+    "q97_inverted_index" -> q97InvertedIndex,
+    "q98_window_stream" -> q98WindowStream)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4087,6 +4109,8 @@ object Queries {
     "q59_sessionize_stream" -> oraclesBase("q10_sessionize"),
     "q60_asof_stream" -> oraclesBase("q39_asof_join"),
     "q61_components_stream" -> oraclesBase("q53_dedup_components"),
+    // watermarked windowed agg on bounded input == the batch hour bins
+    "q98_window_stream" -> oraclesBase("q31_hour_bins"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,
