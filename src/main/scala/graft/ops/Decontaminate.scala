@@ -81,6 +81,13 @@ object Decontaminate {
         (col("n_hit") > 0).as("contaminated"))
   }
 
+  /** Bench gram payload below which [[bloomOverlap]] delegates to the
+    * plain screen: a payload this small broadcasts RAW, the training
+    * grams never shuffle, and a prefilter could only add cost.
+    */
+  val BenchDelegateBytesKey = "graft.decontaminate.benchBroadcastBytes"
+  val DefaultBenchDelegateBytes: Long = 32L << 20
+
   /** [[ngramOverlap]] with a broadcast Bloom PREFILTER on the training
     * side — same output, bit-for-bit, different shuffle bill. The
     * plain screen shuffles every distinct training gram into the
@@ -102,10 +109,29 @@ object Decontaminate {
     * spine LEFT-joins the counts (id + one long — the narrow shuffle).
     * For a typical contamination rate (≪1% of grams hit), the gram
     * exchange shrinks by orders of magnitude; the price is one extra
-    * pass over the (small) benchmark side to build the sketch and the
-    * broadcast of a budget-capped bitset
+    * pass over the (small) benchmark side to build the sketch, a
+    * SECOND tokenize+shingle pass over the training side (the spine),
+    * and the broadcast of a budget-capped bitset
     * ([[graft.functions.Bloom.BloomBytesKey]] — capping degrades
     * selectivity, never results).
+    *
+    * REGIME — measured, and the op ROUTES ITSELF
+    * (`tools/check_sf10_r14.txt` SketchAudit): when the benchmark
+    * gram payload fits a broadcast ([[BenchDelegateBytesKey]], default
+    * 32 MiB), the PLAIN screen is already optimal — Catalyst
+    * broadcasts the bench side and the training grams never cross an
+    * exchange (map-side combine collapses the per-doc aggregation),
+    * so a prefilter can only add overhead (measured 7.7× at a %1000
+    * split, 100×). bloomOverlap therefore PRICES the bench payload
+    * with the same count job that sizes the sketch and DELEGATES to
+    * [[ngramOverlap]] under the budget — identical output by
+    * construction. Above it, the bitset is the COMPRESSED broadcast
+    * (a 50M-gram benchmark is GBs raw, tens of MB sketched) and the
+    * prefilter is what keeps the training side from shuffling; its
+    * win then scales with (1 − selectivity), and a benchmark covering
+    * most of the corpus vocabulary (the 61%-selectivity %10 split) is
+    * the documented adversarial case where even that loses to the
+    * plain shuffle.
     */
   def bloomOverlap(
       train: DataFrame,
@@ -113,7 +139,8 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       n: Int,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      delegateBytes: Option[Long] = None): DataFrame = {
     val spark = train.sparkSession
     def grams(docs: DataFrame) = docs
       .select(col(idCol).as("id"),
@@ -124,9 +151,26 @@ object Decontaminate {
       .select(explode(col("grams")).as("gram"))
       .distinct()
 
-    // One count job over the (small) benchmark side sizes the sketch's
-    // hash count; the byte budget caps the bitset.
-    val nBench = benchGrams.count()
+    // ONE job over the (small) benchmark side both prices the payload
+    // (delegate?) and sizes the sketch's hash count; the byte budget
+    // caps the bitset.
+    val stats = benchGrams
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col("gram"))), lit(0L)).as("bytes"))
+      .head()
+    val nBench = stats.getLong(0)
+    val benchPayload = stats.getLong(1) + nBench * 48L // string + row overhead
+    val delegateBudget = delegateBytes.orElse(
+      spark.conf.getOption(BenchDelegateBytesKey).map(_.toLong))
+      .getOrElse(DefaultBenchDelegateBytes)
+    if (benchPayload <= delegateBudget) {
+      log.info(
+        s"bloomOverlap: bench gram payload $benchPayload B (" +
+          s"$nBench grams) fits the $delegateBudget B broadcast budget " +
+          s"($BenchDelegateBytesKey) — the plain screen broadcasts raw " +
+          "and shuffles nothing; delegating to ngramOverlap")
+      return ngramOverlap(train, bench, textCol, idCol, n)
+    }
     val filter = graft.functions.Bloom.buildString(
       benchGrams, "gram", nBench, fpp,
       graft.functions.Bloom.bloomBytes(spark))

@@ -2058,7 +2058,11 @@ object Queries {
     graft.ops.Decontaminate.bloomOverlap(
       docs.where(col("doc_id") % 10 =!= 0),
       docs.where(col("doc_id") % 10 === 0),
-      "text", "doc_id", n = 3)
+      "text", "doc_id", n = 3,
+      // the gate must exercise the SKETCH machinery at every SF; at
+      // sf0.01 the tiny bench would otherwise self-route to the plain
+      // screen (same rows — the routing is a cost call, not semantics)
+      delegateBytes = Some(0L))
       .withColumnRenamed("id", "doc_id")
   }
 

@@ -295,19 +295,28 @@ class DecontaminateSpec extends SparkSpec {
         r.getDouble(3), r.getBoolean(4)))
       .toSet
 
+  private def forcingSketchPath[T](f: => T): T = {
+    // a tiny bench fits any sane broadcast budget, so the self-routing
+    // would delegate to the plain screen — force the sketch machinery
+    spark.conf.set(Decontaminate.BenchDelegateBytesKey, "0")
+    try f finally spark.conf.unset(Decontaminate.BenchDelegateBytesKey)
+  }
+
   test("bloomOverlap is bit-identical to ngramOverlap (null text included)") {
-    val train = bloomTrain.toDF("id", "text")
-    val bench = bloomBench.toDF("id", "text")
-    val exact = asRows(Decontaminate.ngramOverlap(train, bench, "text", "id", 3))
-    val bloom = asRows(Decontaminate.bloomOverlap(train, bench, "text", "id", 3))
-    assert(bloom === exact)
-    assert(bloom.map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
+    forcingSketchPath {
+      val train = bloomTrain.toDF("id", "text")
+      val bench = bloomBench.toDF("id", "text")
+      val exact = asRows(Decontaminate.ngramOverlap(train, bench, "text", "id", 3))
+      val bloom = asRows(Decontaminate.bloomOverlap(train, bench, "text", "id", 3))
+      assert(bloom === exact)
+      assert(bloom.map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
+    }
   }
 
   test("bloomOverlap under a 1-byte budget (saturated filter, all false " +
       "positives) still verifies exactly") {
     spark.conf.set(graft.functions.Bloom.BloomBytesKey, "1")
-    try {
+    try forcingSketchPath {
       val train = bloomTrain.toDF("id", "text")
       val bench = bloomBench.toDF("id", "text")
       assert(
@@ -318,11 +327,24 @@ class DecontaminateSpec extends SparkSpec {
 
   test("bloomOverlap's candidate prefilter is in the plan (codegen predicate " +
       "before the gram join)") {
-    val out = Decontaminate.bloomOverlap(
-      bloomTrain.toDF("id", "text"), bloomBench.toDF("id", "text"),
-      "text", "id", 3)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_might_contain"))
+    forcingSketchPath {
+      val out = Decontaminate.bloomOverlap(
+        bloomTrain.toDF("id", "text"), bloomBench.toDF("id", "text"),
+        "text", "id", 3)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_might_contain"))
+    }
+  }
+
+  test("bloomOverlap self-routes: a broadcast-sized bench delegates to " +
+      "the plain screen (no sketch in the plan), same rows") {
+    val train = bloomTrain.toDF("id", "text")
+    val bench = bloomBench.toDF("id", "text")
+    val out = Decontaminate.bloomOverlap(train, bench, "text", "id", 3)
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+    assert(asRows(out) ===
+      asRows(Decontaminate.ngramOverlap(train, bench, "text", "id", 3)))
   }
 
   test("Bloom.buildString caps the bitset at the byte budget and never " +
