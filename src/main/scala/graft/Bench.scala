@@ -94,7 +94,8 @@ object Bench {
     "q94_leak_safe_split",
     "q95_neardup_pagerank",
     "q96_hard_negatives",
-    "q97_inverted_index")
+    "q97_inverted_index",
+    "q99_snapshot_diff")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

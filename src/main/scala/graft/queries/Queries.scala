@@ -2205,6 +2205,24 @@ object Queries {
         col("event_type"), col("n_events"))
   }
 
+  /** Corpus snapshot diff ([[graft.ops.SnapshotDiff]]): the version
+    * audit between two corpus releases — added/removed/changed/
+    * unchanged per doc with content digests — simulated here as two
+    * overlapping slices of the documents table with an 11-periodic
+    * text edit. One full-outer id join; the `added ∪ changed` slice
+    * is what an incremental re-screen consumes.
+    */
+  val q99SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.ops.SnapshotDiff.diff(v1, v2, "doc_id", Seq("text", "lang"))
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2312,7 +2330,8 @@ object Queries {
     "q95_neardup_pagerank" -> q95NearDupPageRank,
     "q96_hard_negatives" -> q96HardNegatives,
     "q97_inverted_index" -> q97InvertedIndex,
-    "q98_window_stream" -> q98WindowStream)
+    "q98_window_stream" -> q98WindowStream,
+    "q99_snapshot_diff" -> q99SnapshotDiff)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4064,7 +4083,27 @@ object Queries {
          SELECT term, shard, count(*)::BIGINT AS df_shard,
            sum(tf)::BIGINT AS tf_shard,
            md5(string_agg(s, ';' ORDER BY s)) AS postings_md5
-         FROM sd GROUP BY term, shard""")
+         FROM sd GROUP BY term, shard""",
+    "q99_snapshot_diff" ->
+      // same chr(1)-separated chr(2)-null-marked digest on both
+      // engines; full outer join classifies
+      """WITH v1 AS (SELECT doc_id,
+             md5(concat_ws(chr(1), coalesce(text, chr(2)),
+               coalesce(lang, chr(2)))) AS old_md5
+           FROM documents WHERE doc_id % 7 <> 0),
+         v2 AS (SELECT doc_id,
+             md5(concat_ws(chr(1),
+               coalesce(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                             ELSE text END, chr(2)),
+               coalesce(lang, chr(2)))) AS new_md5
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 = new_md5 THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_md5, new_md5
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
