@@ -2223,6 +2223,43 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Incremental decontamination — the capstone the q99 diff exists
+    * for: between corpus versions, re-screen ONLY the added∪changed
+    * documents and CARRY the previous round's rows for unchanged ones
+    * (valid because the benchmark set is fixed across versions — the
+    * per-doc screen is a pure function of (doc text, benchmark), so an
+    * unchanged digest implies an unchanged result). At 100 TB with a
+    * ~1% daily churn this turns a corpus-sized screen into a
+    * churn-sized one. The ORACLE IS THE EQUIVALENCE PROOF: it replays
+    * the FULL screen over v2 — the incremental result must be
+    * hash-identical to recomputing everything.
+    */
+  val q100IncrementalDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.where(col("doc_id") % 20 === 0) // fixed benchmark
+    val pool = docs.where(col("doc_id") % 20 =!= 0)
+    val v1 = pool.where(col("doc_id") % 7 =!= 0)
+    val v2 = pool.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    // the previous round's artifact (in production: read back, not
+    // recomputed — recomputed here so the query is self-contained)
+    val prior = graft.ops.Decontaminate.ngramOverlap(
+      v1, bench, "text", "doc_id", n = 4)
+    val delta = graft.ops.SnapshotDiff.diff(
+      v1, v2, "doc_id", Seq("text")).withColumnRenamed("id", "doc_id")
+    val carried = prior.withColumnRenamed("id", "doc_id")
+      .join(delta.where(col("status") === "unchanged").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val rescreen = graft.ops.Decontaminate.ngramOverlap(
+      v2.join(delta.where(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"),
+      bench, "text", "doc_id", n = 4)
+      .withColumnRenamed("id", "doc_id")
+    carried.unionByName(rescreen)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2331,7 +2368,8 @@ object Queries {
     "q96_hard_negatives" -> q96HardNegatives,
     "q97_inverted_index" -> q97InvertedIndex,
     "q98_window_stream" -> q98WindowStream,
-    "q99_snapshot_diff" -> q99SnapshotDiff)
+    "q99_snapshot_diff" -> q99SnapshotDiff,
+    "q100_incremental_decontaminate" -> q100IncrementalDecontaminate)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4103,7 +4141,39 @@ object Queries {
                 WHEN old_md5 = new_md5 THEN 'unchanged'
                 ELSE 'changed' END AS status,
            old_md5, new_md5
-         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""")
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
+    "q100_incremental_decontaminate" ->
+      // THE EQUIVALENCE PROOF: the oracle is the FULL 4-gram screen
+      // over v2 — the engine's carry-unchanged + re-screen-delta
+      // union must hash-match recomputing everything from scratch
+      s"""WITH v2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 5 <> 0),
+         tv AS (SELECT doc_id, $toks AS l FROM v2),
+         gt AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 3),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
+               AS gram
+           FROM tv WHERE len(l) >= 4),
+         tb AS (SELECT $toks AS l FROM documents WHERE doc_id % 20 = 0),
+         gb0 AS (SELECT
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 3),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])))
+               AS gram
+           FROM tb WHERE len(l) >= 4),
+         gb AS (SELECT DISTINCT gram FROM gb0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM gt GROUP BY doc_id),
+         hits AS (SELECT gt.doc_id, count(*) AS n_hit
+                  FROM gt JOIN gb USING (gram) GROUP BY gt.doc_id)
+         SELECT v2.doc_id,
+           coalesce(tot.n_grams, 0) AS n_grams,
+           coalesce(hits.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(tot.n_grams, 0) > 0
+             THEN round(coalesce(hits.n_hit, 0)::DOUBLE / tot.n_grams, 4)
+             ELSE 0.0 END AS hit_frac,
+           coalesce(hits.n_hit, 0) > 0 AS contaminated
+         FROM v2 LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

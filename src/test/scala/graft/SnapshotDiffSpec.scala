@@ -42,6 +42,36 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got(1L) === "changed")
   }
 
+  test("incremental screen (carry unchanged + re-screen delta) equals " +
+      "the full re-screen — the q100 equivalence, unit-scale") {
+    import graft.ops.Decontaminate
+    val bench = Seq((100L, "the quick brown fox jumps over it"))
+      .toDF("id", "text")
+    val v1 = Seq(
+      (1L, "a quick brown fox jumps here"), // will change in v2
+      (2L, "totally unrelated words here today"),
+      (3L, "the quick brown fox jumps over it")) // removed in v2
+      .toDF("id", "text")
+    val v2 = Seq(
+      (1L, "a quick brown fox jumps ELSEWHERE"),
+      (2L, "totally unrelated words here today"),
+      (4L, "fox jumps over it yes")) // added
+      .toDF("id", "text")
+    val full = Decontaminate.ngramOverlap(v2, bench, "text", "id", 3)
+      .collect().map(_.toSeq).toSet
+    val delta = SnapshotDiff.diff(v1, v2, "id", Seq("text"))
+    val carried = Decontaminate.ngramOverlap(v1, bench, "text", "id", 3)
+      .join(delta.where(col("status") === "unchanged").select("id"),
+        Seq("id"), "left_semi")
+    val rescreen = Decontaminate.ngramOverlap(
+      v2.join(delta.where(col("status").isin("added", "changed"))
+        .select("id"), Seq("id"), "left_semi"),
+      bench, "text", "id", 3)
+    val incremental = carried.unionByName(rescreen)
+      .collect().map(_.toSeq).toSet
+    assert(incremental === full)
+  }
+
   test("deterministic across partitionings") {
     val oldV = (0L until 500L).map(i => (i, s"t$i", "en"))
     val newV = (100L until 600L).map(i =>
