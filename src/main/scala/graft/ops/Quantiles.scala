@@ -59,6 +59,15 @@ object Quantiles {
     try {
       val nRow = staged.agg(coalesce(sum("cnt"), lit(0L))).head()
       val n = nRow.getLong(0)
+      // the target-rank product must stay exact: refuse fractions whose
+      // numerator could overflow num·N (practical only for extreme
+      // num/den pairs on 10^17+-row corpora)
+      quantiles.foreach { case (num, _) =>
+        require(n == 0 || num <= Long.MaxValue / n,
+          s"quantile numerator $num times corpus size $n would overflow " +
+            "Long — reduce the fraction (e.g. 999999/1000000 on a " +
+            "smaller base)")
+      }
       val targets = array(quantiles.map { case (num, den) =>
         struct(
           lit(num).as("pct_num"),
