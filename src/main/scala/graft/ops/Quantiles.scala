@@ -90,4 +90,44 @@ object Quantiles {
       org.apache.spark.sql.classic.GraftColumnBridge
         .unpersistLocalCheckpoint(staged)
   }
+
+  /** Per-row EXACT percentile rank of an integral column — the
+    * enrichment form of [[exactQuantiles]] ("how deep into the length
+    * distribution is THIS doc"), published as the SQL-standard
+    * `percent_rank` in exact parts-per-million:
+    * `pct_rank_ppm = floor(count(values < v) · 10⁶ / (N − 1))`
+    * (single-row corpora rank 0; null values rank null). The naive
+    * plan is `percent_rank() OVER (ORDER BY v)` — a global sort with
+    * a one-task window; here the distinct-value table is ranked by
+    * the distributed prefix sum and the corpus re-joins it BY VALUE
+    * (the rank is a pure function of the value), a narrow keyed join
+    * the planner broadcasts when the value domain is small.
+    *
+    * Returns `df`'s columns plus `pct_rank_ppm`. The staged
+    * distinct-value table stays checkpointed for the returned plan's
+    * lifetime (it cannot be released before the caller evaluates the
+    * enrichment); for the bounded domains this exists for — lengths,
+    * fixed-point scores — that is KBs of executor state, the
+    * jaccardScreen precedent.
+    */
+  def percentileRanks(df: DataFrame, valueCol: String): DataFrame = {
+    // null values are OUTSIDE the distribution (they re-join as null
+    // rank anyway); left in, their group would rank first and shift
+    // every real value's below-count
+    val byValue = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__g", lit(0))
+    val staged = byValue.localCheckpoint()
+    val n = staged.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val denom = math.max(n - 1L, 1L)
+    require(n == 0 || Long.MaxValue / 1000000L >= n,
+      s"corpus size $n would overflow the ppm product")
+    val ranked = Packing.startOffsetsAuto(staged, "__g", "__v", "cnt")
+      .select(col("__v"),
+        expr(s"start_offset * 1000000 div ${denom}L").as("pct_rank_ppm"))
+    df.join(ranked, df(valueCol).cast("long") === col("__v"), "left")
+      .drop("__v")
+  }
 }

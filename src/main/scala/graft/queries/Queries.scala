@@ -2260,6 +2260,21 @@ object Queries {
     carried.unionByName(rescreen)
   }
 
+  /** Per-doc percentile rank ([[graft.ops.Quantiles.percentileRanks]]):
+    * every document's exact position in the token-count distribution
+    * as SQL `percent_rank` in integer ppm — the per-row complement of
+    * q93's thresholds ("drop everything below p10" needs the
+    * thresholds; "weight by length percentile" needs this). Rank via
+    * the distributed prefix sum + a value-keyed re-join; no global
+    * sort, no one-task window.
+    */
+  val q101PercentileRank: Q = (s, d) =>
+    graft.ops.Quantiles.percentileRanks(
+      Tables.documents(s, d).select(col("doc_id"),
+        greatest(coalesce(size(TextAnalytics.tokens(col("text"))), lit(0)),
+          lit(0)).cast("long").as("n_tokens")),
+      "n_tokens")
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2369,7 +2384,8 @@ object Queries {
     "q97_inverted_index" -> q97InvertedIndex,
     "q98_window_stream" -> q98WindowStream,
     "q99_snapshot_diff" -> q99SnapshotDiff,
-    "q100_incremental_decontaminate" -> q100IncrementalDecontaminate)
+    "q100_incremental_decontaminate" -> q100IncrementalDecontaminate,
+    "q101_percentile_rank" -> q101PercentileRank)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4173,7 +4189,23 @@ object Queries {
              THEN round(coalesce(hits.n_hit, 0)::DOUBLE / tot.n_grams, 4)
              ELSE 0.0 END AS hit_frac,
            coalesce(hits.n_hit, 0) > 0 AS contaminated
-         FROM v2 LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)""")
+         FROM v2 LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)""",
+    "q101_percentile_rank" ->
+      // cumulative-count window over distinct values replays the
+      // prefix-sum rank; the ppm product in pure integer arithmetic
+      s"""WITH v AS (SELECT doc_id,
+             greatest(coalesce(len($toks), 0), 0)::BIGINT AS n_tokens
+           FROM documents),
+         n AS (SELECT count(*)::BIGINT AS n FROM v),
+         c AS (SELECT n_tokens AS val, count(*)::BIGINT AS cnt
+               FROM v GROUP BY 1),
+         r AS (SELECT val,
+             coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start FROM c)
+         SELECT v.doc_id, v.n_tokens,
+           (r.start * 1000000) // greatest(n.n - 1, 1) AS pct_rank_ppm
+         FROM v CROSS JOIN n JOIN r ON r.val = v.n_tokens""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

@@ -56,6 +56,42 @@ class QuantilesSpec extends SparkSpec {
       Seq.empty[Long].toDF("v"), "v", Seq(50L -> 100L)).count() === 0)
   }
 
+  test("percentileRanks equals the SQL percent_rank definition on tied, " +
+      "skewed data across partitionings") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(1000)
+      val vs = Vector.fill(n)((math.pow(rnd.nextDouble(), 2) * 25).toLong)
+      val denom = math.max(n - 1L, 1L)
+      val expected =
+        vs.map(v => v -> vs.count(_ < v).toLong * 1000000L / denom).toMap
+      val got = graft.ops.Quantiles.percentileRanks(
+        spark.createDataset(vs).repartition(1 + rnd.nextInt(5)).toDF("v"),
+        "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      expected.foreach { case (v, ppm) =>
+        assert(got(v) === ppm, s"seed=$seed v=$v")
+      }
+    }
+  }
+
+  test("percentileRanks: single row ranks 0; null value ranks null; " +
+      "extra columns pass through") {
+    val one = graft.ops.Quantiles.percentileRanks(
+      Seq((7L, 42L)).toDF("id", "v"), "v").collect()
+    assert(one.length === 1 && one(0).getLong(2) === 0L)
+    val withNull = graft.ops.Quantiles.percentileRanks(
+      Seq((1L, java.lang.Long.valueOf(5L)),
+        (2L, null.asInstanceOf[java.lang.Long]),
+        (3L, java.lang.Long.valueOf(9L))).toDF("id", "v"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(withNull(2L) === None)
+    // null is outside the distribution: N = 2 non-null, denom = 1
+    assert(withNull(1L) === Some(0L))
+    assert(withNull(3L) === Some(1000000L))
+  }
+
   test("invalid fractions are refused") {
     val df = Seq(1L).toDF("v")
     intercept[IllegalArgumentException] {
