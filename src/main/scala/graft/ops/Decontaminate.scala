@@ -154,9 +154,13 @@ object Decontaminate {
     // ONE job over the (small) benchmark side both prices the payload
     // (delegate?) and sizes the sketch's hash count; the byte budget
     // caps the bitset.
+    // octet_length, not length: the budget is BYTES and char count
+    // under-prices multi-byte text up to 4x — a near-budget corpus
+    // must not route to the raw broadcast with a larger real payload
+    // than priced
     val stats = benchGrams
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(length(col("gram"))), lit(0L)).as("bytes"))
+        coalesce(sum(octet_length(col("gram"))), lit(0L)).as("bytes"))
       .head()
     val nBench = stats.getLong(0)
     val benchPayload = stats.getLong(1) + nBench * 48L // string + row overhead

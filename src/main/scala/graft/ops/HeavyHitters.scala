@@ -201,17 +201,31 @@ object HeavyHitters {
 
   /** All terms with count ≥ ceil(N / denom) and their EXACT counts:
     * `(termCol, cnt)`. `terms` is one term occurrence per row (nulls
-    * ignored); it is evaluated twice — once for the sketch+total,
+    * ignored); it is evaluated TWICE — once for the sketch+total,
     * once for the verify — both column-pruned scans, neither
-    * materialized.
+    * materialized. The two passes must see the same rows, so the
+    * input plan must be deterministic (the Decontaminate recompute
+    * contract): a plan that re-rolls between evaluations — `rand()`
+    * without a seed, an unsorted `limit` — would silently void both
+    * the MG candidate-completeness bound and the ≥-threshold
+    * exactness. Plans with detectably non-deterministic EXPRESSIONS
+    * are auto-pinned with a localCheckpoint (held for the returned
+    * plan's lifetime — the verify side reads it lazily); order-level
+    * non-determinism (limit without sort) is undetectable and stays
+    * the caller's obligation.
     */
   def heavyHitters(
-      terms: DataFrame,
+      terms0: DataFrame,
       termCol: String,
       denom: Long,
       inSetMax: Int = InSetMax): DataFrame = {
     require(denom >= 1 && denom < MaxCounters,
       s"denom must be in [1, ${MaxCounters - 1}], got $denom")
+    val terms =
+      if (terms0.queryExecution.analyzed.exists(
+          _.expressions.exists(e => e.exists(!_.deterministic))))
+        terms0.localCheckpoint()
+      else terms0
     val k = denom.toInt + 1
     // Bounded collect: one row, candidate array ≤ k (require-gated).
     val row = terms

@@ -32,6 +32,15 @@ import graft.functions.TextAnalytics
   */
 object InvertedIndex {
 
+  /** Doc ids must sit in [0, 10^12): `lpad(id, 12)` TRUNCATES (not
+    * pads) longer strings on both Spark and DuckDB, so two ids ≥ 10^12
+    * would collide in the canonical serialization, and a negative id's
+    * '-' breaks lexical-order-equals-doc-order. Out-of-range ids fail
+    * the scan loudly (codegen `raise_error`, no extra pass) instead of
+    * corrupting the digest.
+    */
+  val MaxDocId: Long = 1000000000000L
+
   def postingShards(
       docs: DataFrame,
       textCol: String,
@@ -40,8 +49,13 @@ object InvertedIndex {
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
     maxDocFreq.foreach(m => require(m >= 1, s"maxDocFreq must be >= 1, got $m"))
+    val rawId = col(idCol).cast("long")
+    val checkedId = when(rawId >= 0L && rawId < MaxDocId, rawId)
+      .otherwise(raise_error(concat(
+        lit("postingShards: doc id out of the zero-pad range [0, 1e12): "),
+        rawId.cast("string"))).cast("long"))
     val tp = docs.select(
-      col(idCol).cast("long").as("doc_id"),
+      checkedId.as("doc_id"),
       posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
     val scoped = maxDocFreq match {
       case None => tp

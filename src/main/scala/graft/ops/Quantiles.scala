@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Byte budget for the checkpointed distinct-value rank table
+    * [[percentileRanks]] pins for the returned plan's lifetime.
+    * Modeled at [[RankRowBytes]] per distinct value; a column whose
+    * domain prices over the budget is refused by name (the guard that
+    * makes "percentile-rank a corpus-cardinality column" impossible
+    * to do by accident — that misuse would pin corpus-sized
+    * checkpoint blocks on the executors with no release point).
+    */
+  val RankTableBytesKey = "graft.quantiles.rankTableBytes"
+  val DefaultRankTableBytes: Long = 256L << 20
+  /** Cost model for one ranked distinct value: two longs + unsafe-row
+    * + block-manager overhead.
+    */
+  val RankRowBytes = 48L
+
   /** Exact quantiles of `valueCol` (cast to long) at the rational
     * fractions `quantiles` = (num, den) pairs, 0 < num ≤ den. Output:
     * one row per requested fraction, `(pct_num, pct_den, value)`;
@@ -60,11 +75,13 @@ object Quantiles {
       val nRow = staged.agg(coalesce(sum("cnt"), lit(0L))).head()
       val n = nRow.getLong(0)
       // the target-rank product must stay exact: refuse fractions whose
-      // numerator could overflow num·N (practical only for extreme
-      // num/den pairs on 10^17+-row corpora)
-      quantiles.foreach { case (num, _) =>
-        require(n == 0 || num <= Long.MaxValue / n,
-          s"quantile numerator $num times corpus size $n would overflow " +
+      // FULL addend `num·N + den − 1` could overflow (not just the
+      // product — when num·N lands within den−1 of Long.MaxValue the
+      // addition still wraps; practical only for extreme num/den pairs
+      // on 10^17+-row corpora)
+      quantiles.foreach { case (num, den) =>
+        require(n == 0 || num <= (Long.MaxValue - den + 1L) / n,
+          s"quantile target rank ($num*$n + $den - 1) would overflow " +
             "Long — reduce the fraction (e.g. 999999/1000000 on a " +
             "smaller base)")
       }
@@ -108,7 +125,8 @@ object Quantiles {
     * lifetime (it cannot be released before the caller evaluates the
     * enrichment); for the bounded domains this exists for — lengths,
     * fixed-point scores — that is KBs of executor state, the
-    * jaccardScreen precedent.
+    * jaccardScreen precedent. A domain over the [[RankTableBytesKey]]
+    * byte budget is REFUSED by name (no silent corpus-sized pin).
     */
   def percentileRanks(df: DataFrame, valueCol: String): DataFrame = {
     // null values are OUTSIDE the distribution (they re-join as null
@@ -120,7 +138,27 @@ object Quantiles {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__g", lit(0))
     val staged = byValue.localCheckpoint()
-    val n = staged.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    // ONE row over the staged table both sizes the pinned rank table
+    // (distinct count × RankRowBytes vs the budget) and totals N.
+    val statsRow = staged
+      .agg(count(lit(1)).as("d"), coalesce(sum("cnt"), lit(0L)).as("n"))
+      .head()
+    val distinctVals = statsRow.getLong(0)
+    val budget = df.sparkSession.conf.getOption(RankTableBytesKey)
+      .map(_.toLong).getOrElse(DefaultRankTableBytes)
+    if (distinctVals * RankRowBytes > budget) {
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(staged)
+      throw new IllegalArgumentException(
+        s"percentileRanks: $distinctVals distinct '$valueCol' values " +
+          s"price the pinned rank table at ${distinctVals * RankRowBytes} B " +
+          s"(> $budget B, $RankTableBytesKey). This op pins the table " +
+          "for the returned plan's LIFETIME and exists for bounded " +
+          "domains (lengths, fixed-point scores); for a " +
+          "corpus-cardinality column use exactQuantiles (released " +
+          "eagerly) or raise the budget explicitly.")
+    }
+    val n = statsRow.getLong(1)
     val denom = math.max(n - 1L, 1L)
     require(n == 0 || Long.MaxValue / 1000000L >= n,
       s"corpus size $n would overflow the ppm product")

@@ -41,6 +41,19 @@ class HeavyHittersSpec extends SparkSpec {
       assert(run(terms, 20, parts) === expected, s"parts=$parts")
   }
 
+  test("a plan with non-deterministic expressions is auto-pinned: the " +
+      "sketch and verify passes see the same rows") {
+    // rand(42) < 2.0 is always true, so the VALUES are known, but the
+    // expression flags the plan non-deterministic — exercising the
+    // localCheckpoint branch; the answer must still equal brute force
+    val terms = (1 to 50).flatMap(i => Seq.fill(i)(s"t${i % 5}"))
+    val df = spark.createDataset(terms).toDF("term")
+      .where(rand(42) < 2.0)
+    val got = HeavyHitters.heavyHitters(df, "term", denom = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === brute(terms, 10L))
+  }
+
   test("randomized: equals brute force across seeds, denoms, layouts") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)

@@ -61,6 +61,20 @@ class InvertedIndexSpec extends SparkSpec {
     assert(capped.count() === all.count() - 4L)
   }
 
+  test("ids outside [0, 1e12) fail loudly instead of corrupting the " +
+      "zero-pad serialization") {
+    def run(id: Long) =
+      InvertedIndex.postingShards(
+        Seq((id, "a b")).toDF("doc_id", "text"), "text", "doc_id", 10L)
+        .collect()
+    val big = intercept[Exception] { run(1000000000000L) }
+    assert(big.getMessage.contains("zero-pad"))
+    val neg = intercept[Exception] { run(-1L) }
+    assert(neg.getMessage.contains("zero-pad"))
+    // the max in-range id still pads to exactly 12 digits
+    assert(run(999999999999L).nonEmpty)
+  }
+
   test("deterministic across partitionings") {
     val docs = (0L until 120L).map(i =>
       (i, s"w${i % 5} w${i % 11} w${i % 5}")).toDF("doc_id", "text")

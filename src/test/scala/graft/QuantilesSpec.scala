@@ -92,6 +92,24 @@ class QuantilesSpec extends SparkSpec {
     assert(withNull(3L) === Some(1000000L))
   }
 
+  test("percentileRanks refuses a domain over the rank-table byte " +
+      "budget by name, and honors the conf-key escape hatch") {
+    val df = spark.range(100).toDF("v")
+    spark.conf.set(graft.ops.Quantiles.RankTableBytesKey,
+      (10L * graft.ops.Quantiles.RankRowBytes).toString)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quantiles.percentileRanks(df, "v")
+      }
+      assert(e.getMessage.contains(graft.ops.Quantiles.RankTableBytesKey))
+      assert(e.getMessage.contains("exactQuantiles"))
+      // raising the budget back over the domain admits the same frame
+      spark.conf.set(graft.ops.Quantiles.RankTableBytesKey,
+        (1000L * graft.ops.Quantiles.RankRowBytes).toString)
+      assert(Quantiles.percentileRanks(df, "v").count() === 100L)
+    } finally spark.conf.unset(graft.ops.Quantiles.RankTableBytesKey)
+  }
+
   test("invalid fractions are refused") {
     val df = Seq(1L).toDF("v")
     intercept[IllegalArgumentException] {
