@@ -97,7 +97,8 @@ object Bench {
     "q97_inverted_index",
     "q99_snapshot_diff",
     "q100_incremental_decontaminate",
-    "q101_percentile_rank")
+    "q101_percentile_rank",
+    "q102_genomics_align")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -2275,6 +2275,46 @@ object Queries {
           lit(0)).cast("long").as("n_tokens")),
       "n_tokens")
 
+  /** Alignment kernels ([[graft.functions.Genomics]]): CIGAR
+    * expansion + percent identity — the reference's gene-tree leaf
+    * decoration (`search/genetree_adder.js:8-78`) — driver-gated over
+    * doc_id-derived synthetic alignments (the q88 injection pattern):
+    * per doc, two md5-hex "sequences" and run-length cigars built
+    * from doc_id arithmetic (including bare-letter runs, which parse
+    * as run 1); every 13th doc carries a malformed cigar and every
+    * 13th+1 a sequence-exhausting one, pinning both null branches.
+    * The oracle reconstructs the expansion from first principles
+    * (substr/repeat) and replays the identity count per character.
+    * `pct_id_64k = round(pct·2¹⁶)`: with ≤ 32 compared positions the
+    * true value m·2¹⁶/t is never at a rounding tie (t's odd part
+    * cannot divide a pure power of two), so the one float multiply
+    * cannot split the engines. Per-row, shuffle-free, whole-stage
+    * codegen end to end.
+    */
+  val q102GenomicsAlign: Q = (s, d) => {
+    import graft.functions.Genomics
+    val id = col("doc_id")
+    val a = (id % 7 + 1).cast("int")
+    val b = (id % 3 + 1).cast("int")
+    val c = (id % 5 + 1).cast("int")
+    val cigarA = when(id % 13 === 0, lit("3MXQ")) // malformed: X
+      .when(id % 13 === 1, lit("40M")) // exhausts the 32-char sequence
+      .otherwise(concat(a.cast("string"), lit("M"), b.cast("string"),
+        lit("DM"), (lit(15) - a).cast("string"), lit("M")))
+    val cigarB = concat(c.cast("string"), lit("MD"),
+      (lit(16) - c).cast("string"), lit("M"))
+    val sa = md5(concat(id.cast("string"), lit(":ga")))
+    val sb = md5(concat(id.cast("string"), lit(":gb")))
+    val e1 = Genomics.cigarExpand(cigarA, sa)
+    val e2 = Genomics.cigarExpand(cigarB, sb)
+    Tables.documents(s, d).select(
+      id.as("doc_id"),
+      md5(e1).as("exp_a_md5"),
+      md5(e2).as("exp_b_md5"),
+      round(Genomics.percentIdentity(e1, e2) * lit(65536.0))
+        .cast("long").as("pct_id_64k"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2385,7 +2425,8 @@ object Queries {
     "q98_window_stream" -> q98WindowStream,
     "q99_snapshot_diff" -> q99SnapshotDiff,
     "q100_incremental_decontaminate" -> q100IncrementalDecontaminate,
-    "q101_percentile_rank" -> q101PercentileRank)
+    "q101_percentile_rank" -> q101PercentileRank,
+    "q102_genomics_align" -> q102GenomicsAlign)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4205,7 +4246,39 @@ object Queries {
                AS start FROM c)
          SELECT v.doc_id, v.n_tokens,
            (r.start * 1000000) // greatest(n.n - 1, 1) AS pct_rank_ppm
-         FROM v CROSS JOIN n JOIN r ON r.val = v.n_tokens""")
+         FROM v CROSS JOIN n JOIN r ON r.val = v.n_tokens""",
+    "q102_genomics_align" ->
+      // the expansion reconstructed from first principles (substr +
+      // repeat over the same doc_id-derived run lengths) and the
+      // identity count replayed per character; NULL e1 marks the
+      // malformed/exhausted-cigar docs
+      """WITH p AS (
+           SELECT doc_id,
+             (doc_id % 7 + 1)::INT AS a, (doc_id % 3 + 1)::INT AS b,
+             (doc_id % 5 + 1)::INT AS c,
+             md5(doc_id::VARCHAR || ':ga') AS sa,
+             md5(doc_id::VARCHAR || ':gb') AS sb
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 IN (0, 1) THEN NULL
+                  ELSE substr(sa,1,a) || repeat('-',b) || substr(sa,a+1,16-a)
+             END AS e1,
+             substr(sb,1,c) || '-' || substr(sb,c+1,16-c) AS e2
+           FROM p),
+         m AS (SELECT doc_id, e1, e2,
+           len(list_filter(generate_series(1, least(len(e1),len(e2))),
+             i -> substr(e1,i,1) <> '-' AND substr(e2,i,1) <> '-'))::BIGINT
+             AS t,
+           len(list_filter(generate_series(1, least(len(e1),len(e2))),
+             i -> substr(e1,i,1) <> '-' AND substr(e2,i,1) <> '-'
+                  AND substr(e1,i,1) = substr(e2,i,1)))::BIGINT AS mm
+           FROM e)
+         SELECT doc_id, md5(e1) AS exp_a_md5, md5(e2) AS exp_b_md5,
+           CASE WHEN e1 IS NULL THEN NULL
+                WHEN t = 0 THEN 0
+                ELSE round(mm * 65536.0 / t)::BIGINT END AS pct_id_64k
+         FROM m""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
