@@ -83,4 +83,35 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Wide-vocabulary derived corpus — the driver's synthetic documents
+    * carry a ~31-word vocabulary, which puts every text-operator
+    * selectivity three orders of magnitude off real corpora (a %10
+    * benchmark split "contaminates" 61% of grams; every unigram is a
+    * heavy hitter). This view rebuilds `text` deterministically from
+    * doc_id with a ZIPFIAN 16,383-term vocabulary: token i of doc d
+    * hashes to a 60-bit h = md5(d:":"i), band z = h mod 14 picks one
+    * of 14 frequency octaves uniformly, and the word is uniform over
+    * the band's 2^z members — so band-z words each carry probability
+    * 1/(14·2^z) ∝ 1/rank, the discrete-octave Zipf(1) shape. Doc
+    * length 40 + (d mod 41) tokens. Pure integer/md5 arithmetic, so
+    * any SQL engine replays the corpus byte-for-byte (the q103+ wide
+    * oracles embed the same construction); text-family operators gate
+    * on BOTH corpora — this one exercises realistic selectivities.
+    */
+  def documentsWide(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat_ws, expr}
+    documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      concat_ws(" ", expr(
+        """transform(
+             transform(sequence(0, cast(39 + doc_id % 41 as int)),
+               i -> cast(conv(substring(md5(concat(
+                      cast(doc_id as string), ':', cast(i as string))),
+                      1, 15), 16, 10) as bigint)),
+             h -> concat('w', cast(
+                    shiftleft(1L, cast(h % 14 as int)) +
+                    (h div 14) % shiftleft(1L, cast(h % 14 as int))
+                  as string)))""")).as("text"))
+  }
 }

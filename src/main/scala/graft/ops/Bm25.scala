@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FixedLog, TextAnalytics}
+
+/** BM25 relevance ranking over the corpus — the query-side consumer
+  * of the [[InvertedIndex]] artifact: per query, the top-k documents
+  * by the Okapi BM25 score with the standard defaults as EXACT
+  * rationals (k1 = 6/5, b = 3/4). This is the "query the corpus" half
+  * the reference delegates to its document store's text index
+  * (`search/indexCommands.txt:33-48` — the `$text`/relevance access
+  * path); here it is a term-keyed join against the posting
+  * aggregation, never a score sort over the full corpus.
+  *
+  * EVERY arithmetic step is integer, so the score is bit-identical
+  * across engines and partitionings and replayable in SQL:
+  *
+  *  - idf(t) = ln((N+1)/(df+0.5)) = ln(2N+2) − ln(2df+1): both
+  *    arguments are INTEGERS, so the transcendental step goes through
+  *    [[FixedLog.iln1m]] (pure-integer fixed-point log, 20-step
+  *    recursive-CTE-replayable): `idf_1m ≈ 10⁶·idf ≥ 0`.
+  *  - length normalization: `l_ppm = (10⁶·dl·N) div totTokens`
+  *    (= 10⁶·dl/avgdl), `denom_ppm = 10⁶·tf + 3·10⁵ + (9·l_ppm) div 10`
+  *    (= 10⁶·(tf + k1(1−b) + k1·b·dl/avgdl) with k1(1−b) = 3/10 and
+  *    k1·b = 9/10 exact).
+  *  - `tfpart_ppm = (22·10⁵·tf·10⁶) div denom_ppm` (= 10⁶·tf(k1+1)/denom,
+  *    k1+1 = 11/5 → 22/10 folded into the numerator).
+  *  - score = Σ_t idf_1m·tfpart_ppm — exact integer, units 10⁻¹².
+  *
+  * Scale shape: one token pass builds tf; dl derives from tf (no
+  * second corpus scan); df is a narrow term aggregation; the scoring
+  * join is keyed on term (query side tiny → broadcast); the final
+  * top-k per query runs the typed [[TopK.TopKAggregator]] — the
+  * shuffle carries at most k rows per (map partition, query), never
+  * the candidate set. Overflow is refused by name, not wrapped: the
+  * l_ppm product bounds N·max(dl), the tfpart numerator bounds
+  * max(tf), and the Double-exact TopK transport bounds the per-query
+  * term count at [[MaxQueryTerms]] (scores stay ≤ 2⁵³).
+  */
+object Bm25 {
+
+  /** Scores are carried through the typed top-k as Double (exact for
+    * longs ≤ 2^53); a query with more terms than this could push the
+    * summed score past that, so wider queries are refused.
+    */
+  val MaxQueryTerms = 128
+
+  /** Top-k docs per query: `(query_id, rank, doc_id, score)` with
+    * rank 1-based by (score desc, doc_id asc). `queries` carries
+    * `(qidCol: long, qTermsCol: array<string>)`; duplicate terms in a
+    * query count once (standard bag-of-terms query model).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      qidCol: String,
+      qTermsCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalytics.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+
+    // One small-result job prices the whole computation: corpus size,
+    // token total, and the max document length the guards need.
+    val st = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
+      coalesce(max("dl"), lit(0L))).head()
+    val n = st.getLong(0)
+    val totTok = st.getLong(1)
+    val maxDl = st.getLong(2)
+    require(n > 0 && totTok > 0, "bm25TopK: empty corpus")
+    require(maxDl <= Long.MaxValue / 1000000L / math.max(n, 1L),
+      s"bm25TopK: 10^6 * max(dl)=$maxDl * N=$n overflows the length-" +
+        "normalization product — shard the corpus or rescale")
+    require(maxDl <= Long.MaxValue / 2200000L / 1000000L,
+      s"bm25TopK: max(dl)=$maxDl overflows the tf-saturation numerator")
+
+    val qt = queries.select(col(qidCol).cast("long").as("query_id"),
+      explode(array_distinct(col(qTermsCol))).as("term"))
+    val widest = qt.groupBy("query_id").agg(count(lit(1)).as("w"))
+      .agg(coalesce(max("w"), lit(0L))).head().getLong(0)
+    require(widest <= MaxQueryTerms,
+      s"bm25TopK: a query has $widest distinct terms (> $MaxQueryTerms) " +
+        "— the summed score could exceed the 2^53 exact-Double bound " +
+        "of the top-k transport; split the query")
+
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        (lit(FixedLog.iln1mImpl(2L * n + 2L)) -
+          FixedLog.iln1m(lit(2L) * col("df") + lit(1L))).as("idf_1m"))
+
+    val scored = qt
+      .join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(idf, Seq("term"))
+      .withColumn("l_ppm", expr(s"(1000000L * dl * ${n}L) div ${totTok}L"))
+      .withColumn("denom_ppm",
+        expr("1000000L * tf + 300000L + (9L * l_ppm) div 10L"))
+      .withColumn("tfpart_ppm",
+        expr("(2200000L * tf * 1000000L) div denom_ppm"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_1m") * col("tfpart_ppm")).as("score"))
+
+    scored.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, docId, s) => TopK.Scored(docId, s.toDouble) }
+      .agg(TopK.topK(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (t, i) =>
+          (qid, (i + 1).toLong, t.id, t.score.toLong)
+        }
+      }
+      .toDF("query_id", "rank", "doc_id", "score")
+  }
+}

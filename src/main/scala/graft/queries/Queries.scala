@@ -2315,6 +2315,27 @@ object Queries {
         .cast("long").as("pct_id_64k"))
   }
 
+  /** BM25 retrieval over the wide-vocabulary corpus
+    * ([[graft.ops.Bm25]] + [[Tables.documentsWide]]): top-10 docs per
+    * query (first-5-token queries from docs 0–7), every arithmetic
+    * step integer — idf through the pure-integer fixed-point log
+    * ([[graft.functions.FixedLog]]), length normalization and tf
+    * saturation as exact scaled rationals — so the oracle replays the
+    * SCORE bit-for-bit (the log as a 20-step recursive CTE of shifts
+    * and multiplies). Gated on the wide corpus deliberately: the
+    * 31-word driver vocabulary would make every doc a candidate for
+    * every query; the 16k Zipfian vocabulary puts df/idf and
+    * candidate selectivity in realistic regimes.
+    */
+  val q103Bm25: Q = (s, d) => {
+    val wide = Tables.documentsWide(s, d)
+    val queries = wide.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalytics.tokens(col("text")), 1, 5).as("terms"))
+    graft.ops.Bm25.bm25TopK(
+      wide, queries, "text", "doc_id", "query_id", "terms", k = 10)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2426,10 +2447,47 @@ object Queries {
     "q99_snapshot_diff" -> q99SnapshotDiff,
     "q100_incremental_decontaminate" -> q100IncrementalDecontaminate,
     "q101_percentile_rank" -> q101PercentileRank,
-    "q102_genomics_align" -> q102GenomicsAlign)
+    "q102_genomics_align" -> q102GenomicsAlign,
+    "q103_bm25" -> q103Bm25)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB replay of [[Tables.documentsWide]]'s token list — the
+    * same md5-60-bit → Zipf-octave construction, so the wide corpus
+    * is identical on both engines by construction.
+    */
+  private val wideToks =
+    """list_transform(
+         list_transform(generate_series(0, (39 + doc_id % 41)::INT),
+           i -> ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),
+                 1, 15))::BIGINT),
+         h -> 'w' || ((1::BIGINT << (h % 14)::INT) +
+                      (h // 14) % (1::BIGINT << (h % 14)::INT))::VARCHAR)"""
+
+  /** The q103 fixed-point-log replay: iln(m) ≈ 10⁶·ln m as the SAME
+    * pure-integer repeated-squaring recurrence the engine's
+    * [[graft.functions.FixedLog]] kernel runs, unrolled as a 20-step
+    * recursive CTE of shifts and multiplies over the integer log
+    * arguments (2df+1 per term, 2N+2 once) — no float ln anywhere,
+    * so the score gate cannot split on a library's last ulp.
+    */
+  private val ilnCtes =
+    """base AS (SELECT m, length(printf('%b', m)) - 1 AS e FROM ms),
+       init AS (SELECT m, e,
+           CASE WHEN e <= 30 THEN m << (30 - e) ELSE m >> (e - 30) END AS x
+         FROM base),
+       lg(m, e, i, x, frac) AS (
+         SELECT m, e, 0, x, 0::BIGINT FROM init
+         UNION ALL
+         SELECT m, e, i + 1,
+           CASE WHEN ((x * x) >> 30) >= 2147483648
+                THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+           frac * 2 + CASE WHEN ((x * x) >> 30) >= 2147483648
+                           THEN 1 ELSE 0 END
+         FROM lg WHERE i < 20),
+       iln AS (SELECT m, (((e << 20) | frac) * 693147) >> 20 AS v
+               FROM lg WHERE i = 20)"""
 
   /** Shared by q70b (batch) and q73b (streaming): full MinHash+LSH
     * replay — md5-60-bit permutation hashes (15 hex chars parse as
@@ -4278,7 +4336,42 @@ object Queries {
            CASE WHEN e1 IS NULL THEN NULL
                 WHEN t = 0 THEN 0
                 ELSE round(mm * 65536.0 / t)::BIGINT END AS pct_id_64k
-         FROM m""")
+         FROM m""",
+    "q103_bm25" ->
+      // full BM25 replay on the wide corpus: tf/dl/df from the
+      // reconstructed token lists, idf through the integer-log CTE
+      // chain, exact scaled-rational saturation, top-10 per query
+      s"""WITH RECURSIVE wd AS (SELECT doc_id, $wideToks AS l FROM documents),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM wd),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM dl),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         ms AS (SELECT DISTINCT 2 * df + 1 AS m FROM dfreq
+                UNION SELECT 2 * n + 2 FROM st),
+         $ilnCtes,
+         idf AS (SELECT dfreq.term,
+             (SELECT v FROM iln JOIN st ON iln.m = 2 * st.n + 2) - iln.v
+               AS idf_1m
+           FROM dfreq JOIN iln ON iln.m = 2 * dfreq.df + 1),
+         qd AS (SELECT DISTINCT doc_id AS query_id, unnest(l[1:5]) AS term
+                FROM wd WHERE doc_id < 8),
+         sc AS (SELECT qd.query_id, tf.doc_id,
+             sum(idf.idf_1m * ((2200000 * tf.tf * 1000000) //
+               (1000000 * tf.tf + 300000 +
+                (9 * ((1000000 * dl.dl * st.n) // st.tot)) // 10)))::BIGINT
+               AS score
+           FROM qd JOIN tf USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             JOIN idf ON idf.term = qd.term
+             CROSS JOIN st
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+           FROM sc) WHERE rank <= 10""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
