@@ -2336,6 +2336,20 @@ object Queries {
       wide, queries, "text", "doc_id", "query_id", "terms", k = 10)
   }
 
+  /** Streaming exact heavy hitters ([[graft.streaming
+    * .StreamHeavyHitters]]): q92's bigram heavy hitters with the
+    * Misra-Gries candidate summaries held in `flatMapGroupsWithState`
+    * state across document micro-batches — terms sprayed by hash into
+    * 8 state groups (a term's mass lands in one group, so the batch
+    * completeness bound holds per group), state bounded at
+    * groups × (denom+1) counters forever, exact verify as one bounded
+    * batch pass after the stream drains. On bounded input the answer
+    * must equal batch q92 verbatim — q92's oracle gates both forms.
+    */
+  val q104HeavyHittersStream: Q = (s, d) =>
+    graft.streaming.StreamHeavyHitters.heavyHittersAvailableNow(
+      s, d, denom = 1000L, groups = 8, slices = 4)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2448,7 +2462,8 @@ object Queries {
     "q100_incremental_decontaminate" -> q100IncrementalDecontaminate,
     "q101_percentile_rank" -> q101PercentileRank,
     "q102_genomics_align" -> q102GenomicsAlign,
-    "q103_bm25" -> q103Bm25)
+    "q103_bm25" -> q103Bm25,
+    "q104_heavy_hitters_stream" -> q104HeavyHittersStream)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4422,6 +4437,8 @@ object Queries {
     "q61_components_stream" -> oraclesBase("q53_dedup_components"),
     // watermarked windowed agg on bounded input == the batch hour bins
     "q98_window_stream" -> oraclesBase("q31_hour_bins"),
+    // streaming MG state on bounded input == the batch heavy hitters
+    "q104_heavy_hitters_stream" -> oraclesBase("q92_heavy_hitters"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,
