@@ -99,7 +99,8 @@ object Bench {
     "q100_incremental_decontaminate",
     "q101_percentile_rank",
     "q102_genomics_align",
-    "q103_bm25")
+    "q103_bm25",
+    "q105_incremental_neardup")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -2336,6 +2336,46 @@ object Queries {
       wide, queries, "text", "doc_id", "query_id", "terms", k = 10)
   }
 
+  /** Incremental NEAR-DUP decontamination across snapshots — the op a
+    * 100 TB corpus re-runs nightly, composing the q99 diff with the
+    * q70 MinHash screen exactly the way q100 composed it with the
+    * exact n-gram screen: probe ONLY added∪changed docs against the
+    * benchmark's banded index, CARRY the prior round's verdicts for
+    * unchanged docs (valid because the screen is a pure per-doc
+    * function of (text, benchmark) and the benchmark is fixed across
+    * versions). Runs the screen's portable (md5-60-bit) configuration
+    * so THE ORACLE IS THE EQUIVALENCE PROOF: it replays the FULL
+    * MinHash+LSH+verify screen over all of v2 — the incremental union
+    * must be hash-identical to recomputing everything.
+    */
+  val q105IncrementalNearDup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val pool = docs.where(col("doc_id") % 20 =!= 0)
+    val v1 = pool.where(col("doc_id") % 7 =!= 0)
+    val v2 = pool.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    def screen(train: org.apache.spark.sql.DataFrame) =
+      graft.ops.Decontaminate.minHashScreen(
+        train, bench, "text", "doc_id", shingleN = 2, bands = 8,
+        rowsPerBand = 4, threshold = 0.5, portable = true)
+        .withColumnRenamed("id", "doc_id")
+    // the previous round's artifact (in production: read back, not
+    // recomputed — recomputed here so the query is self-contained)
+    val prior = screen(v1)
+    val delta = graft.ops.SnapshotDiff.diff(
+      v1, v2, "doc_id", Seq("text")).withColumnRenamed("id", "doc_id")
+    val carried = prior.join(
+      delta.where(col("status") === "unchanged").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val rescreen = screen(
+      v2.join(delta.where(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id"), "left_semi"))
+    carried.unionByName(rescreen)
+  }
+
   /** Streaming exact heavy hitters ([[graft.streaming
     * .StreamHeavyHitters]]): q92's bigram heavy hitters with the
     * Misra-Gries candidate summaries held in `flatMapGroupsWithState`
@@ -2463,7 +2503,8 @@ object Queries {
     "q101_percentile_rank" -> q101PercentileRank,
     "q102_genomics_align" -> q102GenomicsAlign,
     "q103_bm25" -> q103Bm25,
-    "q104_heavy_hitters_stream" -> q104HeavyHittersStream)
+    "q104_heavy_hitters_stream" -> q104HeavyHittersStream,
+    "q105_incremental_neardup" -> q105IncrementalNearDup)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2513,11 +2554,20 @@ object Queries {
     * state never expires mid-run), so ONE oracle gates both forms.
     */
   private lazy val minhashPortableCrossOracle: String =
+    minhashPortableOracleOver("SELECT doc_id, text FROM documents")
+
+  /** The same full MinHash+LSH replay over a caller-supplied
+    * `(doc_id, text)` relation — q105 reuses it with the v2 snapshot
+    * (bench rows original, pool rows carrying the 11-periodic edit)
+    * so the oracle IS the full-recompute equivalence proof for the
+    * incremental screen.
+    */
+  private def minhashPortableOracleOver(docsSql: String): String =
     s"""WITH t AS (
            SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(l) - 1),
                i -> l[i] || ' ' || l[i + 1])) AS g
-           FROM (SELECT doc_id, $toks AS l FROM documents)
+           FROM (SELECT doc_id, $toks AS l FROM ($docsSql))
            WHERE len(l) >= 2),
          e AS (SELECT doc_id, unnest(g) AS gram FROM t),
          hs AS (SELECT doc_id, h.i AS i,
@@ -4386,7 +4436,17 @@ object Queries {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rank
-           FROM sc) WHERE rank <= 10""")
+           FROM sc) WHERE rank <= 10""",
+    "q105_incremental_neardup" ->
+      // THE EQUIVALENCE PROOF: the full portable MinHash+LSH+verify
+      // screen replayed over ALL of v2 — the engine's carry-unchanged
+      // + re-screen-delta union must hash-match the full recompute
+      minhashPortableOracleOver(
+        """SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+           FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 5 <> 0"""))
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

@@ -364,4 +364,42 @@ class DecontaminateSpec extends SparkSpec {
       assert(roomy.mightContainString(s"tok$i"))
     }
   }
+
+  test("incremental minHash screen (carry-unchanged + re-screen-delta) " +
+      "equals the full recompute on a dense near-dup corpus") {
+    // bench docs 0-9; pool docs 100-179 where every doc is a noisy copy
+    // of bench doc (id % 10) — dense hits, so carried AND rescreened
+    // rows both appear in the output being compared
+    def benchText(i: Long) = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+    val bench = (0L until 10L).map(i => (i, benchText(i))).toDF("doc_id", "text")
+    def v(edit: Long => Boolean) = (100L until 180L).map { i =>
+      val base = benchText(i % 10) + s" tail$i"
+      (i, if (edit(i)) base + " edited" else base)
+    }.toDF("doc_id", "text")
+    val v1 = v(_ => false).where(col("doc_id") % 9 =!= 0)   // some added in v2
+    val v2 = v(i => i % 4 == 0).where(col("doc_id") % 6 =!= 1) // some removed
+
+    def screen(train: org.apache.spark.sql.DataFrame) =
+      Decontaminate.minHashScreen(train, bench, "text", "doc_id",
+        shingleN = 2, bands = 8, rowsPerBand = 4, threshold = 0.5,
+        portable = true)
+        .withColumnRenamed("id", "doc_id")
+
+    val delta = graft.ops.SnapshotDiff.diff(v1, v2, "doc_id", Seq("text"))
+      .withColumnRenamed("id", "doc_id")
+    val carried = screen(v1).join(
+      delta.where(col("status") === "unchanged").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val rescreen = screen(v2.join(
+      delta.where(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    val got = carried.unionByName(rescreen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = screen(v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // both incremental branches contributed rows
+    assert(carried.count() > 0 && rescreen.count() > 0)
+  }
 }
