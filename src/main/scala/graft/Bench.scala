@@ -100,7 +100,10 @@ object Bench {
     "q101_percentile_rank",
     "q102_genomics_align",
     "q103_bm25",
-    "q105_incremental_neardup")
+    "q105_incremental_neardup",
+    "q106_decontaminate_wide",
+    "q107_heavy_hitters_wide",
+    "q108_vocab_wide")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -2390,6 +2390,50 @@ object Queries {
     graft.streaming.StreamHeavyHitters.heavyHittersAvailableNow(
       s, d, denom = 1000L, groups = 8, slices = 4)
 
+  /** The q91 Bloom-prefiltered decontamination re-gated on the
+    * wide-vocabulary corpus ([[Tables.documentsWide]]) — the driver
+    * corpus's 31-word vocabulary put the %10 split at 61% gram-hit
+    * selectivity (three orders off real benchmarks, adversarial to
+    * any prefilter); the 16k Zipfian vocabulary puts the screen in
+    * the sub-1% regime the sketch exists for. Sketch forced at gate
+    * SF exactly as in q91.
+    */
+  val q106DecontaminateWide: Q = (s, d) => {
+    val docs = Tables.documentsWide(s, d)
+    graft.ops.Decontaminate.bloomOverlap(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 3,
+      delegateBytes = Some(0L))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** q92's exact heavy hitters re-gated on the wide corpus — and on
+    * UNIGRAMS, which the Zipf octaves make meaningful (the driver
+    * corpus's every unigram is a hitter): band-0 terms clear the
+    * 1/1000 threshold, deep-band terms don't, so the MG candidate
+    * machinery works a realistic frequency split.
+    */
+  val q107HeavyHittersWide: Q = (s, d) =>
+    graft.ops.HeavyHitters.heavyHitters(
+      Tables.documentsWide(s, d).select(
+        explode(TextAnalytics.tokens(col("text"))).as("term")),
+      "term", denom = 1000L)
+
+  /** q77's vocabulary build re-gated on the wide corpus: top-50 terms
+    * by (occurrences desc, token) over a 16k-term Zipfian vocabulary —
+    * the cut now discards a real tail instead of keeping everything.
+    */
+  val q108VocabWide: Q = (s, d) =>
+    Tables.documentsWide(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2504,7 +2548,10 @@ object Queries {
     "q102_genomics_align" -> q102GenomicsAlign,
     "q103_bm25" -> q103Bm25,
     "q104_heavy_hitters_stream" -> q104HeavyHittersStream,
-    "q105_incremental_neardup" -> q105IncrementalNearDup)
+    "q105_incremental_neardup" -> q105IncrementalNearDup,
+    "q106_decontaminate_wide" -> q106DecontaminateWide,
+    "q107_heavy_hitters_wide" -> q107HeavyHittersWide,
+    "q108_vocab_wide" -> q108VocabWide)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4446,7 +4493,43 @@ object Queries {
            UNION ALL
            SELECT doc_id,
              CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
-           FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 5 <> 0"""))
+           FROM documents WHERE doc_id % 20 <> 0 AND doc_id % 5 <> 0"""),
+    "q106_decontaminate_wide" ->
+      // q91's exact-screen oracle over the reconstructed wide corpus
+      s"""WITH t AS (SELECT doc_id, $wideToks AS l FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(l) - 2),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+           FROM t WHERE len(l) >= 3),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+                 WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+         hits AS (SELECT g.doc_id, count(*) AS n_hit
+                  FROM g JOIN bench USING (gram)
+                  WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id)
+         SELECT t.doc_id,
+           coalesce(tot.n_grams, 0) AS n_grams,
+           coalesce(hits.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(tot.n_grams, 0) > 0
+             THEN round(coalesce(hits.n_hit, 0)::DOUBLE / tot.n_grams, 4)
+             ELSE 0.0 END AS hit_frac,
+           coalesce(hits.n_hit, 0) > 0 AS contaminated
+         FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+         WHERE t.doc_id % 10 <> 0""",
+    "q107_heavy_hitters_wide" ->
+      // exact unigram counts >= ceil(N/1000) over the wide corpus
+      s"""WITH t AS (SELECT $wideToks AS l FROM documents),
+         g AS (SELECT unnest(l) AS term FROM t),
+         n AS (SELECT count(*)::BIGINT AS n FROM g),
+         c AS (SELECT term, count(*)::BIGINT AS cnt FROM g GROUP BY term)
+         SELECT c.term, c.cnt FROM c, n
+         WHERE c.cnt >= (n.n + 999) // 1000""",
+    "q108_vocab_wide" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest($wideToks) AS token FROM documents)
+         GROUP BY token
+         ORDER BY n_occurrences DESC, token LIMIT 50""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

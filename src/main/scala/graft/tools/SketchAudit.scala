@@ -70,6 +70,41 @@ object SketchAudit {
       println(s"[sketchaudit] A%$mod outputs IDENTICAL")
     }
 
+    // ---- A'. the same pair on the WIDE-VOCABULARY corpus ----
+    // The driver corpus's 31-word vocabulary makes even the %1000
+    // split only moderately selective; the 16k Zipfian corpus
+    // (Tables.documentsWide) puts the %10 split at realistic sub-1%
+    // gram selectivity — the regime the prefilter exists for, now
+    // measurable without an extreme split ratio.
+    val wide = Tables.documentsWide(spark, sfDir).localCheckpoint()
+    try {
+      for (mod <- Seq(10, 1000)) {
+        val train = wide.where(col("doc_id") % mod =!= 0)
+        val bench = wide.where(col("doc_id") % mod === 0)
+        val sel = {
+          def grams(df: DataFrame) = df.select(explode(
+            graft.functions.Shingling.sortedShingles(
+              graft.functions.TextAnalytics.tokens(col("text")), 3))
+            .as("gram")).distinct()
+          val b = grams(bench)
+          val t = grams(train)
+          val hit = t.join(b, Seq("gram"), "left_semi").count()
+          hit.toDouble / math.max(t.count(), 1L)
+        }
+        println(f"[sketchaudit] A'%%$mod wide gram selectivity = $sel%.4f")
+        val plainScreen = timed(s"A'%$mod wide plain ngramOverlap") {
+          digestOf(Decontaminate.ngramOverlap(train, bench, "text", "doc_id", 3))
+        }
+        val bloomScreen = timed(s"A'%$mod wide bloomOverlap") {
+          digestOf(Decontaminate.bloomOverlap(train, bench, "text", "doc_id", 3))
+        }
+        require(plainScreen == bloomScreen,
+          s"wide bloom screen diverged at mod=$mod: $plainScreen vs $bloomScreen")
+        println(s"[sketchaudit] A'%$mod outputs IDENTICAL")
+      }
+    } finally org.apache.spark.sql.classic.GraftColumnBridge
+      .unpersistLocalCheckpoint(wide)
+
     // ---- B. heavy hitters: naive vocabulary shuffle vs MG ----
     val terms = docs.select(
       explode(graft.functions.Shingling.orderedShingles(

@@ -69,4 +69,22 @@ class LintSpec extends AnyFunSuite {
     assert(hits.isEmpty,
       "tools must gate with sys.error/require, not assert:\n" + hits.mkString("\n"))
   }
+
+  test("every graft.* conf key literal in src/main is registered in " +
+      "graft.Budgets (the conf-key registry)") {
+    // conf keys end in a lowercase-initial segment; FQCN string
+    // literals ("graft.functions.Genomics") end uppercase-initial
+    val keyLit = """"(graft\.[a-z][a-zA-Z]*\.[a-z][a-zA-Z]*)"""".r
+    val found = (for {
+      (_, src) <- mainSources
+      m <- keyLit.findAllMatchIn(src)
+    } yield m.group(1)).toSet
+    assert(found.nonEmpty, "expected at least one graft.* conf key")
+    val unregistered = found -- graft.Budgets.keys
+    assert(unregistered.isEmpty,
+      s"conf keys missing from Budgets.keys: ${unregistered.mkString(", ")}")
+    val stale = graft.Budgets.keys -- found
+    assert(stale.isEmpty,
+      s"Budgets.keys entries with no source site: ${stale.mkString(", ")}")
+  }
 }
