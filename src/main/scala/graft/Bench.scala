@@ -103,7 +103,8 @@ object Bench {
     "q105_incremental_neardup",
     "q106_decontaminate_wide",
     "q107_heavy_hitters_wide",
-    "q108_vocab_wide")
+    "q108_vocab_wide",
+    "q109_postings_compressed")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

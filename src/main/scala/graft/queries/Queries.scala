@@ -2434,6 +2434,18 @@ object Queries {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
+  /** Compressed posting shards ([[graft.ops.InvertedIndex
+    * .postingShardsCompressed]]): q97's index with the payload
+    * delta+varint encoded ([[graft.functions.Varint]]) — the exact
+    * bytes are replayed by the oracle (LEB128 is shifts + hex
+    * printf), so the compressed artifact is hash-gated, and both
+    * payload sizes ride along so the ratio (≈4.5× on this corpus) is
+    * measurable straight from the gated rows at any SF.
+    */
+  val q109PostingsCompressed: Q = (s, d) =>
+    graft.ops.InvertedIndex.postingShardsCompressed(
+      Tables.documents(s, d), "text", "doc_id", shardSpan = 100L)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2551,7 +2563,8 @@ object Queries {
     "q105_incremental_neardup" -> q105IncrementalNearDup,
     "q106_decontaminate_wide" -> q106DecontaminateWide,
     "q107_heavy_hitters_wide" -> q107HeavyHittersWide,
-    "q108_vocab_wide" -> q108VocabWide)
+    "q108_vocab_wide" -> q108VocabWide,
+    "q109_postings_compressed" -> q109PostingsCompressed)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4529,7 +4542,52 @@ object Queries {
            count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest($wideToks) AS token FROM documents)
          GROUP BY token
-         ORDER BY n_occurrences DESC, token LIMIT 50""")
+         ORDER BY n_occurrences DESC, token LIMIT 50""",
+    "q109_postings_compressed" ->
+      // the q97 posting replay with the payload rebuilt as the EXACT
+      // LEB128 byte stream: per doc [doc delta, n_pos, pos0, pos
+      // deltas...], varint = little-endian 7-bit groups via shifts +
+      // printf hex; raw_bytes prices the ASCII form for the ratio
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         tp AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l)),
+               i -> {'pos': i - 1, 'term': l[i]})) AS u
+           FROM t WHERE len(l) >= 1),
+         f AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tp),
+         pd AS (SELECT term, doc_id, list_sort(list(pos)) AS ps
+                FROM f GROUP BY term, doc_id),
+         sd AS (SELECT term, doc_id // 100 AS shard, doc_id, ps,
+             lag(doc_id) OVER (PARTITION BY term, doc_id // 100
+                               ORDER BY doc_id) AS prev,
+             strlen(lpad(doc_id::VARCHAR, 12, '0') || ':' ||
+               array_to_string(list_transform(ps, x -> x::VARCHAR), ','))
+               AS rawlen
+           FROM pd),
+         ch AS (SELECT term, shard, doc_id, len(ps)::BIGINT AS tf, rawlen,
+             list_concat(
+               [coalesce(doc_id - prev, doc_id - shard * 100),
+                len(ps)::BIGINT, ps[1]::BIGINT],
+               list_transform(generate_series(2, len(ps)),
+                 i -> (ps[i] - ps[i-1])::BIGINT)) AS chunk
+           FROM sd),
+         stream AS (SELECT term, shard,
+             count(*)::BIGINT AS df_shard, sum(tf)::BIGINT AS tf_shard,
+             (sum(rawlen) + count(*) - 1)::BIGINT AS raw_bytes,
+             flatten(list(chunk ORDER BY doc_id)) AS vs
+           FROM ch GROUP BY term, shard),
+         hx AS (SELECT term, shard, df_shard, tf_shard, raw_bytes,
+             array_to_string(list_transform(vs, v ->
+               array_to_string(list_transform(
+                 generate_series(0,
+                   greatest(1, (length(printf('%b', v)) + 6) // 7) - 1),
+                 i -> printf('%02x', ((v >> (7*i)) & 127) +
+                   CASE WHEN i < greatest(1,
+                       (length(printf('%b', v)) + 6) // 7) - 1
+                     THEN 128 ELSE 0 END)), '')), '') AS hx
+           FROM stream)
+         SELECT term, shard, df_shard, tf_shard, md5(hx) AS varint_md5,
+           (length(hx) // 2)::BIGINT AS varint_bytes, raw_bytes
+         FROM hx""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
