@@ -107,6 +107,38 @@ object InvertedIndex {
     * hex), `raw_bytes` is the ASCII canonical serialization's size
     * for the same postings.
     */
+  /** Positional PHRASE search — the query-side consumer the positions
+    * in the posting lists exist for (BM25/q103 consumes tf; this
+    * consumes adjacency): documents containing the exact token
+    * sequence `phrase`, with the match count. Plan: one token-position
+    * pass, one branch per phrase term filtered to that term with its
+    * position re-based to the phrase start, then (k−1) EQUI-joins on
+    * `(doc_id, start)` — keyed, never a position-range or pair join;
+    * a term's branch carries only that term's postings, so the join
+    * inputs are posting-sized, not corpus-sized. Repeated words in
+    * the phrase are handled naturally (each offset branch matches
+    * independently; overlapping occurrences count separately, the
+    * standard positional-index semantics).
+    */
+  def phraseMatches(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      s"phrase must have 1..16 tokens, got ${phrase.size}")
+    val tp = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      tp.where(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   def postingShardsCompressed(
       docs: DataFrame,
       textCol: String,

@@ -2446,6 +2446,30 @@ object Queries {
     graft.ops.InvertedIndex.postingShardsCompressed(
       Tables.documents(s, d), "text", "doc_id", shardSpan = 100L)
 
+  /** Positional phrase search ([[graft.ops.InvertedIndex
+    * .phraseMatches]]): exact token-sequence matching over the corpus
+    * — six phrases (doc 1's leading trigram as phrase 0, docs 1–5's
+    * leading bigrams as phrases 1–5, collected driver-side: five
+    * bounded rows), each resolved by posting-sized branches equi-
+    * joined on (doc_id, re-based start) — the adjacency consumer the
+    * positional index exists for. Oracle replays the sliding-window
+    * match over the token lists with a nested list lambda.
+    */
+  val q110PhraseSearch: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val heads = docs.where(col("doc_id").between(1, 5))
+      .select(col("doc_id"),
+        slice(TextAnalytics.tokens(col("text")), 1, 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val phrases: Seq[(Long, Seq[String])] =
+      (0L -> heads(1L).take(3)) +:
+        (1L to 5L).map(i => i -> heads(i).take(2))
+    phrases.map { case (pid, p) =>
+      graft.ops.InvertedIndex.phraseMatches(docs, "text", "doc_id", p)
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2564,7 +2588,8 @@ object Queries {
     "q106_decontaminate_wide" -> q106DecontaminateWide,
     "q107_heavy_hitters_wide" -> q107HeavyHittersWide,
     "q108_vocab_wide" -> q108VocabWide,
-    "q109_postings_compressed" -> q109PostingsCompressed)
+    "q109_postings_compressed" -> q109PostingsCompressed,
+    "q110_phrase_search" -> q110PhraseSearch)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4587,7 +4612,26 @@ object Queries {
            FROM stream)
          SELECT term, shard, df_shard, tf_shard, md5(hx) AS varint_md5,
            (length(hx) // 2)::BIGINT AS varint_bytes, raw_bytes
-         FROM hx""")
+         FROM hx""",
+    "q110_phrase_search" ->
+      // sliding-window exact-sequence replay: for each (phrase, doc),
+      // count the alignments where every phrase token matches
+      s"""WITH ph AS (
+           SELECT 0 AS phrase_id, l[1:3] AS pl
+           FROM (SELECT $toks AS l FROM documents WHERE doc_id = 1)
+           UNION ALL
+           SELECT doc_id::INT, l[1:2]
+           FROM (SELECT doc_id, $toks AS l FROM documents
+                 WHERE doc_id BETWEEN 1 AND 5)),
+         t AS (SELECT doc_id, $toks AS l FROM documents),
+         m AS (SELECT ph.phrase_id, t.doc_id,
+             len(list_filter(generate_series(1, len(l) - len(pl) + 1),
+               i -> len(list_filter(generate_series(1, len(pl)),
+                      j -> l[i+j-1] = pl[j])) = len(pl))) AS n_matches
+           FROM t, ph WHERE len(l) >= len(pl))
+         SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+           n_matches::BIGINT AS n_matches
+         FROM m WHERE n_matches > 0""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

@@ -75,6 +75,25 @@ class InvertedIndexSpec extends SparkSpec {
     assert(run(999999999999L).nonEmpty)
   }
 
+  test("phraseMatches: overlapping occurrences count, repeated words " +
+      "align independently, absent phrases yield no row") {
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "a a a"),
+      (3L, "b b b"),
+      (4L, "x a b a y")).toDF("doc_id", "text")
+    def run(p: String*) = InvertedIndex
+      .phraseMatches(docs, "text", "doc_id", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "a b a" occurs at offsets 0 and 2 of doc 1 (overlap) and once in doc 4
+    assert(run("a", "b", "a") === Map(1L -> 2L, 4L -> 1L))
+    // repeated-word phrase: "a a" aligns at offsets 0 and 1 of doc 2
+    assert(run("a", "a") === Map(2L -> 2L))
+    assert(run("a", "x") === Map.empty)
+    // single-token phrase degrades to tf
+    assert(run("a") === Map(1L -> 3L, 2L -> 3L, 4L -> 2L))
+  }
+
   test("deterministic across partitionings") {
     val docs = (0L until 120L).map(i =>
       (i, s"w${i % 5} w${i % 11} w${i % 5}")).toDF("doc_id", "text")
