@@ -70,6 +70,67 @@ object Varint {
   def encode(values: Column): Column =
     GraftColumnBridge.column(VarintEncode(GraftColumnBridge.expression(values)))
 
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  private val postingStructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ps", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** Decode one shard's canonical posting payload back to
+    * `(doc_id, positions)` entries: the stream is
+    * `[doc_delta, n_pos, pos₀, pos_deltas…]` per doc, doc ids
+    * re-absoluted from `base` (= shard · shardSpan). Throws on a
+    * truncated or structurally invalid stream — a corrupt artifact
+    * must fail the query, not return partial postings.
+    */
+  def decodePostingsImpl(bytes: Array[Byte], base: Long): GenericArrayData = {
+    val vs = decode(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    var doc = base
+    while (i < vs.length) {
+      require(i + 2 <= vs.length, "truncated posting chunk header")
+      doc += vs(i)
+      val n = vs(i + 1)
+      require(n >= 1 && i + 2 + n <= vs.length,
+        s"invalid posting chunk: n_pos=$n at offset $i")
+      val ps = new Array[Long](n.toInt)
+      var p = 0L
+      var j = 0
+      while (j < n) {
+        p += vs(i + 2 + j.toInt)
+        ps(j) = p
+        j += 1
+      }
+      out += InternalRow(doc, new GenericArrayData(ps))
+      i += 2 + n.toInt
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  case class PostingsDecode(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(postingStructType, containsNull = false)
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+    override protected def nullSafeEval(b: Any, base: Any): Any =
+      decodePostingsImpl(b.asInstanceOf[Array[Byte]], base.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, base) =>
+        s"graft.functions.Varint.decodePostingsImpl($b, $base)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Decode a posting payload column: array<struct<doc_id, ps>>. */
+  def postingsDecode(bin: Column, base: Column): Column =
+    GraftColumnBridge.column(PostingsDecode(
+      GraftColumnBridge.expression(bin), GraftColumnBridge.expression(base)))
+
   /** Decoder — the round-trip proof lives in VarintSpec; production
     * readers would use it to stream a shard's postings back out.
     */

@@ -144,6 +144,25 @@ object InvertedIndex {
       textCol: String,
       idCol: String,
       shardSpan: Long,
+      maxDocFreq: Option[Long] = None): DataFrame =
+    postingShardsBinary(docs, textCol, idCol, shardSpan, maxDocFreq)
+      .select(col("term"), col("shard"), col("df_shard"), col("tf_shard"),
+        md5(lower(hex(col("bin")))).as("varint_md5"),
+        length(col("bin")).cast("long").as("varint_bytes"),
+        col("raw_bytes"))
+
+  /** The compressed index ARTIFACT itself — `(term, shard, df_shard,
+    * tf_shard, bin, raw_bytes)` with `bin` the LEB128 posting payload
+    * a production sink would store. [[postingShardsCompressed]] is
+    * the flat digest view of this frame (the driver gate hashes
+    * strings, not blobs); [[phraseMatchesFromPostings]] is the
+    * read-side proof that the artifact alone answers queries.
+    */
+  def postingShardsBinary(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shardSpan: Long,
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
     maxDocFreq.foreach(m => require(m >= 1, s"maxDocFreq must be >= 1, got $m"))
@@ -192,9 +211,38 @@ object InvertedIndex {
         // ';' separators between docs in the ASCII form: df_shard - 1
         (sum(col("raw_len").cast("long")) + count(lit(1)) - 1L)
           .as("raw_bytes"))
-      .select(col("term"), col("shard"), col("df_shard"), col("tf_shard"),
-        md5(lower(hex(col("bin")))).as("varint_md5"),
-        length(col("bin")).cast("long").as("varint_bytes"),
-        col("raw_bytes"))
+  }
+
+  /** Phrase search SERVED FROM THE COMPRESSED INDEX — the read-side
+    * round-trip proof for [[postingShardsBinary]]: positions are
+    * reconstructed by decoding the LEB128 payload
+    * ([[graft.functions.Varint.postingsDecode]] — doc ids re-absoluted
+    * from the shard base, positions from their deltas), then the same
+    * (doc_id, re-based start) equi-join plan as [[phraseMatches]].
+    * Only the phrase terms' shards are decoded (term pushdown before
+    * the decode), so query cost is posting-sized whatever the corpus.
+    * On any corpus this must equal [[phraseMatches]] row-for-row —
+    * q111 gates it against q110's oracle verbatim.
+    */
+  def phraseMatchesFromPostings(
+      index: DataFrame,
+      shardSpan: Long,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      s"phrase must have 1..16 tokens, got ${phrase.size}")
+    val tp = index
+      .where(col("term").isin(phrase.distinct: _*))
+      .select(col("term"),
+        explode(graft.functions.Varint.postingsDecode(
+          col("bin"), col("shard") * lit(shardSpan))).as("e"))
+      .select(col("term"), col("e.doc_id").as("doc_id"),
+        explode(col("e.ps")).as("pos"))
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      tp.where(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
   }
 }

@@ -2470,6 +2470,35 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** Phrase search SERVED FROM THE COMPRESSED INDEX ([[graft.ops
+    * .InvertedIndex.phraseMatchesFromPostings]]): the q110 queries
+    * answered without touching document text — the LEB128 artifact is
+    * built once (checkpointed: it IS the stored index, ~posting-sized),
+    * the phrase terms' shards are decoded
+    * ([[graft.functions.Varint.postingsDecode]]), and the same
+    * (doc_id, start) adjacency join runs over the reconstructed
+    * positions. Gated against q110's oracle VERBATIM — the driver
+    * gate is the round-trip proof that the compressed artifact alone
+    * answers queries.
+    */
+  val q111PhraseFromIndex: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val heads = docs.where(col("doc_id").between(1, 5))
+      .select(col("doc_id"),
+        slice(TextAnalytics.tokens(col("text")), 1, 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val phrases: Seq[(Long, Seq[String])] =
+      (0L -> heads(1L).take(3)) +:
+        (1L to 5L).map(i => i -> heads(i).take(2))
+    val index = graft.ops.InvertedIndex
+      .postingShardsBinary(docs, "text", "doc_id", shardSpan = 100L)
+      .localCheckpoint()
+    phrases.map { case (pid, p) =>
+      graft.ops.InvertedIndex.phraseMatchesFromPostings(index, 100L, p)
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2589,7 +2618,8 @@ object Queries {
     "q107_heavy_hitters_wide" -> q107HeavyHittersWide,
     "q108_vocab_wide" -> q108VocabWide,
     "q109_postings_compressed" -> q109PostingsCompressed,
-    "q110_phrase_search" -> q110PhraseSearch)
+    "q110_phrase_search" -> q110PhraseSearch,
+    "q111_phrase_from_index" -> q111PhraseFromIndex)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4684,6 +4714,9 @@ object Queries {
     "q98_window_stream" -> oraclesBase("q31_hour_bins"),
     // streaming MG state on bounded input == the batch heavy hitters
     "q104_heavy_hitters_stream" -> oraclesBase("q92_heavy_hitters"),
+    // index-served phrase search == the corpus-scan phrase search:
+    // one oracle is the round-trip proof for the compressed artifact
+    "q111_phrase_from_index" -> oraclesBase("q110_phrase_search"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,

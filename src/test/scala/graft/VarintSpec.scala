@@ -44,6 +44,51 @@ class VarintSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("negative"))
   }
 
+  test("postingsDecode: lossless round-trip of the binary index, and " +
+      "index-served phrase search equals the corpus-scan plan") {
+    val docs = (0L until 150L).map(i =>
+      (i, s"w${i % 5} w${i % 11} w${i % 5} w${i % 7}")).toDF("doc_id", "text")
+    val idx = InvertedIndex.postingShardsBinary(docs, "text", "doc_id", 40L)
+    // decode every shard and rebuild the ASCII canonical form: must
+    // match postingShards' digest input exactly
+    val decoded = idx.select(col("term"), col("shard"),
+        explode(Varint.postingsDecode(col("bin"), col("shard") * 40L)).as("e"))
+      .select(col("term"), col("shard"), col("e.doc_id").as("doc_id"),
+        col("e.ps").as("ps"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(r => f"${r.getLong(2)}%012d:" +
+          r.getSeq[Long](3).mkString(",")).sorted.mkString(";")
+      }
+    val ascii = InvertedIndex.postingShards(docs, "text", "doc_id", 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(4))
+      .toMap
+    assert(decoded.keySet === ascii.keySet)
+    decoded.foreach { case (k, canonical) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 === ascii(k), s"shard $k decode mismatch")
+    }
+    // phrase search from the index == phrase search from the corpus
+    for (phrase <- Seq(Seq("w0", "w0"), Seq("w1", "w1", "w1"), Seq("w2", "w4"))) {
+      val fromIdx = InvertedIndex.phraseMatchesFromPostings(idx, 40L, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fromCorpus = InvertedIndex.phraseMatches(docs, "text", "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fromIdx === fromCorpus, s"phrase $phrase")
+    }
+  }
+
+  test("postingsDecode refuses corrupt payloads loudly") {
+    val bad = Seq(Tuple1(Array[Byte](0x05, 0x00))).toDF("b") // ddoc=5, then truncated
+    val e = intercept[Exception] {
+      bad.select(Varint.postingsDecode(col("b"), lit(0L))).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("posting") || msg.contains("truncated"))
+  }
+
   test("compressed posting shards: deterministic across partitionings, " +
       "counts equal the ASCII variant, and the payload genuinely " +
       "compresses") {
