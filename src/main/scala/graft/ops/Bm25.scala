@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{FixedLog, TextAnalytics}
@@ -29,15 +29,18 @@ import graft.functions.{FixedLog, TextAnalytics}
   *    k1+1 = 11/5 → 22/10 folded into the numerator).
   *  - score = Σ_t idf_1m·tfpart_ppm — exact integer, units 10⁻¹².
   *
-  * Scale shape: one token pass builds tf; dl derives from tf (no
-  * second corpus scan); df is a narrow term aggregation; the scoring
-  * join is keyed on term (query side tiny → broadcast); the final
-  * top-k per query runs the typed [[TopK.TopKAggregator]] — the
-  * shuffle carries at most k rows per (map partition, query), never
-  * the candidate set. Overflow is refused by name, not wrapped: the
-  * l_ppm product bounds N·max(dl), the tfpart numerator bounds
-  * max(tf), and the Double-exact TopK transport bounds the per-query
-  * term count at [[MaxQueryTerms]] (scores stay ≤ 2⁵³).
+  * The computation is split SERVING-STYLE: [[buildIndex]] makes the
+  * scoring tables once (one token pass — dl derives from tf, no
+  * second corpus scan — plus one small stats job and the overflow
+  * guards), [[scoreTopK]] answers a query batch against them (keyed
+  * join + typed [[TopK.TopKAggregator]] — at most k rows per (map
+  * partition, query) on the wire). [[bm25TopK]] composes the two for
+  * one-shot use; the streaming gate (q112) builds the index once and
+  * scores query micro-batches against it. Overflow is refused by
+  * name, not wrapped: the l_ppm product bounds N·max(dl), the tfpart
+  * numerator bounds max(tf), and the Double-exact TopK transport
+  * bounds the per-query term count at [[MaxQueryTerms]] (scores stay
+  * ≤ 2⁵³).
   */
 object Bm25 {
 
@@ -47,23 +50,20 @@ object Bm25 {
     */
   val MaxQueryTerms = 128
 
-  /** Top-k docs per query: `(query_id, rank, doc_id, score)` with
-    * rank 1-based by (score desc, doc_id asc). `queries` carries
-    * `(qidCol: long, qTermsCol: array<string>)`; duplicate terms in a
-    * query count once (standard bag-of-terms query model).
+  /** The prepared scoring tables: per-(doc, term) tf with the doc
+    * length attached, and per-term integer idf. Both frames are
+    * lazy plans — callers serving many batches should checkpoint
+    * them (they ARE the stored index).
     */
-  def bm25TopK(
-      docs: DataFrame,
-      queries: DataFrame,
-      textCol: String,
-      idCol: String,
-      qidCol: String,
-      qTermsCol: String,
-      k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val spark = docs.sparkSession
-    import spark.implicits._
+  final case class Index(tfDl: DataFrame, idf: DataFrame)
 
+  /** One corpus pass + one small stats job → the scoring tables,
+    * overflow-guarded by name.
+    */
+  def buildIndex(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String): Index = {
     val tf = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalytics.tokens(col(textCol))).as("term"))
@@ -71,47 +71,58 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
 
-    // One small-result job prices the whole computation: corpus size,
-    // token total, and the max document length the guards need.
     val st = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
       coalesce(max("dl"), lit(0L))).head()
     val n = st.getLong(0)
     val totTok = st.getLong(1)
     val maxDl = st.getLong(2)
-    require(n > 0 && totTok > 0, "bm25TopK: empty corpus")
+    require(n > 0 && totTok > 0, "bm25: empty corpus")
     require(maxDl <= Long.MaxValue / 1000000L / math.max(n, 1L),
-      s"bm25TopK: 10^6 * max(dl)=$maxDl * N=$n overflows the length-" +
+      s"bm25: 10^6 * max(dl)=$maxDl * N=$n overflows the length-" +
         "normalization product — shard the corpus or rescale")
     require(maxDl <= Long.MaxValue / 2200000L / 1000000L,
-      s"bm25TopK: max(dl)=$maxDl overflows the tf-saturation numerator")
+      s"bm25: max(dl)=$maxDl overflows the tf-saturation numerator")
 
+    val tfDl = tf.join(dl, Seq("doc_id"))
+      .withColumn("l_ppm", expr(s"(1000000L * dl * ${n}L) div ${totTok}L"))
+      .withColumn("tfpart_ppm", expr(
+        "(2200000L * tf * 1000000L) div " +
+          "(1000000L * tf + 300000L + (9L * l_ppm) div 10L)"))
+      .select("doc_id", "term", "tfpart_ppm")
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        (lit(FixedLog.iln1mImpl(2L * n + 2L)) -
+          FixedLog.iln1m(lit(2L) * col("df") + lit(1L))).as("idf_1m"))
+    Index(tfDl, idf)
+  }
+
+  /** Score a query batch against a prepared index: top-k docs per
+    * query as `(query_id, rank, doc_id, score)`, rank 1-based by
+    * (score desc, doc_id asc); duplicate query terms count once.
+    */
+  def scoreTopK(
+      index: Index,
+      queries: DataFrame,
+      qidCol: String,
+      qTermsCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
     val qt = queries.select(col(qidCol).cast("long").as("query_id"),
       explode(array_distinct(col(qTermsCol))).as("term"))
     val widest = qt.groupBy("query_id").agg(count(lit(1)).as("w"))
       .agg(coalesce(max("w"), lit(0L))).head().getLong(0)
     require(widest <= MaxQueryTerms,
-      s"bm25TopK: a query has $widest distinct terms (> $MaxQueryTerms) " +
+      s"bm25: a query has $widest distinct terms (> $MaxQueryTerms) " +
         "— the summed score could exceed the 2^53 exact-Double bound " +
         "of the top-k transport; split the query")
 
-    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .select(col("term"),
-        (lit(FixedLog.iln1mImpl(2L * n + 2L)) -
-          FixedLog.iln1m(lit(2L) * col("df") + lit(1L))).as("idf_1m"))
-
-    val scored = qt
-      .join(tf, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .join(idf, Seq("term"))
-      .withColumn("l_ppm", expr(s"(1000000L * dl * ${n}L) div ${totTok}L"))
-      .withColumn("denom_ppm",
-        expr("1000000L * tf + 300000L + (9L * l_ppm) div 10L"))
-      .withColumn("tfpart_ppm",
-        expr("(2200000L * tf * 1000000L) div denom_ppm"))
+    qt.join(index.tfDl, Seq("term"))
+      .join(index.idf, Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("idf_1m") * col("tfpart_ppm")).as("score"))
-
-    scored.as[(Long, Long, Long)]
+      .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, docId, s) => TopK.Scored(docId, s.toDouble) }
       .agg(TopK.topK(k).toColumn.name("top"))
@@ -122,4 +133,15 @@ object Bm25 {
       }
       .toDF("query_id", "rank", "doc_id", "score")
   }
+
+  /** One-shot compose: build the index and answer one query batch. */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      qidCol: String,
+      qTermsCol: String,
+      k: Int): DataFrame =
+    scoreTopK(buildIndex(docs, textCol, idCol), queries, qidCol, qTermsCol, k)
 }

@@ -2499,6 +2499,17 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** Streaming BM25 serving ([[graft.streaming.StreamBm25]]): the
+    * q103 queries arrive as hash-sliced micro-batches and score
+    * against the once-built, pinned wide-corpus index — the
+    * production serving shape, and the retrieval family's streaming
+    * twin (q104:q92 :: q98:q31 :: this:q103). On bounded input the
+    * accumulated answers must equal batch q103 verbatim — q103's
+    * oracle gates both forms.
+    */
+  val q112Bm25Stream: Q = (s, d) =>
+    graft.streaming.StreamBm25.bm25StreamAvailableNow(s, d, k = 10)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2619,7 +2630,8 @@ object Queries {
     "q108_vocab_wide" -> q108VocabWide,
     "q109_postings_compressed" -> q109PostingsCompressed,
     "q110_phrase_search" -> q110PhraseSearch,
-    "q111_phrase_from_index" -> q111PhraseFromIndex)
+    "q111_phrase_from_index" -> q111PhraseFromIndex,
+    "q112_bm25_stream" -> q112Bm25Stream)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4717,6 +4729,8 @@ object Queries {
     // index-served phrase search == the corpus-scan phrase search:
     // one oracle is the round-trip proof for the compressed artifact
     "q111_phrase_from_index" -> oraclesBase("q110_phrase_search"),
+    // streamed queries against the static index == batch BM25
+    "q112_bm25_stream" -> oraclesBase("q103_bm25"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,

@@ -48,7 +48,7 @@ object PlanAudit {
       val streaming = Set("q59_sessionize_stream", "q60_asof_stream",
         "q61_components_stream", "q66_decorate_stream",
         "q73_decontaminate_stream", "q98_window_stream",
-        "q104_heavy_hitters_stream")
+        "q104_heavy_hitters_stream", "q112_bm25_stream")
       // q21 is the BRUTE-FORCE exact-cosine BASELINE: a bounded query
       // set broadcast against the streamed corpus IS the intended
       // cross product (its scaladoc says so; q28/q42/q55 are the
