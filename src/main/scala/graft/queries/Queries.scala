@@ -2510,6 +2510,28 @@ object Queries {
   val q112Bm25Stream: Q = (s, d) =>
     graft.streaming.StreamBm25.bm25StreamAvailableNow(s, d, k = 10)
 
+  /** DSIR-style data selection ([[graft.ops.Dsir]]): every raw-corpus
+    * doc scored by the hashed-unigram log-likelihood ratio against a
+    * target distribution (here the wide corpus — an arbitrary but
+    * deterministic target; the SEMANTICS under gate are the
+    * importance-scoring machinery), all in exact integers through the
+    * fixed-point log, then kept at-or-above the MEDIAN per-token
+    * score via [[graft.ops.Quantiles.exactQuantiles]] — the composed
+    * select-half-the-corpus pipeline. Spark `div` and DuckDB `//`
+    * both truncate toward zero, so the negative per-token averages
+    * agree exactly (gate-pinned).
+    */
+  val q113DsirSelect: Q = (s, d) => {
+    val scored = graft.ops.Dsir.importanceScores(
+      Tables.documents(s, d), Tables.documentsWide(s, d),
+      "text", "doc_id", buckets = 1024)
+      .withColumn("avg_llr", expr("llr_scaled div greatest(n_tokens, 1L)"))
+    val med = graft.ops.Quantiles
+      .exactQuantiles(scored, "avg_llr", Seq(50L -> 100L))
+      .head().getLong(2)
+    scored.withColumn("keep", col("avg_llr") >= med)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2631,7 +2653,8 @@ object Queries {
     "q109_postings_compressed" -> q109PostingsCompressed,
     "q110_phrase_search" -> q110PhraseSearch,
     "q111_phrase_from_index" -> q111PhraseFromIndex,
-    "q112_bm25_stream" -> q112Bm25Stream)
+    "q112_bm25_stream" -> q112Bm25Stream,
+    "q113_dsir_select" -> q113DsirSelect)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4673,7 +4696,59 @@ object Queries {
            FROM t, ph WHERE len(l) >= len(pl))
          SELECT phrase_id::BIGINT AS phrase_id, doc_id,
            n_matches::BIGINT AS n_matches
-         FROM m WHERE n_matches > 0""")
+         FROM m WHERE n_matches > 0""",
+    "q113_dsir_select" ->
+      // hashed-bucket add-one LLR through the integer-log CTE chain,
+      // per-doc integer sum, truncate-toward-zero per-token average
+      // (DuckDB `//` and Spark `div` BOTH truncate toward zero — the
+      // q113 gate pinned this on negative sums), median keep via the
+      // q93 cumulative-window target-rank replay
+      s"""WITH RECURSIVE
+         raw_tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         tgt_tok AS (SELECT unnest($wideToks) AS tok FROM documents),
+         rb AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024
+                  AS b, count(*)::BIGINT AS c
+                FROM raw_tok GROUP BY 1),
+         tb AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024
+                  AS b, count(*)::BIGINT AS c
+                FROM tgt_tok GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c) FROM rb)::BIGINT AS tr,
+                        (SELECT sum(c) FROM tb)::BIGINT AS tt),
+         buckets AS (SELECT r.b, coalesce(t.c, 0) + 1 AS nt, r.c + 1 AS nr
+                     FROM rb r LEFT JOIN tb t ON t.b = r.b),
+         ms AS (SELECT DISTINCT nt AS m FROM buckets
+                UNION SELECT DISTINCT nr FROM buckets
+                UNION SELECT tt + 1024 FROM tot
+                UNION SELECT tr + 1024 FROM tot),
+         $ilnCtes,
+         bl AS (SELECT buckets.b,
+             (it.v - (SELECT v FROM iln JOIN tot ON iln.m = tot.tt + 1024))
+           - (ir.v - (SELECT v FROM iln JOIN tot ON iln.m = tot.tr + 1024))
+               AS llr
+           FROM buckets JOIN iln it ON it.m = buckets.nt
+             JOIN iln ir ON ir.m = buckets.nr),
+         doc AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+           FROM raw_tok),
+         sc AS (SELECT doc.doc_id, count(*)::BIGINT AS n_tokens,
+                  sum(bl.llr)::BIGINT AS llr_scaled
+                FROM doc JOIN bl ON bl.b = doc.b GROUP BY doc.doc_id),
+         av AS (SELECT *,
+             llr_scaled // greatest(n_tokens, 1) AS avg_llr
+           FROM sc),
+         n AS (SELECT count(*)::BIGINT AS n FROM av),
+         c AS (SELECT avg_llr AS val, count(*)::BIGINT AS cnt
+               FROM av GROUP BY 1),
+         r AS (SELECT val, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start FROM c),
+         med AS (SELECT val FROM r, n
+                 WHERE start < (50 * n.n + 99) // 100
+                   AND (50 * n.n + 99) // 100 <= start + cnt)
+         SELECT av.doc_id, av.n_tokens, av.llr_scaled, av.avg_llr,
+           (av.avg_llr >= med.val) AS keep
+         FROM av, med""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
