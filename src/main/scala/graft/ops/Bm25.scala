@@ -63,12 +63,21 @@ object Bm25 {
   def buildIndex(
       docs: DataFrame,
       textCol: String,
-      idCol: String): Index = {
-    val tf = docs
+      idCol: String): Index =
+    buildIndexFromTf(docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalytics.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
+
+  /** The index arithmetic from an existing `(doc_id, term, tf)` term-
+    * frequency table — the seam that lets the scoring tables derive
+    * from a STORED posting artifact (q114 feeds it
+    * [[InvertedIndex]]-decoded postings: tf = positions per entry, dl
+    * and df re-aggregated from the postings themselves — the corpus
+    * text is never touched) as well as from a fresh tokenize pass.
+    */
+  def buildIndexFromTf(tf: DataFrame): Index = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
 
     val st = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),

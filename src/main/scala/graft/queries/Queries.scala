@@ -2532,6 +2532,32 @@ object Queries {
     scored.withColumn("keep", col("avg_llr") >= med)
   }
 
+  /** BM25 FROM THE STORED ARTIFACT ([[graft.ops.Bm25
+    * .buildIndexFromTf]] over [[graft.functions.Varint
+    * .postingsDecode]]): the q103 queries answered without ever
+    * touching document text — tf is the decoded position count, dl
+    * and df re-aggregate from the postings themselves. With q111
+    * (phrase) this closes the artifact story: the compressed index
+    * alone serves BOTH retrieval access paths. Gated with q103's
+    * oracle verbatim.
+    */
+  val q114Bm25FromIndex: Q = (s, d) => {
+    val wide = Tables.documentsWide(s, d)
+    val queries = wide.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalytics.tokens(col("text")), 1, 5).as("terms"))
+    val artifact = graft.ops.InvertedIndex
+      .postingShardsBinary(wide, "text", "doc_id", shardSpan = 100L)
+    val tf = artifact.select(col("term"),
+        explode(graft.functions.Varint.postingsDecode(
+          col("bin"), col("shard") * lit(100L))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("term"),
+        size(col("e.ps")).cast("long").as("tf"))
+    graft.ops.Bm25.scoreTopK(
+      graft.ops.Bm25.buildIndexFromTf(tf), queries, "query_id", "terms",
+      k = 10)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2654,7 +2680,8 @@ object Queries {
     "q110_phrase_search" -> q110PhraseSearch,
     "q111_phrase_from_index" -> q111PhraseFromIndex,
     "q112_bm25_stream" -> q112Bm25Stream,
-    "q113_dsir_select" -> q113DsirSelect)
+    "q113_dsir_select" -> q113DsirSelect,
+    "q114_bm25_from_index" -> q114Bm25FromIndex)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4806,6 +4833,8 @@ object Queries {
     "q111_phrase_from_index" -> oraclesBase("q110_phrase_search"),
     // streamed queries against the static index == batch BM25
     "q112_bm25_stream" -> oraclesBase("q103_bm25"),
+    // scoring from the decoded artifact == scoring from the corpus
+    "q114_bm25_from_index" -> oraclesBase("q103_bm25"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,
