@@ -139,6 +139,45 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** PROXIMITY search — `w1 NEAR/window w2`: documents where the two
+    * words co-occur within `window` token positions, with the exact
+    * pair count. The naive plan is a per-doc position cross join;
+    * here positions BAND into `window`-sized buckets (the
+    * [[RangeJoin]] idea applied to token offsets): each w1 position
+    * probes its own and both adjacent buckets, w2 positions carry
+    * exactly one bucket, so the join is a keyed equi-join on
+    * (doc_id, bucket), each true pair matches in exactly one bucket
+    * (no dedup pass), and candidate volume is bounded by pairs within
+    * 2·window — never |w1 positions|×|w2 positions|.
+    */
+  def proximityMatches(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w1: String,
+      w2: String,
+      window: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(w1 != w2, "proximity of a word with itself is not defined " +
+      "here (every position pairs with itself); use phraseMatches for " +
+      "repeats")
+    val tp = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
+    val probes = tp.where(col("term") === w1)
+      .select(col("doc_id"), col("pos").cast("long").as("p1"))
+      .select(col("doc_id"), col("p1"),
+        explode(expr(s"array(p1 div ${window}L - 1L, p1 div ${window}L, " +
+          s"p1 div ${window}L + 1L)")).as("b"))
+    val targets = tp.where(col("term") === w2)
+      .select(col("doc_id"), col("pos").cast("long").as("p2"),
+        expr(s"cast(pos as bigint) div ${window}L").as("b"))
+    probes.join(targets, Seq("doc_id", "b"))
+      .where(abs(col("p1") - col("p2")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def postingShardsCompressed(
       docs: DataFrame,
       textCol: String,

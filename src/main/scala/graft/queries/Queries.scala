@@ -2558,6 +2558,22 @@ object Queries {
       k = 10)
   }
 
+  /** Proximity search ([[graft.ops.InvertedIndex.proximityMatches]]):
+    * doc 2's first two tokens within 4 positions of each other,
+    * exact pair counts — positions band into window-sized buckets so
+    * the per-doc pairing is a keyed (doc, bucket) equi-join, never a
+    * position cross join. The oracle replays the pairing as a nested
+    * list lambda (1-based positions; offsets cancel in |i−j|).
+    */
+  val q115ProximitySearch: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ws = docs.where(col("doc_id") === 2)
+      .select(slice(TextAnalytics.tokens(col("text")), 1, 2))
+      .head().getSeq[String](0)
+    graft.ops.InvertedIndex.proximityMatches(
+      docs, "text", "doc_id", ws(0), ws(1), window = 4L)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2681,7 +2697,8 @@ object Queries {
     "q111_phrase_from_index" -> q111PhraseFromIndex,
     "q112_bm25_stream" -> q112Bm25Stream,
     "q113_dsir_select" -> q113DsirSelect,
-    "q114_bm25_from_index" -> q114Bm25FromIndex)
+    "q114_bm25_from_index" -> q114Bm25FromIndex,
+    "q115_proximity_search" -> q115ProximitySearch)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4775,7 +4792,25 @@ object Queries {
                    AND (50 * n.n + 99) // 100 <= start + cnt)
          SELECT av.doc_id, av.n_tokens, av.llr_scaled, av.avg_llr,
            (av.avg_llr >= med.val) AS keep
-         FROM av, med""")
+         FROM av, med""",
+    "q115_proximity_search" ->
+      // exact pair counts within the window, replayed per doc with a
+      // nested list lambda over the two position lists
+      s"""WITH p AS (SELECT l[1] AS w1, l[2] AS w2
+           FROM (SELECT $toks AS l FROM documents WHERE doc_id = 2)),
+         t AS (SELECT doc_id, $toks AS l FROM documents),
+         pos AS (SELECT doc_id,
+             list_filter(generate_series(1, len(l)), i -> l[i] = p.w1)
+               AS pa,
+             list_filter(generate_series(1, len(l)), i -> l[i] = p.w2)
+               AS pb
+           FROM t, p),
+         m AS (SELECT doc_id,
+             len(flatten(list_transform(pa,
+               i -> list_filter(pb, j -> abs(i - j) <= 4)))) AS n_pairs
+           FROM pos)
+         SELECT doc_id, n_pairs::BIGINT AS n_pairs
+         FROM m WHERE n_pairs > 0""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

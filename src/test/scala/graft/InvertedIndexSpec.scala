@@ -94,6 +94,35 @@ class InvertedIndexSpec extends SparkSpec {
     assert(run("a") === Map(1L -> 3L, 2L -> 3L, 4L -> 2L))
   }
 
+  test("proximityMatches: banded pairing equals the brute-force pair " +
+      "count; bucket-boundary pairs are not lost or double-counted") {
+    // positions of a: 0, 5, 9; b: 3, 4, 12 — window 4 buckets are
+    // [0-3],[4-7],[8-11],[12-15]; pair (5,3) spans a boundary, (9,12)
+    // spans another, (0,4) sits exactly at the window edge
+    val docs = Seq(
+      (1L, "a x x b b a x x x a x x b"),
+      (2L, "a x x x x x x x x x x x b"), // distance 12 > 4: no pair
+      (3L, "b a")).toDF("doc_id", "text")
+    def brute(text: String, w: Long): Long = {
+      val ts = text.split(" ")
+      val pa = ts.zipWithIndex.collect { case ("a", i) => i }
+      val pb = ts.zipWithIndex.collect { case ("b", i) => i }
+      pa.flatMap(i => pb.filter(j => math.abs(i - j) <= w)).size.toLong
+    }
+    val got = InvertedIndex
+      .proximityMatches(docs, "text", "doc_id", "a", "b", 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Seq(
+      1L -> brute("a x x b b a x x x a x x b", 4),
+      3L -> brute("b a", 4)).toMap
+    assert(got === want)
+    assert(!got.contains(2L))
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.proximityMatches(docs, "text", "doc_id", "a", "a", 4L)
+    }
+    assert(e.getMessage.contains("phraseMatches"))
+  }
+
   test("deterministic across partitionings") {
     val docs = (0L until 120L).map(i =>
       (i, s"w${i % 5} w${i % 11} w${i % 5}")).toDF("doc_id", "text")
