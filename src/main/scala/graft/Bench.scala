@@ -109,7 +109,8 @@ object Bench {
     "q111_phrase_from_index",
     "q113_dsir_select",
     "q114_bm25_from_index",
-    "q115_proximity_search")
+    "q115_proximity_search",
+    "q116_lm_perplexity")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -2574,6 +2574,23 @@ object Queries {
       docs, "text", "doc_id", ws(0), ws(1), window = 4L)
   }
 
+  /** Bigram-LM perplexity scoring ([[graft.ops.LmScore]]): every
+    * non-benchmark doc's negative log-likelihood under an add-one
+    * bigram LM trained on the %10 benchmark split — the CCNet-style
+    * quality filter, in exact integers through the fixed-point log
+    * (every log argument an integer: c₂+1 and c₁+V). The LM tables
+    * join keyed (a web-scale bigram table shuffles on its key, never
+    * broadcasts); avg_nll is the perplexity proxy a filter thresholds
+    * on.
+    */
+  val q116LmPerplexity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ops.LmScore.bigramNll(
+      docs.where(col("doc_id") % 10 === 0),
+      docs.where(col("doc_id") % 10 =!= 0),
+      "text", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2698,7 +2715,8 @@ object Queries {
     "q112_bm25_stream" -> q112Bm25Stream,
     "q113_dsir_select" -> q113DsirSelect,
     "q114_bm25_from_index" -> q114Bm25FromIndex,
-    "q115_proximity_search" -> q115ProximitySearch)
+    "q115_proximity_search" -> q115ProximitySearch,
+    "q116_lm_perplexity" -> q116LmPerplexity)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4810,7 +4828,43 @@ object Queries {
                i -> list_filter(pb, j -> abs(i - j) <= 4)))) AS n_pairs
            FROM pos)
          SELECT doc_id, n_pairs::BIGINT AS n_pairs
-         FROM m WHERE n_pairs > 0""")
+         FROM m WHERE n_pairs > 0""",
+    "q116_lm_perplexity" ->
+      // add-one bigram LM replay: c2/c1/V from the %10 train split,
+      // per-bigram nll through the integer-log CTE chain, positive
+      // integer division for the average
+      s"""WITH RECURSIVE
+         tl AS (SELECT $toks AS l FROM documents WHERE doc_id % 10 = 0),
+         tg AS (SELECT l[i] AS prev, l[i+1] AS tok
+                FROM tl, unnest(generate_series(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 2),
+         c2 AS (SELECT prev, tok, count(*)::BIGINT AS c
+                FROM tg GROUP BY 1, 2),
+         c1 AS (SELECT prev, count(*)::BIGINT AS c FROM tg GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok)::BIGINT + 1 AS v
+               FROM (SELECT unnest(l) AS tok FROM tl)),
+         rl AS (SELECT doc_id, $toks AS l FROM documents
+                WHERE doc_id % 10 <> 0),
+         rg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS tok
+                FROM rl, unnest(generate_series(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 2),
+         args AS (SELECT rg.doc_id, coalesce(c2.c, 0) + 1 AS a_num,
+                    coalesce(c1.c, 0) + v.v AS a_den
+                  FROM rg
+                    LEFT JOIN c2 ON c2.prev = rg.prev AND c2.tok = rg.tok
+                    LEFT JOIN c1 ON c1.prev = rg.prev
+                    CROSS JOIN v),
+         ms AS (SELECT DISTINCT a_num AS m FROM args
+                UNION SELECT DISTINCT a_den FROM args),
+         $ilnCtes,
+         sc AS (SELECT args.doc_id, count(*)::BIGINT AS n_bigrams,
+                  sum(id.v - inm.v)::BIGINT AS nll_scaled
+                FROM args JOIN iln inm ON inm.m = args.a_num
+                  JOIN iln id ON id.m = args.a_den
+                GROUP BY args.doc_id)
+         SELECT doc_id, n_bigrams, nll_scaled,
+           nll_scaled // n_bigrams AS avg_nll
+         FROM sc""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
