@@ -110,7 +110,8 @@ object Bench {
     "q113_dsir_select",
     "q114_bm25_from_index",
     "q115_proximity_search",
-    "q116_lm_perplexity")
+    "q116_lm_perplexity",
+    "q117_winnowing")
 
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load

@@ -193,4 +193,30 @@ object TextAnalytics {
       dup3.as("dup_3gram_frac"),
       (dupTok <= 0.30 && top2 <= 0.20 && dup3 <= 0.18).as("keep"))
   }
+
+  /** WINNOWED document fingerprints (Schleimer et al. SIGMOD'03 — the
+    * MOSS local fingerprinting scheme, set form): hash every k-gram
+    * (md5-60-bit, the repo's cross-engine hash), slide a w-wide
+    * window over the hash sequence, and keep each window's MINIMUM —
+    * the selected set is guaranteed to share a fingerprint with any
+    * copy of a passage ≥ k+w−1 tokens, while storing ~2/(w+1) of the
+    * gram hashes. Returns the sorted distinct fingerprint array
+    * (null when the doc is shorter than k+w−1 tokens — guarded
+    * explicitly because Spark's `sequence` DESCENDS when start >
+    * stop, which would silently fabricate windows). Pure codegen
+    * HOFs, per-row, shuffle-free.
+    */
+  def winnowedFingerprints(toks: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val n = size(toks)
+    val hs = transform(sequence(lit(1), (n - lit(k - 1)).cast("int")),
+      i => conv(substring(md5(concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + lit(j))): _*)),
+        1, 15), 16, 10).cast("long"))
+    val fps = array_sort(array_distinct(transform(
+      sequence(lit(1), (size(hs) - lit(w - 1)).cast("int")),
+      i => array_min(slice(hs, i, lit(w))))))
+    when(n >= k + w - 1, fps)
+  }
 }

@@ -2591,6 +2591,25 @@ object Queries {
       "text", "doc_id")
   }
 
+  /** Winnowed document fingerprints ([[graft.functions.TextAnalytics
+    * .winnowedFingerprints]], Schleimer et al. 2003): the MOSS-style
+    * local fingerprint set over the wide corpus — 3-gram md5 hashes,
+    * window-4 minima, sorted distinct — the storage-reduced digest a
+    * copy of any ≥6-token passage is guaranteed to collide with.
+    * Per-row codegen HOFs; the oracle replays gram-hash, window-min
+    * and the canonical join byte-for-byte.
+    */
+  val q117Winnowing: Q = (s, d) =>
+    Tables.documentsWide(s, d)
+      .select(col("doc_id"),
+        TextAnalytics.winnowedFingerprints(
+          TextAnalytics.tokens(col("text")), 3, 4).as("fps"))
+      .where(col("fps").isNotNull)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(concat_ws(",", transform(col("fps"), _.cast("string"))))
+          .as("fps_md5"))
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2716,7 +2735,8 @@ object Queries {
     "q113_dsir_select" -> q113DsirSelect,
     "q114_bm25_from_index" -> q114Bm25FromIndex,
     "q115_proximity_search" -> q115ProximitySearch,
-    "q116_lm_perplexity" -> q116LmPerplexity)
+    "q116_lm_perplexity" -> q116LmPerplexity,
+    "q117_winnowing" -> q117Winnowing)
 
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -4864,7 +4884,25 @@ object Queries {
                 GROUP BY args.doc_id)
          SELECT doc_id, n_bigrams, nll_scaled,
            nll_scaled // n_bigrams AS avg_nll
-         FROM sc""")
+         FROM sc""",
+    "q117_winnowing" ->
+      // gram-hash, window-4 minima, sorted distinct, canonical join —
+      // replayed with list lambdas over the reconstructed wide corpus
+      s"""WITH t AS (SELECT doc_id, $wideToks AS l FROM documents),
+         g AS (SELECT doc_id,
+             list_transform(generate_series(1, len(l) - 2),
+               i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' ||
+                     l[i+2]), 1, 15))::BIGINT) AS hs
+           FROM t WHERE len(l) >= 3),
+         w AS (SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, len(hs) - 3),
+               i -> list_min(hs[i:i+3])))) AS fps
+           FROM g WHERE len(hs) >= 4)
+         SELECT doc_id, len(fps)::BIGINT AS n_fps,
+           md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ','))
+             AS fps_md5
+         FROM w""")
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids

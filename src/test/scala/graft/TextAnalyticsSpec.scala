@@ -90,4 +90,44 @@ class TextAnalyticsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[String]]
     assert(short.isEmpty)
   }
+
+  test("winnowedFingerprints: equals the brute replay, honors the " +
+      "shared-passage guarantee, reduces storage, nulls short docs") {
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def brute(text: String, k: Int, w: Int): Option[Seq[Long]] = {
+      val ts = text.split(" ").filter(_.nonEmpty).toSeq
+      if (ts.size < k + w - 1) None
+      else {
+        val hs = ts.sliding(k).map(g => md5h(g.mkString(" "))).toSeq
+        Some(hs.sliding(w).map(_.min).toSeq.distinct.sorted)
+      }
+    }
+    def run(text: String, k: Int, w: Int): Option[Seq[Long]] = {
+      val r = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalytics.winnowedFingerprints(
+          TextAnalytics.tokens(col("text")), k, w))
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getSeq[Long](0))
+    }
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    for ((k, w) <- Seq((3, 4), (2, 2), (4, 5))) {
+      assert(run(doc, k, w) === brute(doc, k, w), s"k=$k w=$w")
+    }
+    // storage reduction: fewer fingerprints than grams
+    val fps = run(doc, 3, 4).get
+    assert(fps.size < doc.split(" ").length - 2)
+    // the guarantee: two docs sharing a passage of >= k+w-1 tokens
+    // share at least one fingerprint
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val a = run(s"one two $passage three four", 3, 4).get
+    val b = run(s"nine $passage eight seven six five", 3, 4).get
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // too short: null, never a fabricated descending-sequence window
+    assert(run("a b c d e", 3, 4) === None)
+    assert(run("a b c d e f", 3, 4).isDefined) // exactly k+w-1 = 6
+  }
 }
