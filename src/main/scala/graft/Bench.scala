@@ -113,6 +113,49 @@ object Bench {
     "q116_lm_perplexity",
     "q117_winnowing")
 
+  /** Catalog queries deliberately NOT in the headline sweep, each with
+    * its reason. LintSpec pins `headline ∪ exempt == catalog`
+    * (disjoint), so a new query MUST be placed in one or the other —
+    * it cannot silently skip the bench (the r15 q117 lesson applied
+    * to the bench list).
+    */
+  val exempt: Map[String, String] = {
+    val streaming = "streaming micro-batch pipeline; its batch twin is benched"
+    val subsec = "sub-second variant; its operator family is in the headline"
+    val twin = "engine-hash path; benched via its portable twin"
+    Map(
+      "q59_sessionize_stream" -> streaming,
+      "q60_asof_stream" -> streaming,
+      "q61_components_stream" -> streaming,
+      "q66_decorate_stream" -> streaming,
+      "q73_decontaminate_stream" -> streaming,
+      "q73b_decontaminate_stream_portable" -> streaming,
+      "q98_window_stream" -> streaming,
+      "q104_heavy_hitters_stream" -> streaming,
+      "q112_bm25_stream" -> streaming,
+      "q04_semi_join" -> subsec,
+      "q05_anti_join" -> subsec,
+      "q08_first_order" -> subsec,
+      "q10_sessionize" -> subsec,
+      "q15_collect_sorted" -> subsec,
+      "q16_set_except" -> subsec,
+      "q19_quality_score" -> subsec,
+      "q20_lang_id" -> subsec,
+      "q23_fingerprint" -> subsec,
+      "q33_type_count_map" -> subsec,
+      "q38_regex_extract" -> subsec,
+      "q41_topk_aggregator" -> subsec,
+      "q43_genetree_score" -> subsec,
+      "q46_domain_roots" -> subsec,
+      "q48_foster_graft" -> subsec,
+      "q52_bpe_tokens" -> subsec,
+      "q27_simhash" -> (twin + " (q27b)"),
+      "q42_ivf_ann" -> (twin + " (q28b; q55 proves exactness)"),
+      "q51_embedding_neardup_lsh" -> (twin + " (q51b)"),
+      "q55_ivf_exact" ->
+        "exhaustive-probe exactness proof; the benched ANN paths are q28b/q42")
+  }
+
   /** 1-minute system load average from /proc/loadavg (-1.0 if absent),
     * recorded at sweep start and end so a judge can read machine-load
     * context straight out of the bench JSON.

@@ -32,6 +32,14 @@ package graft
   *   rank table `percentileRanks` pins (localCheckpoint) for the
   *   returned plan's lifetime; over-budget domains are refused by
   *   name with this key as the escape hatch. |
+  * | `graft.heavyHitters.pinBytes` (1 GiB,
+  *   [[graft.ops.HeavyHitters]]) | refusal bound on the auto-pin
+  *   localCheckpoint `heavyHitters` takes when its input plan is
+  *   detectably non-deterministic (the sketch and verify passes must
+  *   see the same rows); measured AFTER the eager checkpoint — the
+  *   only point the real footprint is knowable — and released before
+  *   refusing, so a non-deterministic corpus-scale input can never
+  *   silently pin corpus-scale executor storage. |
   *
   * Non-conf knobs (constructor parameters, deliberately NOT ambient
   * config because they change SEMANTICS or plan shape per call site):
@@ -46,5 +54,6 @@ object Budgets {
     graft.ops.Similarity.LevelBroadcastBytesKey,
     graft.ops.Decontaminate.BenchDelegateBytesKey,
     graft.functions.Bloom.BloomBytesKey,
-    graft.ops.Quantiles.RankTableBytesKey)
+    graft.ops.Quantiles.RankTableBytesKey,
+    graft.ops.HeavyHitters.PinBytesKey)
 }

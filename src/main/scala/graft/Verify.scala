@@ -27,8 +27,27 @@ object Verify {
     // driver never sets it, so gate runs always cover the catalog)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // developer knob for the large-SF evidence sweeps: run the WHOLE
+    // catalog EXCEPT a named exclusion list — "catalog minus named
+    // exclusions" is structurally complete (a new query runs by
+    // default; forgetting it is impossible), unlike a hand-maintained
+    // ONLY list which silently misses additions (the r15 q117 lesson).
+    // Excluded names are logged loudly so the evidence file records
+    // them; names not in the catalog fail fast (a stale exclusion is
+    // a typo, not a request).
+    val except = sys.env.get("SPARK_GRAFT_VERIFY_EXCEPT")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val staleExcept = except -- SparkEntry.queries.keySet
+    if (staleExcept.nonEmpty)
+      sys.error(s"SPARK_GRAFT_VERIFY_EXCEPT names not in the catalog: " +
+        staleExcept.mkString(", "))
+    except.toSeq.sorted.foreach(n =>
+      System.err.println(s"[verify] $n EXCLUDED by SPARK_GRAFT_VERIFY_EXCEPT"))
+    var ran, skipped, failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !except.contains(name) }
       .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): both yield the single part
       // file the gate reads, but coalesce collapses the query's whole
@@ -36,16 +55,26 @@ object Verify {
       // at audit scales that serializes minutes of parallel work.
       // The extra exchange moves only the (small) result rows.
       val t0 = System.nanoTime()
-      if (skipExisting && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS")))
+      if (skipExisting && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) {
+        skipped += 1
         System.err.println(s"[verify] $name skipped (exists)")
-      else try {
+      } else try {
         fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        ran += 1
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // completeness footer: the evidence file must account for every
+    // catalog entry — run + skipped-existing + excluded-by-name must
+    // sum to the catalog (when no ONLY restriction is active)
+    System.err.println(s"[verify] catalog=${SparkEntry.queries.size} " +
+      s"ran=$ran skipped_existing=$skipped failed=$failed " +
+      s"excluded=${except.size}" +
+      (if (only.isDefined) " (ONLY restriction active)" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

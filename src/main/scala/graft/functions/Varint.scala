@@ -139,6 +139,13 @@ object Varint {
     var v = 0L
     var shift = 0
     bytes.foreach { b =>
+      // JVM `<<` masks the shift mod 64, so an over-long varint (10+
+      // continuation bytes — impossible for a non-negative long, which
+      // encode() caps at 9 bytes) would WRAP and silently decode to a
+      // wrong value; a corrupt artifact must fail loudly instead
+      require(shift <= 56,
+        "varint too long: a non-negative long needs at most 9 bytes — " +
+          "corrupt posting stream")
       v |= (b & 0x7fL) << shift
       if ((b & 0x80) != 0) shift += 7
       else { out += v; v = 0L; shift = 0 }

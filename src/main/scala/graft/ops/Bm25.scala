@@ -108,6 +108,12 @@ object Bm25 {
   /** Score a query batch against a prepared index: top-k docs per
     * query as `(query_id, rank, doc_id, score)`, rank 1-based by
     * (score desc, doc_id asc); duplicate query terms count once.
+    *
+    * The query-width overflow guard is IN-PLAN (a `raise_error`-guarded
+    * column over the batch-local term count, the [[InvertedIndex]]
+    * id-range pattern), not a driver pre-flight job: serving stays
+    * single-job per batch — no extra driver-blocking stats pass on the
+    * hot path.
     */
   def scoreTopK(
       index: Index,
@@ -118,14 +124,19 @@ object Bm25 {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     import spark.implicits._
+    // width guard before the explode: size() of the de-duplicated term
+    // array is per-row (no window/shuffle over the batch needed)
     val qt = queries.select(col(qidCol).cast("long").as("query_id"),
-      explode(array_distinct(col(qTermsCol))).as("term"))
-    val widest = qt.groupBy("query_id").agg(count(lit(1)).as("w"))
-      .agg(coalesce(max("w"), lit(0L))).head().getLong(0)
-    require(widest <= MaxQueryTerms,
-      s"bm25: a query has $widest distinct terms (> $MaxQueryTerms) " +
-        "— the summed score could exceed the 2^53 exact-Double bound " +
-        "of the top-k transport; split the query")
+        array_distinct(col(qTermsCol)).as("__terms"))
+      .withColumn("__terms",
+        when(size(col("__terms")) <= MaxQueryTerms, col("__terms"))
+          .otherwise(raise_error(concat(
+            lit("bm25: a query has "), size(col("__terms")).cast("string"),
+            lit(s" distinct terms (> $MaxQueryTerms) — the summed score " +
+              "could exceed the 2^53 exact-Double bound of the top-k " +
+              "transport; split the query")))
+            .cast("array<string>")))
+      .select(col("query_id"), explode(col("__terms")).as("term"))
 
     qt.join(index.tfDl, Seq("term"))
       .join(index.idf, Seq("term"))

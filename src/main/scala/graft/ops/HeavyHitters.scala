@@ -59,6 +59,18 @@ object HeavyHitters {
     */
   val MaxCounters: Int = 1 << 20
 
+  /** Byte budget for the auto-pin localCheckpoint taken when the input
+    * plan is detectably non-deterministic: the pin materializes the
+    * FULL exploded term stream and holds it for the returned plan's
+    * lifetime, so without a bound a non-deterministic corpus-scale
+    * input would silently pin corpus-scale executor storage (the
+    * same failure the [[Quantiles]] rank table refuses by name).
+    * Measured after the eager checkpoint (the only point the real
+    * footprint is knowable); over-budget pins are released and
+    * refused with this key as the escape hatch.
+    */
+  val PinBytesKey = "graft.heavyHitters.pinBytes"
+
   /** Misra-Gries frequent-candidates summary over a string column.
     * Buffer = at most k (term → lower-bound count) counters; update
     * is the classic decrement-all-on-overflow (amortized O(1): every
@@ -210,9 +222,11 @@ object HeavyHitters {
     * the MG candidate-completeness bound and the ≥-threshold
     * exactness. Plans with detectably non-deterministic EXPRESSIONS
     * are auto-pinned with a localCheckpoint (held for the returned
-    * plan's lifetime — the verify side reads it lazily); order-level
-    * non-determinism (limit without sort) is undetectable and stays
-    * the caller's obligation.
+    * plan's lifetime — the verify side reads it lazily), measured and
+    * BUDGETED ([[PinBytesKey]]): an over-budget pin is released and
+    * refused by name rather than silently holding corpus-scale
+    * storage. Order-level non-determinism (limit without sort) is
+    * undetectable and stays the caller's obligation.
     */
   def heavyHitters(
       terms0: DataFrame,
@@ -223,9 +237,25 @@ object HeavyHitters {
       s"denom must be in [1, ${MaxCounters - 1}], got $denom")
     val terms =
       if (terms0.queryExecution.analyzed.exists(
-          _.expressions.exists(e => e.exists(!_.deterministic))))
-        terms0.localCheckpoint()
-      else terms0
+          _.expressions.exists(e => e.exists(!_.deterministic)))) {
+        val pinned = terms0.localCheckpoint()
+        val budget = terms0.sparkSession.conf.getOption(PinBytesKey)
+          .map(_.toLong).getOrElse(1L << 30)
+        val bytes = GraftColumnBridge.localCheckpointStorageBytes(pinned)
+        if (bytes > budget) {
+          GraftColumnBridge.unpersistLocalCheckpoint(pinned)
+          throw new IllegalArgumentException(
+            s"heavyHitters: the non-deterministic input plan's auto-pin " +
+              s"materialized $bytes B (> $budget B, $PinBytesKey). This op " +
+              "evaluates its input twice (sketch + verify) and pins " +
+              "non-deterministic inputs for the returned plan's lifetime " +
+              "to keep the two passes consistent; for a corpus-scale " +
+              "non-deterministic input, pin it yourself (write it out, or " +
+              "checkpoint and manage the release) or raise the budget " +
+              "explicitly.")
+        }
+        pinned
+      } else terms0
     val k = denom.toInt + 1
     // Bounded collect: one row, candidate array ≤ k (require-gated).
     val row = terms

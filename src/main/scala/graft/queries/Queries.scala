@@ -2738,6 +2738,29 @@ object Queries {
     "q116_lm_perplexity" -> q116LmPerplexity,
     "q117_winnowing" -> q117Winnowing)
 
+  /** Streaming micro-batch queries with no single auditable batch
+    * plan — PlanAudit skips them (each has a batch twin that IS
+    * audited) and the evidence sweeps record the skip by name.
+    * Centralized here so the audit tools derive their exemptions from
+    * the catalog instead of keeping hand-copied lists that go stale
+    * (the r15 q117 lesson: a hand-maintained evidence list silently
+    * missed a declared query). q73b is NOT here: it drains its stream
+    * and returns a batch frame whose final plan audits normally.
+    */
+  val streamingQueries: Set[String] = Set(
+    "q59_sessionize_stream", "q60_asof_stream", "q61_components_stream",
+    "q66_decorate_stream", "q73_decontaminate_stream", "q98_window_stream",
+    "q104_heavy_hitters_stream", "q112_bm25_stream")
+
+  /** Queries whose plan is an INTENDED bounded cross product: q21 is
+    * the brute-force exact-cosine BASELINE (a bounded query set
+    * broadcast against the streamed corpus IS the cross product — its
+    * scaladoc says so; q28/q42/q55 are the scale paths); q96 is the
+    * same brute-force scoring behind a group-exclusion predicate.
+    */
+  val intendedCrossQueries: Set[String] = Set(
+    "q21_knn_cosine", "q96_hard_negatives")
+
   /** DuckDB tokenizer fragment matching TextAnalytics.tokens. */
   private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 

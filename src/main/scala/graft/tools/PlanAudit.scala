@@ -43,26 +43,27 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args(0) == "--all") {
-      // streaming gates run real micro-batch pipelines through temp
-      // sinks — slow and not a single auditable plan; skip them here
-      val streaming = Set("q59_sessionize_stream", "q60_asof_stream",
-        "q61_components_stream", "q66_decorate_stream",
-        "q73_decontaminate_stream", "q98_window_stream",
-        "q104_heavy_hitters_stream", "q112_bm25_stream")
-      // q21 is the BRUTE-FORCE exact-cosine BASELINE: a bounded query
-      // set broadcast against the streamed corpus IS the intended
-      // cross product (its scaladoc says so; q28/q42/q55 are the
-      // scale paths). q96 is the same brute-force scoring with a
-      // group-exclusion predicate (cosineTopKExcluding inherits
-      // cosineTopK's byte-budgeted broadcast + refusal reroute).
-      // Everything else must stay keyed.
-      val intendedCross = Set("q21_knn_cosine", "q96_hard_negatives")
+      // exemption sets are CATALOG-OWNED (graft.queries.Queries) so
+      // this sweep and the 100x evidence sweep derive from one source;
+      // a stale exemption (naming a query the catalog no longer has)
+      // fails the audit rather than silently shrinking it
+      val streaming = graft.queries.Queries.streamingQueries
+      val intendedCross = graft.queries.Queries.intendedCrossQueries
+      val catalog = graft.SparkEntry.queries.keySet
+      val staleExempt = (streaming ++ intendedCross) -- catalog
+      if (staleExempt.nonEmpty) {
+        System.err.println(
+          s"stale exemptions (not in the catalog): ${staleExempt.mkString(", ")}")
+        spark.stop(); sys.exit(1)
+      }
       var bad = List.empty[String]
+      var audited = Set.empty[String]
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        if (streaming(name))
+        if (streaming(name)) {
+          audited += name
           println(f"$name%-34s skipped (streaming micro-batch pipeline " +
             "- no single auditable plan; its batch twin is audited)")
-        else {
+        } else {
           val plan = finalPlanOf(fn(spark, sfDir))
           val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
           val cart = "CartesianProduct".r.findAllIn(plan).length
@@ -70,8 +71,22 @@ object PlanAudit {
             if (bnlj + cart == 0) "ok"
             else if (intendedCross(name)) "cross-by-design"
             else { bad ::= name; "QUADRATIC-JOIN" }
+          audited += name
           println(f"$name%-34s bnlj=$bnlj cartesian=$cart $verdict")
         }
+      }
+      // COMPLETENESS GATE: every declared query must have produced a
+      // line above — the audit refuses to pass with a catalog entry
+      // missing (the r15 evidence hole: q117 was declared and green
+      // but absent from the committed audit file)
+      val missing = catalog -- audited
+      println(s"== completeness: catalog=${catalog.size} " +
+        s"audited=${(audited -- streaming).size} " +
+        s"skipped-streaming=${(audited & streaming).size} " +
+        s"missing=${missing.size} ==")
+      if (missing.nonEmpty) {
+        System.err.println(s"catalog queries not audited: ${missing.mkString(", ")}")
+        spark.stop(); sys.exit(1)
       }
       if (bad.nonEmpty) {
         System.err.println(s"quadratic joins in: ${bad.mkString(", ")}")

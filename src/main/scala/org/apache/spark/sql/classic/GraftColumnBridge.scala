@@ -44,6 +44,21 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** Measured storage footprint (memory + disk bytes) of an EAGER
+    * local checkpoint's cached blocks — the post-materialization
+    * number a pin budget must gate on (pre-flight row×width estimates
+    * can't see string payloads). 0 for non-checkpoint plans or if the
+    * blocks have already been evicted/released.
+    */
+  def localCheckpointStorageBytes(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize).getOrElse(0L)
+      case _ => 0L
+    }
+
   /** Rebuild a local-checkpoint DataFrame with its hash partitioning
     * DECLARED. Under AQE `Dataset.localCheckpoint` captures
     * `UnknownPartitioning` (the adaptive root's partitioning is not

@@ -77,8 +77,14 @@ class Bm25Spec extends SparkSpec {
 
   test("guards refuse by name: query width and empty corpus") {
     val wide = Map(1L -> (1 to Bm25.MaxQueryTerms + 1).map(i => s"t$i"))
-    val e = intercept[IllegalArgumentException] { run(wide, 5, 2) }
-    assert(e.getMessage.contains("distinct terms"))
+    // the width guard is IN-PLAN (raise_error), so it surfaces at the
+    // action as a task failure wrapping the user-raised message
+    val e = intercept[Throwable] { run(wide, 5, 2) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("distinct terms")),
+      s"expected the width refusal in: ${messages(e).mkString(" | ")}")
     val empty = intercept[IllegalArgumentException] {
       Bm25.bm25TopK(
         Seq.empty[(Long, String)].toDF("doc_id", "text"),

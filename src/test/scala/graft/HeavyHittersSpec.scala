@@ -54,6 +54,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === brute(terms, 10L))
   }
 
+  test("an over-budget auto-pin is released and refused by name " +
+      "(graft.heavyHitters.pinBytes)") {
+    val terms = (1 to 5000).map(i => s"term-with-some-payload-$i")
+    val df = spark.createDataset(terms).toDF("term")
+      .where(rand(42) < 2.0) // flags the plan non-deterministic
+    spark.conf.set(HeavyHitters.PinBytesKey, "1")
+    // other tests' (legitimately still-held) pins are not ours to check
+    val preexisting = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    try {
+      val e = intercept[IllegalArgumentException] {
+        HeavyHitters.heavyHitters(df, "term", denom = 10L).collect()
+      }
+      assert(e.getMessage.contains(HeavyHitters.PinBytesKey))
+      // and the refused pin's blocks are actually released (unpersist
+      // is async — poll briefly rather than flake)
+      val gone = (1 to 40).exists { _ =>
+        val now = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+        if ((now -- preexisting).isEmpty) true
+        else { Thread.sleep(50); false }
+      }
+      assert(gone, "refused pin's blocks were not released")
+    } finally spark.conf.unset(HeavyHitters.PinBytesKey)
+    // with the budget back at default the same input succeeds
+    val got = HeavyHitters.heavyHitters(df, "term", denom = 10L)
+    assert(got.count() >= 0L)
+  }
+
   test("randomized: equals brute force across seeds, denoms, layouts") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)

@@ -70,6 +70,28 @@ class LintSpec extends AnyFunSuite {
       "tools must gate with sys.error/require, not assert:\n" + hits.mkString("\n"))
   }
 
+  test("evidence-gate completeness: bench headline + named exemptions " +
+      "== the query catalog, and audit exemption sets name only " +
+      "catalog queries — no query can silently skip an evidence gate") {
+    val catalog = graft.queries.Queries.all.keySet
+    val head = Bench.headline.toSet
+    assert(Bench.headline.distinct.size == Bench.headline.size,
+      "duplicate headline entries")
+    val both = head & Bench.exempt.keySet
+    assert(both.isEmpty, s"queries both headline and exempt: ${both.mkString(", ")}")
+    val unplaced = catalog -- head -- Bench.exempt.keySet
+    assert(unplaced.isEmpty,
+      "catalog queries neither benched nor exempted-with-reason: " +
+        unplaced.mkString(", "))
+    val stale = (head ++ Bench.exempt.keySet) -- catalog
+    assert(stale.isEmpty,
+      s"bench lists name unknown queries: ${stale.mkString(", ")}")
+    val staleAudit = (graft.queries.Queries.streamingQueries ++
+      graft.queries.Queries.intendedCrossQueries) -- catalog
+    assert(staleAudit.isEmpty,
+      s"audit exemptions name unknown queries: ${staleAudit.mkString(", ")}")
+  }
+
   test("every graft.* conf key literal in src/main is registered in " +
       "graft.Budgets (the conf-key registry)") {
     // conf keys end in a lowercase-initial segment; FQCN string

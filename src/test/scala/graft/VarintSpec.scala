@@ -44,6 +44,21 @@ class VarintSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("negative"))
   }
 
+  test("over-long varints refuse loudly instead of wrapping mod 64") {
+    // 10 continuation bytes push shift past 63; JVM << masks the shift
+    // amount, so without the bound this would silently decode to a
+    // WRONG value — it must throw (9 bytes is the max for a
+    // non-negative long, which is all encode() ever emits)
+    val overlong = Array.fill[Byte](10)(0x81.toByte) :+ 0x01.toByte
+    val e = intercept[IllegalArgumentException] { Varint.decode(overlong) }
+    assert(e.getMessage.contains("varint too long"))
+    // the longest LEGAL stream (9 bytes, 62 set bits) still decodes
+    val max = Long.MaxValue >> 1 // 62 bits: 8 continuation bytes + final
+    assert(Varint.decode(Varint.encodeImpl(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(max)))) === Seq(max))
+  }
+
   test("postingsDecode: lossless round-trip of the binary index, and " +
       "index-served phrase search equals the corpus-scan plan") {
     val docs = (0L until 150L).map(i =>
