@@ -111,7 +111,9 @@ object Bench {
     "q114_bm25_from_index",
     "q115_proximity_search",
     "q116_lm_perplexity",
-    "q117_winnowing")
+    "q117_winnowing",
+    "q118_incremental_index",
+    "q120_proximity_from_index")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -157,13 +157,25 @@ object InvertedIndex {
       w1: String,
       w2: String,
       window: Long): DataFrame = {
+    val tp = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
+    proximityFromPositions(tp, w1, w2, window)
+  }
+
+  /** The banding join over a `(doc_id, term, pos)` position table —
+    * shared by the corpus-scan and artifact-served proximity paths so
+    * the two plans cannot drift.
+    */
+  private def proximityFromPositions(
+      tp: DataFrame,
+      w1: String,
+      w2: String,
+      window: Long): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(w1 != w2, "proximity of a word with itself is not defined " +
       "here (every position pairs with itself); use phraseMatches for " +
       "repeats")
-    val tp = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
     val probes = tp.where(col("term") === w1)
       .select(col("doc_id"), col("pos").cast("long").as("p1"))
       .select(col("doc_id"), col("p1"),
@@ -178,17 +190,122 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Proximity search SERVED FROM THE COMPRESSED INDEX — the read-side
+    * twin of [[phraseMatchesFromPostings]], closing the retrieval
+    * family's last scan-only path: only the two query terms' shards
+    * are decoded (term pushdown before the decode —
+    * [[graft.functions.Varint.postingsDecode]] re-absolutes doc ids
+    * from the shard base and positions from their deltas), then the
+    * SAME banding equi-join as [[proximityMatches]] (shared kernel).
+    * On any corpus this must equal the corpus-scan plan row-for-row —
+    * q120 gates it against q115's oracle verbatim, the round-trip
+    * proof that the artifact alone serves phrase (q111), proximity
+    * (q120), and BM25 (q114).
+    */
+  def proximityMatchesFromPostings(
+      index: DataFrame,
+      shardSpan: Long,
+      w1: String,
+      w2: String,
+      window: Long): DataFrame = {
+    val tp = index
+      .where(col("term").isin(w1, w2))
+      .select(col("term"),
+        explode(graft.functions.Varint.postingsDecode(
+          col("bin"), col("shard") * lit(shardSpan))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("term"),
+        explode(col("e.ps")).as("pos"))
+    proximityFromPositions(tp, w1, w2, window)
+  }
+
   def postingShardsCompressed(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       shardSpan: Long,
       maxDocFreq: Option[Long] = None): DataFrame =
-    postingShardsBinary(docs, textCol, idCol, shardSpan, maxDocFreq)
-      .select(col("term"), col("shard"), col("df_shard"), col("tf_shard"),
-        md5(lower(hex(col("bin")))).as("varint_md5"),
-        length(col("bin")).cast("long").as("varint_bytes"),
-        col("raw_bytes"))
+    compressedView(postingShardsBinary(docs, textCol, idCol, shardSpan, maxDocFreq))
+
+  /** The flat digest view of a binary posting artifact — blobs md5'd
+    * over their lowercase hex (both engines build the identical hex)
+    * so the artifact is hash-gateable; sizes ride along so the
+    * compression ratio is measurable straight from the gated rows.
+    */
+  def compressedView(index: DataFrame): DataFrame =
+    index.select(col("term"), col("shard"), col("df_shard"), col("tf_shard"),
+      md5(lower(hex(col("bin")))).as("varint_md5"),
+      length(col("bin")).cast("long").as("varint_bytes"),
+      col("raw_bytes"))
+
+  /** INCREMENTAL maintenance of the stored posting artifact — the
+    * nightly-production op an evolving 100 TB corpus needs: given the
+    * v1 artifact and both corpus versions, rebuild ONLY the (term,
+    * shard) groups a changed document touches and carry every other
+    * row of the artifact byte-identical. The reference rebuilds its
+    * serving indexes from scratch on every load
+    * (`search/indexCommands.txt:33-48`); this is the capability that
+    * makes the refresh churn-proportional instead of corpus-sized.
+    *
+    * Locality argument (why carrying is sound): a (term, shard) group
+    * is a pure function of the postings of `term` in the documents of
+    * `shard` — doc ids, per-doc positions, and the delta/varint byte
+    * stream are all LOCAL to the group (the doc-delta chain starts at
+    * the shard base, never crosses shards). So full(v2) can differ
+    * from full(v1) at (t, s) only if some churn document in shard s
+    * contains t in its OLD or NEW token list — exactly the dirty-pair
+    * set computed below from the [[SnapshotDiff]] statuses. Dirty
+    * pairs rebuild from the v2 documents of their shards (a term that
+    * vanished simply produces no row; a new term produces a new row);
+    * clean pairs carry.
+    *
+    * Plan shape, all keyed: one full-outer id join (the diff), churn
+    * docs tokenize twice (old + new versions — churn-sized), the
+    * dirty-shard semi-join restricts the re-tokenize to churn-touched
+    * shards, and the carry is an anti-join of the (index-sized, never
+    * corpus-sized) v1 artifact against the dirty pairs. Cost scales
+    * with churn × shardSpan locality, not corpus size; `shardSpan`
+    * trades read locality against rebuild amplification (a 1-doc
+    * change re-tokenizes its whole shard).
+    *
+    * No `maxDocFreq` variant: the df cap is a GLOBAL property — one
+    * added document can push a term over the cap and delete its
+    * postings from EVERY shard, so a capped index is not locally
+    * maintainable without carrying the global df table; callers who
+    * cap must rebuild (or maintain df separately and re-derive the
+    * elision set).
+    */
+  def incrementalShardsBinary(
+      priorIndex: DataFrame,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shardSpan: Long): DataFrame = {
+    require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
+    val delta = SnapshotDiff.diff(oldDocs, newDocs, idCol, Seq(textCol))
+    def termShards(docs: DataFrame, statuses: Seq[String]) = {
+      val churn = delta.where(col("status").isin(statuses: _*)).select("id")
+      docs.join(churn, docs(idCol) === churn("id"), "left_semi")
+        .select(col(idCol).cast("long").as("doc_id"),
+          explode(TextAnalytics.tokens(col(textCol))).as("term"))
+        .select(col("term"), expr(s"doc_id div ${shardSpan}L").as("shard"))
+    }
+    // dirty pairs: terms of the old versions of removed∪changed docs
+    // (postings that must shrink or vanish) ∪ terms of the new
+    // versions of added∪changed docs (postings that must grow)
+    val dirty = termShards(oldDocs, Seq("removed", "changed"))
+      .unionByName(termShards(newDocs, Seq("added", "changed")))
+      .distinct()
+    val dirtyShards = dirty.select("shard").distinct()
+    val rebuilt = postingShardsBinary(
+      newDocs.join(dirtyShards,
+        expr(s"cast($idCol as bigint) div ${shardSpan}L") === dirtyShards("shard"),
+        "left_semi"),
+      textCol, idCol, shardSpan)
+      .join(dirty, Seq("term", "shard"), "left_semi")
+    val carried = priorIndex.join(dirty, Seq("term", "shard"), "left_anti")
+    carried.unionByName(rebuilt)
+  }
 
   /** The compressed index ARTIFACT itself — `(term, shard, df_shard,
     * tf_shard, bin, raw_bytes)` with `bin` the LEB128 posting payload

@@ -2610,6 +2610,50 @@ object Queries {
         md5(concat_ws(",", transform(col("fps"), _.cast("string"))))
           .as("fps_md5"))
 
+  /** Incremental maintenance of the stored posting artifact
+    * ([[graft.ops.InvertedIndex.incrementalShardsBinary]]): the v1
+    * index (doc_id %7≠0) maintained to v2 (doc_id %5≠0, %11 docs
+    * edited) by rebuilding ONLY churn-touched (term, shard) groups and
+    * carrying every other artifact row byte-identical. The ORACLE IS
+    * THE EQUIVALENCE PROOF (the q105 pattern applied to the index):
+    * it replays the FULL compressed-artifact build over all of v2, so
+    * the gate proves incremental ≡ from-scratch down to the LEB128
+    * bytes. In production the v1 artifact is read back, not recomputed
+    * (recomputed here so the query is self-contained).
+    */
+  val q118IncrementalIndex: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val prior = graft.ops.InvertedIndex
+      .postingShardsBinary(v1, "text", "doc_id", shardSpan = 100L)
+    graft.ops.InvertedIndex.compressedView(
+      graft.ops.InvertedIndex.incrementalShardsBinary(
+        prior, v1, v2, "text", "doc_id", shardSpan = 100L))
+  }
+
+  /** Proximity search SERVED FROM THE COMPRESSED INDEX
+    * ([[graft.ops.InvertedIndex.proximityMatchesFromPostings]]): the
+    * q115 query answered from the LEB128 artifact alone — only the two
+    * terms' shards decode (term pushdown before the decode), then the
+    * same banding equi-join. Gated against q115's oracle VERBATIM,
+    * closing the retrieval family's round-trip story: the artifact
+    * alone now serves phrase (q111), BM25 (q114), and proximity.
+    */
+  val q120ProximityFromIndex: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ws = docs.where(col("doc_id") === 2)
+      .select(slice(TextAnalytics.tokens(col("text")), 1, 2))
+      .head().getSeq[String](0)
+    val index = graft.ops.InvertedIndex
+      .postingShardsBinary(docs, "text", "doc_id", shardSpan = 100L)
+    graft.ops.InvertedIndex.proximityMatchesFromPostings(
+      index, 100L, ws(0), ws(1), window = 4L)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2736,7 +2780,9 @@ object Queries {
     "q114_bm25_from_index" -> q114Bm25FromIndex,
     "q115_proximity_search" -> q115ProximitySearch,
     "q116_lm_perplexity" -> q116LmPerplexity,
-    "q117_winnowing" -> q117Winnowing)
+    "q117_winnowing" -> q117Winnowing,
+    "q118_incremental_index" -> q118IncrementalIndex,
+    "q120_proximity_from_index" -> q120ProximityFromIndex)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -2799,6 +2845,57 @@ object Queries {
          FROM lg WHERE i < 20),
        iln AS (SELECT m, (((e << 20) | frac) * 693147) >> 20 AS v
                FROM lg WHERE i = 20)"""
+
+  /** The compressed-posting-artifact replay (q109/q118), parametrized
+    * by the document relation (a SELECT exposing `doc_id, text`): the
+    * q97 posting construction with the payload rebuilt as the EXACT
+    * LEB128 byte stream — per doc [doc delta, n_pos, pos0, pos
+    * deltas...], varint = little-endian 7-bit groups via shifts +
+    * printf hex; raw_bytes prices the ASCII form for the ratio. q118
+    * points it at the v2 snapshot, so the full-rebuild oracle IS the
+    * equivalence proof for the engine's incremental maintenance.
+    */
+  private def postingsCompressedOracleOver(rel: String): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS l FROM ($rel)),
+         tp AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l)),
+               i -> {'pos': i - 1, 'term': l[i]})) AS u
+           FROM t WHERE len(l) >= 1),
+         f AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tp),
+         pd AS (SELECT term, doc_id, list_sort(list(pos)) AS ps
+                FROM f GROUP BY term, doc_id),
+         sd AS (SELECT term, doc_id // 100 AS shard, doc_id, ps,
+             lag(doc_id) OVER (PARTITION BY term, doc_id // 100
+                               ORDER BY doc_id) AS prev,
+             strlen(lpad(doc_id::VARCHAR, 12, '0') || ':' ||
+               array_to_string(list_transform(ps, x -> x::VARCHAR), ','))
+               AS rawlen
+           FROM pd),
+         ch AS (SELECT term, shard, doc_id, len(ps)::BIGINT AS tf, rawlen,
+             list_concat(
+               [coalesce(doc_id - prev, doc_id - shard * 100),
+                len(ps)::BIGINT, ps[1]::BIGINT],
+               list_transform(generate_series(2, len(ps)),
+                 i -> (ps[i] - ps[i-1])::BIGINT)) AS chunk
+           FROM sd),
+         stream AS (SELECT term, shard,
+             count(*)::BIGINT AS df_shard, sum(tf)::BIGINT AS tf_shard,
+             (sum(rawlen) + count(*) - 1)::BIGINT AS raw_bytes,
+             flatten(list(chunk ORDER BY doc_id)) AS vs
+           FROM ch GROUP BY term, shard),
+         hx AS (SELECT term, shard, df_shard, tf_shard, raw_bytes,
+             array_to_string(list_transform(vs, v ->
+               array_to_string(list_transform(
+                 generate_series(0,
+                   greatest(1, (length(printf('%b', v)) + 6) // 7) - 1),
+                 i -> printf('%02x', ((v >> (7*i)) & 127) +
+                   CASE WHEN i < greatest(1,
+                       (length(printf('%b', v)) + 6) // 7) - 1
+                     THEN 128 ELSE 0 END)), '')), '') AS hx
+           FROM stream)
+         SELECT term, shard, df_shard, tf_shard, md5(hx) AS varint_md5,
+           (length(hx) // 2)::BIGINT AS varint_bytes, raw_bytes
+         FROM hx"""
 
   /** Shared by q70b (batch) and q73b (streaming): full MinHash+LSH
     * replay — md5-60-bit permutation hashes (15 hex chars parse as
@@ -4739,50 +4836,17 @@ object Queries {
          GROUP BY token
          ORDER BY n_occurrences DESC, token LIMIT 50""",
     "q109_postings_compressed" ->
-      // the q97 posting replay with the payload rebuilt as the EXACT
-      // LEB128 byte stream: per doc [doc delta, n_pos, pos0, pos
-      // deltas...], varint = little-endian 7-bit groups via shifts +
-      // printf hex; raw_bytes prices the ASCII form for the ratio
-      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
-         tp AS (SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(l)),
-               i -> {'pos': i - 1, 'term': l[i]})) AS u
-           FROM t WHERE len(l) >= 1),
-         f AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM tp),
-         pd AS (SELECT term, doc_id, list_sort(list(pos)) AS ps
-                FROM f GROUP BY term, doc_id),
-         sd AS (SELECT term, doc_id // 100 AS shard, doc_id, ps,
-             lag(doc_id) OVER (PARTITION BY term, doc_id // 100
-                               ORDER BY doc_id) AS prev,
-             strlen(lpad(doc_id::VARCHAR, 12, '0') || ':' ||
-               array_to_string(list_transform(ps, x -> x::VARCHAR), ','))
-               AS rawlen
-           FROM pd),
-         ch AS (SELECT term, shard, doc_id, len(ps)::BIGINT AS tf, rawlen,
-             list_concat(
-               [coalesce(doc_id - prev, doc_id - shard * 100),
-                len(ps)::BIGINT, ps[1]::BIGINT],
-               list_transform(generate_series(2, len(ps)),
-                 i -> (ps[i] - ps[i-1])::BIGINT)) AS chunk
-           FROM sd),
-         stream AS (SELECT term, shard,
-             count(*)::BIGINT AS df_shard, sum(tf)::BIGINT AS tf_shard,
-             (sum(rawlen) + count(*) - 1)::BIGINT AS raw_bytes,
-             flatten(list(chunk ORDER BY doc_id)) AS vs
-           FROM ch GROUP BY term, shard),
-         hx AS (SELECT term, shard, df_shard, tf_shard, raw_bytes,
-             array_to_string(list_transform(vs, v ->
-               array_to_string(list_transform(
-                 generate_series(0,
-                   greatest(1, (length(printf('%b', v)) + 6) // 7) - 1),
-                 i -> printf('%02x', ((v >> (7*i)) & 127) +
-                   CASE WHEN i < greatest(1,
-                       (length(printf('%b', v)) + 6) // 7) - 1
-                     THEN 128 ELSE 0 END)), '')), '') AS hx
-           FROM stream)
-         SELECT term, shard, df_shard, tf_shard, md5(hx) AS varint_md5,
-           (length(hx) // 2)::BIGINT AS varint_bytes, raw_bytes
-         FROM hx""",
+      postingsCompressedOracleOver("SELECT doc_id, text FROM documents"),
+    "q118_incremental_index" ->
+      // THE EQUIVALENCE PROOF (the q105 pattern applied to the index):
+      // the FULL compressed-artifact build replayed over all of v2 —
+      // the engine's carry-clean-shards + rebuild-dirty-pairs union
+      // must be hash-identical to rebuilding everything from scratch
+      postingsCompressedOracleOver(
+        """SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+               AS text
+           FROM documents WHERE doc_id % 5 <> 0"""),
     "q110_phrase_search" ->
       // sliding-window exact-sequence replay: for each (phrase, doc),
       // count the alignments where every phrase token matches
@@ -4985,6 +5049,9 @@ object Queries {
     "q112_bm25_stream" -> oraclesBase("q103_bm25"),
     // scoring from the decoded artifact == scoring from the corpus
     "q114_bm25_from_index" -> oraclesBase("q103_bm25"),
+    // index-served proximity == the corpus-scan proximity: the
+    // round-trip proof twin of q111, one oracle gates both forms
+    "q120_proximity_from_index" -> oraclesBase("q115_proximity_search"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,

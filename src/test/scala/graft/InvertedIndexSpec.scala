@@ -133,4 +133,68 @@ class InvertedIndexSpec extends SparkSpec {
           r.getLong(3), r.getString(4))).toSet
     assert(run(1) === run(7))
   }
+
+  /** Flatten a binary artifact to comparable tuples (bytes as hex). */
+  private def artifactRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("term"), col("shard"), col("df_shard"), col("tf_shard"),
+      lower(hex(col("bin"))).as("hx"), col("raw_bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toSet
+
+  test("incremental artifact maintenance == full rebuild, byte for " +
+      "byte, across randomized add/remove/edit churn") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val v1 = (0L until 90L).map(i =>
+        (i, s"w${i % 7} w${i % 13} w${i % 7} w${i % 3}")).toMap
+      // churn: remove ~1/6, edit ~1/5 (some edits add NEW terms, some
+      // delete a term from a shard), add fresh ids incl. a new shard
+      val removed = v1.keys.filter(_ => rnd.nextInt(6) == 0).toSet
+      val edited = (v1.keySet -- removed).filter(_ => rnd.nextInt(5) == 0)
+      val v2 = (v1 -- removed).map { case (id, t) =>
+        id -> (if (!edited(id)) t
+               else if (id % 2 == 0) s"brandnew$trial w${id % 13}"
+               else t + s" w${id % 5}")
+      } ++ (200L until 200L + rnd.nextInt(20)).map(i =>
+        i -> s"w${i % 7} added w${i % 13}")
+      val v1df = v1.toSeq.toDF("doc_id", "text")
+      val v2df = v2.toSeq.toDF("doc_id", "text")
+      val prior = InvertedIndex.postingShardsBinary(v1df, "text", "doc_id", 25L)
+      val inc = InvertedIndex.incrementalShardsBinary(
+        prior, v1df, v2df, "text", "doc_id", 25L)
+      val full = InvertedIndex.postingShardsBinary(v2df, "text", "doc_id", 25L)
+      assert(artifactRows(inc) === artifactRows(full), s"trial=$trial")
+    }
+  }
+
+  test("incremental maintenance: empty delta carries the whole " +
+      "artifact; total replacement rebuilds everything") {
+    val v1 = (0L until 40L).map(i => (i, s"a b w${i % 4}")).toDF("doc_id", "text")
+    val prior = InvertedIndex.postingShardsBinary(v1, "text", "doc_id", 10L)
+    assert(artifactRows(InvertedIndex.incrementalShardsBinary(
+      prior, v1, v1, "text", "doc_id", 10L)) === artifactRows(prior))
+    val v2 = (0L until 40L).map(i => (i, s"x y w${(i + 1) % 4}")).toDF("doc_id", "text")
+    assert(artifactRows(InvertedIndex.incrementalShardsBinary(
+      prior, v1, v2, "text", "doc_id", 10L)) ===
+      artifactRows(InvertedIndex.postingShardsBinary(v2, "text", "doc_id", 10L)))
+  }
+
+  test("proximityMatchesFromPostings == proximityMatches (artifact " +
+      "round-trip)") {
+    val docs = Seq(
+      (1L, "a x x b b a x x x a x x b"),
+      (2L, "a x x x x x x x x x x x b"),
+      (3L, "b a"),
+      (151L, "a b a b")).toDF("doc_id", "text") // second shard at span 100
+    val idx = InvertedIndex.postingShardsBinary(docs, "text", "doc_id", 100L)
+    val fromIdx = InvertedIndex
+      .proximityMatchesFromPostings(idx, 100L, "a", "b", 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromScan = InvertedIndex
+      .proximityMatches(docs, "text", "doc_id", "a", "b", 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromIdx === fromScan)
+    assert(fromIdx.contains(151L))
+  }
 }
