@@ -113,6 +113,7 @@ object Bench {
     "q116_lm_perplexity",
     "q117_winnowing",
     "q118_incremental_index",
+    "q119_bpe_learn",
     "q120_proximity_from_index")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with

@@ -2635,6 +2635,19 @@ object Queries {
         prior, v1, v2, "text", "doc_id", shardSpan = 100L))
   }
 
+  /** BPE merge-pair LEARNING ([[graft.ops.BpeLearn]]): six rounds of
+    * count-pairs → argmax (ties pinned count desc, pair asc) →
+    * leftmost-non-overlapping re-pair over the documents corpus — the
+    * TRAINING side of the tokenizer (q52 gates the apply side). The
+    * gate is on the learned MERGE TABLE, the artifact a tokenizer
+    * ships; the oracle replays the six rounds as chained CTE stages,
+    * with the non-overlap scan expressed as run-parity over match
+    * flags (prototyped 4/4 against an independent replay, including
+    * identical-symbol runs where naive replays double-merge).
+    */
+  val q119BpeLearn: Q = (s, d) =>
+    graft.ops.BpeLearn.learnMerges(Tables.documents(s, d), "text", rounds = 6)
+
   /** Proximity search SERVED FROM THE COMPRESSED INDEX
     * ([[graft.ops.InvertedIndex.proximityMatchesFromPostings]]): the
     * q115 query answered from the LEB128 artifact alone — only the two
@@ -2782,6 +2795,7 @@ object Queries {
     "q116_lm_perplexity" -> q116LmPerplexity,
     "q117_winnowing" -> q117Winnowing,
     "q118_incremental_index" -> q118IncrementalIndex,
+    "q119_bpe_learn" -> q119BpeLearn,
     "q120_proximity_from_index" -> q120ProximityFromIndex)
 
   /** Streaming micro-batch queries with no single auditable batch
@@ -4604,6 +4618,7 @@ object Queries {
                    AS UBIGINT) % 100 AS b
                FROM g)""",
     "q95_neardup_pagerank" -> q95OracleSql,
+    "q119_bpe_learn" -> q119OracleSql,
     "q96_hard_negatives" ->
       // q50's exact pair derivation, the q53 component closure, then
       // the q21 ranked-knn replay with the same-group join exclusion
@@ -4990,6 +5005,49 @@ object Queries {
            md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ','))
              AS fps_md5
          FROM w""")
+
+  /** The q119 oracle replays the six BPE learning rounds as chained
+    * CTE stages (the q95 unrolling pattern — each round's counts
+    * depend on the previous round's merge, and standard SQL forbids
+    * aggregates in recursive terms). Per round: count adjacent pairs,
+    * argmax with the pinned tie-break, then the leftmost-
+    * non-overlapping re-pair expressed as RUN PARITY over the match
+    * flags: a match at position i is a merge start iff the number of
+    * consecutive matches immediately before it is even (chained
+    * matches only arise in runs of identical symbols — for a ≠ b a
+    * match at i and i+1 would need l[i+1] = b = a). Prototyped 4/4
+    * against an independent replay before wiring, including
+    * identical-symbol runs.
+    */
+  private lazy val q119OracleSql: String = {
+    val rounds = 6
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT l[i] AS lft, l[i+1] AS rgt, count(*)::BIGINT AS c
+         FROM s${r - 1}, unnest(generate_series(1, len(l) - 1)) AS u$r(i)
+         WHERE len(l) >= 2 GROUP BY 1, 2),
+       b$r AS (SELECT lft, rgt, c FROM p$r ORDER BY c DESC, lft, rgt LIMIT 1),
+       st$r AS (SELECT doc_id, l, mg,
+           list_transform(generate_series(1, len(l) - 1), i ->
+             mk[i] AND ((i - 1 - coalesce(list_max(list_filter(
+               generate_series(1, i - 1), k -> NOT mk[k])), 0)) % 2 = 0)) AS stt
+         FROM (SELECT doc_id, l, b.lft || b.rgt AS mg,
+             list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] = b.lft AND l[i+1] = b.rgt) AS mk
+           FROM s${r - 1}, b$r b)),
+       s$r AS (SELECT doc_id,
+           list_filter(list_transform(generate_series(1, len(l)), i ->
+             CASE WHEN i < len(l) AND stt[i] THEN mg
+                  WHEN i > 1 AND stt[i-1] THEN NULL
+                  ELSE l[i] END), x -> x IS NOT NULL) AS l
+         FROM st$r)"""
+    }.mkString(",\n       ")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT ${r}::BIGINT AS round, lft, rgt, c AS pair_count FROM b$r")
+      .mkString("\n       UNION ALL ")
+    s"""WITH s0 AS (SELECT doc_id, $toks AS l FROM documents),
+       $chain
+       $sel"""
+  }
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
     * fixed 5 iterations as chained CTEs (standard SQL forbids
