@@ -114,7 +114,8 @@ object Bench {
     "q117_winnowing",
     "q118_incremental_index",
     "q119_bpe_learn",
-    "q120_proximity_from_index")
+    "q120_proximity_from_index",
+    "q121_incremental_heavy_hitters")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -280,4 +280,74 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= threshold)
   }
+
+  /** INCREMENTAL maintenance of an exact term-count artifact across
+    * corpus snapshots — the refresh path of heavy hitters (q121): the
+    * stored artifact is the exact `(term, cnt)` table over v1's term
+    * stream; on v2, only churn documents tokenize (their OLD terms
+    * subtract, their NEW terms add — [[SnapshotDiff]] statuses pick
+    * the slices), so refresh cost is churn-proportional, never
+    * corpus-sized.
+    *
+    * Why not carry Misra-Gries summaries instead? MG summaries are
+    * MERGEABLE (Agarwal et al., PODS'12) but not SUBTRACTABLE: a
+    * removed or changed document cannot be deleted from a sketch, so
+    * sketch-carry alone is unsound under the remove/edit churn real
+    * snapshots have. The exact count table is the artifact that
+    * supports deletion (counts form a group under +/−); it is
+    * vocabulary-sized, which is exactly what a production system
+    * stores for its term statistics anyway. The re-sum here shuffles
+    * the count table once; at scale the artifact would be stored
+    * hash-partitioned by term so the (churn-sized) delta joins
+    * co-partitioned and the carry never moves.
+    *
+    * `termsOf` maps a docs frame to its one-term-per-row stream (the
+    * same derivation that built `priorCounts`); terms whose count
+    * reaches zero drop out; a NEGATIVE residual count means
+    * `priorCounts` was not the exact table for `oldDocs` and fails
+    * loudly in-plan rather than silently under-counting.
+    */
+  def incrementalTermCounts(
+      priorCounts: DataFrame,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      termsOf: DataFrame => DataFrame): DataFrame = {
+    val delta = SnapshotDiff.diff(oldDocs, newDocs, idCol, contentCols)
+    def slice(docs: DataFrame, statuses: Seq[String], sign: Long) = {
+      val churn = delta.where(col("status").isin(statuses: _*)).select("id")
+      termsOf(docs.join(churn, docs(idCol) === churn("id"), "left_semi"))
+        .groupBy("term").agg((count(lit(1)) * sign).as("cnt"))
+    }
+    priorCounts.select(col("term"), col("cnt").cast("long").as("cnt"))
+      .unionByName(slice(oldDocs, Seq("removed", "changed"), -1L))
+      .unionByName(slice(newDocs, Seq("added", "changed"), 1L))
+      .groupBy("term")
+      .agg(sum("cnt").as("cnt"))
+      .withColumn("cnt",
+        when(col("cnt") >= 0L, col("cnt"))
+          .otherwise(raise_error(concat(
+            lit("incrementalTermCounts: negative residual count for term '"),
+            col("term"),
+            lit("' — priorCounts is not the exact count table of oldDocs")))
+            .cast("long")))
+      .where(col("cnt") > 0L)
+  }
+
+  /** Heavy hitters FROM a maintained exact count table: every term
+    * with `cnt >= ceil(N / denom)`, N = total occurrences — the same
+    * contract as [[heavyHitters]] but served from the artifact
+    * [[incrementalTermCounts]] maintains, so no corpus pass at all.
+    * One bounded one-row collect fixes the threshold (the N total is
+    * a scalar; embedding it as a literal keeps the plan free of the
+    * 1-row nested-loop join a scalar cross join would plant).
+    */
+  def heavyHittersFromCounts(counts: DataFrame, denom: Long): DataFrame = {
+    require(denom >= 1, s"denom must be >= 1, got $denom")
+    val n = counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val threshold = if (n == 0L) 1L else (n + denom - 1L) / denom
+    counts.select(col("term"), col("cnt").cast("long").as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
 }

@@ -2648,6 +2648,34 @@ object Queries {
   val q119BpeLearn: Q = (s, d) =>
     graft.ops.BpeLearn.learnMerges(Tables.documents(s, d), "text", rounds = 6)
 
+  /** Incremental heavy hitters across snapshots ([[graft.ops
+    * .HeavyHitters.incrementalTermCounts]]): q92's bigram heavy
+    * hitters served from an exact count artifact maintained v1→v2 —
+    * only churn docs tokenize (old terms subtract, new terms add; MG
+    * sketches can't subtract, so the exact table is the sound
+    * incremental artifact). THE ORACLE IS THE EQUIVALENCE PROOF: it
+    * recounts all of v2 from scratch, so the gate proves
+    * carried-counts ∘ churn-delta ≡ full recount. Same v1/v2
+    * construction as q118 (the index twin of this op).
+    */
+  val q121IncrementalHeavyHitters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.where(col("doc_id") % 7 =!= 0)
+    val v2 = docs.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    def terms(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(graft.functions.Shingling.orderedShingles(
+        TextAnalytics.tokens(col("text")), 2)).as("term"))
+    // the v1 artifact (in production: read back, not recomputed)
+    val prior = terms(v1).groupBy("term").agg(count(lit(1)).as("cnt"))
+    graft.ops.HeavyHitters.heavyHittersFromCounts(
+      graft.ops.HeavyHitters.incrementalTermCounts(
+        prior, v1, v2, "doc_id", Seq("text"), terms),
+      denom = 1000L)
+  }
+
   /** Proximity search SERVED FROM THE COMPRESSED INDEX
     * ([[graft.ops.InvertedIndex.proximityMatchesFromPostings]]): the
     * q115 query answered from the LEB128 artifact alone — only the two
@@ -2796,7 +2824,8 @@ object Queries {
     "q117_winnowing" -> q117Winnowing,
     "q118_incremental_index" -> q118IncrementalIndex,
     "q119_bpe_learn" -> q119BpeLearn,
-    "q120_proximity_from_index" -> q120ProximityFromIndex)
+    "q120_proximity_from_index" -> q120ProximityFromIndex,
+    "q121_incremental_heavy_hitters" -> q121IncrementalHeavyHitters)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -4619,6 +4648,21 @@ object Queries {
                FROM g)""",
     "q95_neardup_pagerank" -> q95OracleSql,
     "q119_bpe_learn" -> q119OracleSql,
+    "q121_incremental_heavy_hitters" ->
+      // THE EQUIVALENCE PROOF: q92's exact-recount oracle over ALL of
+      // v2 — the engine's carry + churn-delta must hash-match it
+      s"""WITH t AS (SELECT $toks AS l
+           FROM (SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+                 AS text
+             FROM documents WHERE doc_id % 5 <> 0)),
+         g AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i+1])) AS term
+           FROM t WHERE len(l) >= 2),
+         n AS (SELECT count(*)::BIGINT AS n FROM g),
+         c AS (SELECT term, count(*)::BIGINT AS cnt FROM g GROUP BY term)
+         SELECT c.term, c.cnt FROM c, n
+         WHERE c.cnt >= (n.n + 999) // 1000""",
     "q96_hard_negatives" ->
       // q50's exact pair derivation, the q53 component closure, then
       // the q21 ranked-knn replay with the same-group join exclusion

@@ -81,6 +81,56 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.count() >= 0L)
   }
 
+  test("incremental term counts across snapshots == full recount, and " +
+      "hitters from the maintained artifact == brute force on v2") {
+    def termsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(split(col("text"), " ")).as("term"))
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val v1 = (0L until 60L).map(i =>
+        (i, (0 until 3 + rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(8)}")
+          .mkString(" "))).toMap
+      val removed = v1.keys.filter(_ => rnd.nextInt(5) == 0).toSet
+      val edited = (v1.keySet -- removed).filter(_ => rnd.nextInt(4) == 0)
+      val v2 = (v1 -- removed).map { case (id, t) =>
+        id -> (if (edited(id)) s"w${rnd.nextInt(8)} edited$trial" else t)
+      } ++ (100L until 100L + rnd.nextInt(10)).map(i => i -> s"w0 w1 fresh")
+      val v1df = v1.toSeq.toDF("doc_id", "text")
+      val v2df = v2.toSeq.toDF("doc_id", "text")
+      val prior = termsOf(v1df).groupBy("term").agg(count(lit(1)).as("cnt"))
+      val got = graft.ops.HeavyHitters.incrementalTermCounts(
+        prior, v1df, v2df, "doc_id", Seq("text"), termsOf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = v2.values.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(got === want, s"trial=$trial")
+      // hitters from the artifact == brute force over the v2 stream
+      val hitters = graft.ops.HeavyHitters.heavyHittersFromCounts(
+        graft.ops.HeavyHitters.incrementalTermCounts(
+          prior, v1df, v2df, "doc_id", Seq("text"), termsOf), 10L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hitters === brute(v2.values.flatMap(_.split(" ")).toSeq, 10L),
+        s"trial=$trial hitters")
+    }
+  }
+
+  test("a prior table that is not oldDocs' exact counts fails loudly " +
+      "(negative residual), not silently under-counts") {
+    def termsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(split(col("text"), " ")).as("term"))
+    val v1 = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b c")).toDF("doc_id", "text") // doc 1 removed
+    val wrongPrior = Seq(("a", 1L), ("b", 2L), ("c", 1L)).toDF("term", "cnt")
+    val e = intercept[Throwable] {
+      graft.ops.HeavyHitters.incrementalTermCounts(
+        wrongPrior, v1, v2, "doc_id", Seq("text"), termsOf).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative residual")),
+      msgs(e).mkString(" | "))
+  }
+
   test("randomized: equals brute force across seeds, denoms, layouts") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
