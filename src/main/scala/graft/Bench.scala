@@ -115,7 +115,9 @@ object Bench {
     "q118_incremental_index",
     "q119_bpe_learn",
     "q120_proximity_from_index",
-    "q121_incremental_heavy_hitters")
+    "q121_incremental_heavy_hitters",
+    "q122_phrase_wide",
+    "q123_proximity_wide")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -110,31 +110,48 @@ object InvertedIndex {
   /** Positional PHRASE search — the query-side consumer the positions
     * in the posting lists exist for (BM25/q103 consumes tf; this
     * consumes adjacency): documents containing the exact token
-    * sequence `phrase`, with the match count. Plan: one token-position
-    * pass, one branch per phrase term filtered to that term with its
-    * position re-based to the phrase start, then (k−1) EQUI-joins on
-    * `(doc_id, start)` — keyed, never a position-range or pair join;
-    * a term's branch carries only that term's postings, so the join
-    * inputs are posting-sized, not corpus-sized. Repeated words in
-    * the phrase are handled naturally (each offset branch matches
-    * independently; overlapping occurrences count separately, the
-    * standard positional-index semantics).
+    * sequence `phrase`, with the match count. Plan: ONE token-position
+    * pass (not one per phrase term — the r15 review's scan-path
+    * finding), filtered to the phrase's distinct terms, then the
+    * OFFSET-CERTIFICATE aggregation: each occurrence of term t at
+    * position q emits a certificate `(doc, start = q − i, i)` for
+    * every phrase offset i with `phrase(i) == t` (a broadcast join
+    * against the ≤16-row offset table), and a `(doc, start)` group
+    * holding all k DISTINCT offsets is exactly an alignment where
+    * every phrase slot matched. One keyed shuffle on (doc, start),
+    * never a position-range or pair join; repeated words and
+    * overlapping occurrences fall out naturally (standard
+    * positional-index semantics).
     */
   def phraseMatches(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty && phrase.size <= 16,
-      s"phrase must have 1..16 tokens, got ${phrase.size}")
     val tp = docs.select(
       col(idCol).cast("long").as("doc_id"),
       posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
-    val parts = phrase.zipWithIndex.map { case (w, i) =>
-      tp.where(col("term") === w)
-        .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
-    }
-    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    phraseFromPositions(tp, phrase)
+  }
+
+  /** The offset-certificate plan over a `(doc_id, term, pos)` position
+    * table — shared by the corpus-scan and artifact-served phrase
+    * paths so the two cannot drift.
+    */
+  private def phraseFromPositions(tp: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      s"phrase must have 1..16 tokens, got ${phrase.size}")
+    val spark = tp.sparkSession
+    import spark.implicits._
+    val offsets = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("term", "off")
+    tp.where(col("term").isin(phrase.distinct: _*))
+      .join(broadcast(offsets), Seq("term"))
+      .select(col("doc_id"),
+        (col("pos").cast("long") - col("off")).as("start"), col("off"))
+      .groupBy("doc_id", "start")
+      .agg(countDistinct(col("off")).as("__k"))
+      .where(col("__k") === phrase.size.toLong)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"))
   }
@@ -374,7 +391,8 @@ object InvertedIndex {
     * reconstructed by decoding the LEB128 payload
     * ([[graft.functions.Varint.postingsDecode]] — doc ids re-absoluted
     * from the shard base, positions from their deltas), then the same
-    * (doc_id, re-based start) equi-join plan as [[phraseMatches]].
+    * offset-certificate aggregation as [[phraseMatches]] (shared
+    * kernel).
     * Only the phrase terms' shards are decoded (term pushdown before
     * the decode), so query cost is posting-sized whatever the corpus.
     * On any corpus this must equal [[phraseMatches]] row-for-row —
@@ -384,21 +402,15 @@ object InvertedIndex {
       index: DataFrame,
       shardSpan: Long,
       phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty && phrase.size <= 16,
+    require(phrase.nonEmpty,
       s"phrase must have 1..16 tokens, got ${phrase.size}")
     val tp = index
       .where(col("term").isin(phrase.distinct: _*))
       .select(col("term"),
         explode(graft.functions.Varint.postingsDecode(
           col("bin"), col("shard") * lit(shardSpan))).as("e"))
-      .select(col("term"), col("e.doc_id").as("doc_id"),
+      .select(col("e.doc_id").as("doc_id"), col("term"),
         explode(col("e.ps")).as("pos"))
-    val parts = phrase.zipWithIndex.map { case (w, i) =>
-      tp.where(col("term") === w)
-        .select(col("doc_id"), (col("pos") - i).cast("long").as("start"))
-    }
-    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_matches"))
+    phraseFromPositions(tp, phrase)
   }
 }

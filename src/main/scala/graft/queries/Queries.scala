@@ -2648,6 +2648,37 @@ object Queries {
   val q119BpeLearn: Q = (s, d) =>
     graft.ops.BpeLearn.learnMerges(Tables.documents(s, d), "text", rounds = 6)
 
+  /** Phrase search re-gated on the WIDE corpus ([[Tables
+    * .documentsWide]]): q110 gates the kernel on the 31-word driver
+    * corpus where phrase selectivity is degenerate-high (the
+    * q106–q108 lesson); here the 16,383-term Zipfian vocabulary puts
+    * it in the realistic regime. Phrases are built from the
+    * construction's GUARANTEED-frequent tokens (`w1` is the band-0
+    * symbol ≈ 1/14 of all tokens, `w2` band-1 ≈ 1/28), including a
+    * repeated-word phrase — frequent enough that matches exist,
+    * selective enough that most docs don't match.
+    */
+  val q122PhraseWide: Q = (s, d) => {
+    val docs = Tables.documentsWide(s, d)
+    val phrases: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("w1", "w2"), 1L -> Seq("w2", "w1"),
+      2L -> Seq("w1", "w1"), 3L -> Seq("w1", "w2", "w1"))
+    phrases.map { case (pid, p) =>
+      graft.ops.InvertedIndex.phraseMatches(docs, "text", "doc_id", p)
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Proximity search re-gated on the WIDE corpus: `w1 NEAR/4 w2`
+    * over the Zipfian vocabulary — band-0/band-1 tokens co-occur in
+    * most docs but only some within the window, so the banding join
+    * works a realistic middle selectivity instead of q115's
+    * almost-every-doc regime.
+    */
+  val q123ProximityWide: Q = (s, d) =>
+    graft.ops.InvertedIndex.proximityMatches(
+      Tables.documentsWide(s, d), "text", "doc_id", "w1", "w2", window = 4L)
+
   /** Incremental heavy hitters across snapshots ([[graft.ops
     * .HeavyHitters.incrementalTermCounts]]): q92's bigram heavy
     * hitters served from an exact count artifact maintained v1→v2 —
@@ -2825,7 +2856,9 @@ object Queries {
     "q118_incremental_index" -> q118IncrementalIndex,
     "q119_bpe_learn" -> q119BpeLearn,
     "q120_proximity_from_index" -> q120ProximityFromIndex,
-    "q121_incremental_heavy_hitters" -> q121IncrementalHeavyHitters)
+    "q121_incremental_heavy_hitters" -> q121IncrementalHeavyHitters,
+    "q122_phrase_wide" -> q122PhraseWide,
+    "q123_proximity_wide" -> q123ProximityWide)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -4989,6 +5022,38 @@ object Queries {
              list_filter(generate_series(1, len(l)), i -> l[i] = p.w2)
                AS pb
            FROM t, p),
+         m AS (SELECT doc_id,
+             len(flatten(list_transform(pa,
+               i -> list_filter(pb, j -> abs(i - j) <= 4)))) AS n_pairs
+           FROM pos)
+         SELECT doc_id, n_pairs::BIGINT AS n_pairs
+         FROM m WHERE n_pairs > 0""",
+    "q122_phrase_wide" ->
+      // the q110 sliding-window replay over the reconstructed wide
+      // corpus, with the pinned frequent-token phrases
+      s"""WITH ph AS (
+           SELECT 0 AS phrase_id, ['w1', 'w2'] AS pl
+           UNION ALL SELECT 1, ['w2', 'w1']
+           UNION ALL SELECT 2, ['w1', 'w1']
+           UNION ALL SELECT 3, ['w1', 'w2', 'w1']),
+         t AS (SELECT doc_id, $wideToks AS l FROM documents),
+         m AS (SELECT ph.phrase_id, t.doc_id,
+             len(list_filter(generate_series(1, len(l) - len(pl) + 1),
+               i -> len(list_filter(generate_series(1, len(pl)),
+                      j -> l[i+j-1] = pl[j])) = len(pl))) AS n_matches
+           FROM t, ph WHERE len(l) >= len(pl))
+         SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+           n_matches::BIGINT AS n_matches
+         FROM m WHERE n_matches > 0""",
+    "q123_proximity_wide" ->
+      // the q115 nested-lambda pair replay over the wide corpus
+      s"""WITH t AS (SELECT doc_id, $wideToks AS l FROM documents),
+         pos AS (SELECT doc_id,
+             list_filter(generate_series(1, len(l)), i -> l[i] = 'w1')
+               AS pa,
+             list_filter(generate_series(1, len(l)), i -> l[i] = 'w2')
+               AS pb
+           FROM t),
          m AS (SELECT doc_id,
              len(flatten(list_transform(pa,
                i -> list_filter(pb, j -> abs(i - j) <= 4)))) AS n_pairs
