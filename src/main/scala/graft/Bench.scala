@@ -117,7 +117,8 @@ object Bench {
     "q120_proximity_from_index",
     "q121_incremental_heavy_hitters",
     "q122_phrase_wide",
-    "q123_proximity_wide")
+    "q123_proximity_wide",
+    "q124_normalize_multilingual")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

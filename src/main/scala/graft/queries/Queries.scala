@@ -2648,6 +2648,47 @@ object Queries {
   val q119BpeLearn: Q = (s, d) =>
     graft.ops.BpeLearn.learnMerges(Tables.documents(s, d), "text", rounds = 6)
 
+  /** The multilingual NFC fixture: 16 nibble-indexed strings covering
+    * the normalizer's non-trivial branches end-to-end — composition
+    * (e+◌́→é, c+◌̧→ç), singleton replacement (Å U+212B→U+00C5, Ω
+    * U+2126→U+03A9), Hangul jamo composition (ᄀ+ᅡ→가, +ᆨ→각),
+    * canonical mark REORDERING (both a+◌̣+◌́ orders → U+1EA1 U+0301),
+    * already-composed identities, and an unpaired double mark.
+    * Interpolated VERBATIM into the oracle SQL from this one Seq so
+    * the two engines cannot drift; prototyped 200/200 identical
+    * between utf8proc (DuckDB) and a Python unicodedata replay.
+    */
+  private val nfcFixture124: Seq[String] = Seq(
+    "e\u0301", "\u00e9", "\u212b", "A\u030a",
+    "\u1100\u1161", "\u1100\u1161\u11a8", "\uac00", "a\u0323\u0301",
+    "a\u0301\u0323", "\u03a9", "\u2126", "ascii",
+    "c\u0327", "\u00c7", "\u0131", "e\u0301\u0301")
+
+  /** NFC re-gated on a WIDE-CHARSET token mix ([[graft.functions
+    * .TextNormalize]]): q90 gates the kernel on ASCII-dominant text
+    * with three Latin accent probes; this derives an 8-token
+    * combining-mark/Hangul/singleton mix deterministically from
+    * md5(doc_id) nibbles (the documentsWide pattern applied to
+    * charset), so the composed/decomposed/reordering branches are
+    * exercised END-TO-END through the parquet gate, not just in unit
+    * tests — the JDK normalizer vs utf8proc, byte for byte.
+    */
+  val q124NormalizeMultilingual: Q = (s, d) => {
+    import graft.functions.TextNormalize
+    val fx = array(nfcFixture124.map(lit): _*)
+    val h = md5(col("doc_id").cast("string"))
+    val raw = concat_ws(" ", (1 to 8).map(i =>
+      element_at(fx,
+        conv(substring(h, i, 1), 16, 10).cast("int") + 1)): _*)
+    Tables.documents(s, d).select(col("doc_id"), raw.as("t"))
+      .select(
+        col("doc_id"),
+        (TextNormalize.nfc(col("t")) =!= col("t")).as("changed"),
+        length(col("t")).cast("long").as("n_before"),
+        length(TextNormalize.nfc(col("t"))).cast("long").as("n_after"),
+        md5(TextNormalize.nfc(col("t"))).as("norm_md5"))
+  }
+
   /** Phrase search re-gated on the WIDE corpus ([[Tables
     * .documentsWide]]): q110 gates the kernel on the 31-word driver
     * corpus where phrase selectivity is degenerate-high (the
@@ -2858,7 +2899,8 @@ object Queries {
     "q120_proximity_from_index" -> q120ProximityFromIndex,
     "q121_incremental_heavy_hitters" -> q121IncrementalHeavyHitters,
     "q122_phrase_wide" -> q122PhraseWide,
-    "q123_proximity_wide" -> q123ProximityWide)
+    "q123_proximity_wide" -> q123ProximityWide,
+    "q124_normalize_multilingual" -> q124NormalizeMultilingual)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -5060,6 +5102,23 @@ object Queries {
            FROM pos)
          SELECT doc_id, n_pairs::BIGINT AS n_pairs
          FROM m WHERE n_pairs > 0""",
+    "q124_normalize_multilingual" ->
+      // the fixture interpolates VERBATIM (decomposed marks, jamo, and
+      // singletons ride inside the SQL literals), so both engines
+      // normalize the identical 8-token mix; utf8proc's nfc_normalize
+      // is the oracle for the JDK kernel across every branch
+      s"""WITH r AS (SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, 8),
+             i -> (${nfcFixture124.map(t => s"'$t'").mkString("[", ", ", "]")})
+                    [('0x' || substr(md5(doc_id::VARCHAR), i, 1))::INT + 1]),
+             ' ') AS t
+         FROM documents)
+         SELECT doc_id,
+           nfc_normalize(t) <> t AS changed,
+           length(t)::BIGINT AS n_before,
+           length(nfc_normalize(t))::BIGINT AS n_after,
+           md5(nfc_normalize(t)) AS norm_md5
+         FROM r""",
     "q116_lm_perplexity" ->
       // add-one bigram LM replay: c2/c1/V from the %10 train split,
       // per-bigram nll through the integer-log CTE chain, positive
