@@ -118,7 +118,8 @@ object Bench {
     "q121_incremental_heavy_hitters",
     "q122_phrase_wide",
     "q123_proximity_wide",
-    "q124_normalize_multilingual")
+    "q124_normalize_multilingual",
+    "q125_phrase_dictionary")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -134,6 +134,52 @@ object InvertedIndex {
     phraseFromPositions(tp, phrase)
   }
 
+  /** Multi-phrase DICTIONARY matching — every phrase of a phrase
+    * TABLE matched against the corpus in ONE tokenize pass: the
+    * offset-certificate plan with the ≤16-row broadcast offset table
+    * replaced by a keyed join against the exploded dictionary
+    * `(term, phrase_id, off, plen)`. This is the shape a pipeline
+    * needs when the dictionary is itself data-scale (100k banned
+    * phrases, an entity gazetteer): phrases arrive as a DataFrame, the
+    * term join SHUFFLES on its key (never broadcasts an unbounded
+    * dictionary — Spark may still auto-broadcast a small one), and no
+    * driver loop runs per phrase. A `(phrase_id, doc, start)` group
+    * holding all `plen` distinct offsets is a match.
+    *
+    * `phrases` is `(phrase_id, terms array<string>)`; empty or
+    * over-long (> 64 tokens) phrases refuse in-plan by name. Output:
+    * `(phrase_id, doc_id, n_matches)`, one row per matching pair.
+    */
+  def phraseTableMatches(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      phrases: DataFrame): DataFrame = {
+    val offs = phrases.select(
+        col("phrase_id").cast("long").as("phrase_id"),
+        when(size(col("terms")).between(1, 64), col("terms"))
+          .otherwise(raise_error(concat(
+            lit("phraseTableMatches: phrase "),
+            col("phrase_id").cast("string"),
+            lit(" has "), size(col("terms")).cast("string"),
+            lit(" tokens — must be 1..64"))).cast("array<string>"))
+          .as("terms"))
+      .select(col("phrase_id"), size(col("terms")).cast("long").as("plen"),
+        posexplode(col("terms")).as(Seq("off", "term")))
+    val tp = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
+    tp.join(offs, Seq("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos").cast("long") - col("off")).as("start"),
+        col("off"), col("plen"))
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(countDistinct(col("off")).as("__k"), max(col("plen")).as("__plen"))
+      .where(col("__k") === col("__plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** The offset-certificate plan over a `(doc_id, term, pos)` position
     * table — shared by the corpus-scan and artifact-served phrase
     * paths so the two cannot drift.

@@ -2720,6 +2720,25 @@ object Queries {
     graft.ops.InvertedIndex.proximityMatches(
       Tables.documentsWide(s, d), "text", "doc_id", "w1", "w2", window = 4L)
 
+  /** Multi-phrase DICTIONARY matching ([[graft.ops.InvertedIndex
+    * .phraseTableMatches]]): a six-phrase dictionary (mixed lengths,
+    * incl. repeats) matched against the wide corpus in ONE tokenize
+    * pass — the phrase table is data (a keyed join, no per-phrase
+    * driver loop), the shape a 100k-phrase blocklist or gazetteer
+    * needs. Oracle: the q122 sliding-window replay over all six
+    * phrases.
+    */
+  val q125PhraseDictionary: Q = (s, d) => {
+    import s.implicits._
+    val dict = Seq(
+      (0L, Seq("w1", "w2")), (1L, Seq("w2", "w1")),
+      (2L, Seq("w1", "w1")), (3L, Seq("w1", "w2", "w1")),
+      (4L, Seq("w2", "w2", "w1")), (5L, Seq("w1", "w3", "w1")))
+      .toDF("phrase_id", "terms")
+    graft.ops.InvertedIndex.phraseTableMatches(
+      Tables.documentsWide(s, d), "text", "doc_id", dict)
+  }
+
   /** Incremental heavy hitters across snapshots ([[graft.ops
     * .HeavyHitters.incrementalTermCounts]]): q92's bigram heavy
     * hitters served from an exact count artifact maintained v1→v2 —
@@ -2900,7 +2919,8 @@ object Queries {
     "q121_incremental_heavy_hitters" -> q121IncrementalHeavyHitters,
     "q122_phrase_wide" -> q122PhraseWide,
     "q123_proximity_wide" -> q123ProximityWide,
-    "q124_normalize_multilingual" -> q124NormalizeMultilingual)
+    "q124_normalize_multilingual" -> q124NormalizeMultilingual,
+    "q125_phrase_dictionary" -> q125PhraseDictionary)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -5102,6 +5122,24 @@ object Queries {
            FROM pos)
          SELECT doc_id, n_pairs::BIGINT AS n_pairs
          FROM m WHERE n_pairs > 0""",
+    "q125_phrase_dictionary" ->
+      // the q122 sliding-window replay over the six-phrase dictionary
+      s"""WITH ph AS (
+           SELECT 0 AS phrase_id, ['w1', 'w2'] AS pl
+           UNION ALL SELECT 1, ['w2', 'w1']
+           UNION ALL SELECT 2, ['w1', 'w1']
+           UNION ALL SELECT 3, ['w1', 'w2', 'w1']
+           UNION ALL SELECT 4, ['w2', 'w2', 'w1']
+           UNION ALL SELECT 5, ['w1', 'w3', 'w1']),
+         t AS (SELECT doc_id, $wideToks AS l FROM documents),
+         m AS (SELECT ph.phrase_id, t.doc_id,
+             len(list_filter(generate_series(1, len(l) - len(pl) + 1),
+               i -> len(list_filter(generate_series(1, len(pl)),
+                      j -> l[i+j-1] = pl[j])) = len(pl))) AS n_matches
+           FROM t, ph WHERE len(l) >= len(pl))
+         SELECT phrase_id::BIGINT AS phrase_id, doc_id,
+           n_matches::BIGINT AS n_matches
+         FROM m WHERE n_matches > 0""",
     "q124_normalize_multilingual" ->
       // the fixture interpolates VERBATIM (decomposed marks, jamo, and
       // singletons ride inside the SQL literals), so both engines

@@ -180,6 +180,31 @@ class InvertedIndexSpec extends SparkSpec {
       artifactRows(InvertedIndex.postingShardsBinary(v2, "text", "doc_id", 10L)))
   }
 
+  test("phraseTableMatches (one pass, keyed dictionary join) == the " +
+      "per-phrase phraseMatches loop; empty phrases refuse in-plan") {
+    val docs = (0L until 120L).map(i =>
+      (i, s"w${i % 3} w${i % 5} w${i % 3} w${i % 3} w${i % 7}"))
+      .toDF("doc_id", "text")
+    val phrases: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("w0", "w0"), 1L -> Seq("w1", "w2"),
+      2L -> Seq("w0", "w1", "w0"), 3L -> Seq("zz", "w0"))
+    val fromTable = InvertedIndex.phraseTableMatches(
+        docs, "text", "doc_id", phrases.toDF("phrase_id", "terms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fromLoop = phrases.flatMap { case (pid, p) =>
+      InvertedIndex.phraseMatches(docs, "text", "doc_id", p)
+        .collect().map(r => (pid, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(fromTable === fromLoop)
+    val e = intercept[Throwable] {
+      InvertedIndex.phraseTableMatches(docs, "text", "doc_id",
+        Seq((9L, Seq.empty[String])).toDF("phrase_id", "terms")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("must be 1..64")), msgs(e).mkString(" | "))
+  }
+
   test("proximityMatchesFromPostings == proximityMatches (artifact " +
       "round-trip)") {
     val docs = Seq(
