@@ -119,7 +119,8 @@ object Bench {
     "q122_phrase_wide",
     "q123_proximity_wide",
     "q124_normalize_multilingual",
-    "q125_phrase_dictionary")
+    "q125_phrase_dictionary",
+    "q126_lang_multilingual")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

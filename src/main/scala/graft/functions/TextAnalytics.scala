@@ -76,6 +76,48 @@ object TextAnalytics {
     chain.otherwise(lit("und"))
   }
 
+  /** Unicode-script character classes for [[scriptCounts]]/[[scriptId]]
+    * — `(script, javaClass, re2Class)`: the same codepoint range
+    * expressed in Java-regex (`\uXXXX` ranges — Spark's engine) and
+    * RE2 (`\x{XXXX}` ranges — what a DuckDB oracle replays) syntax, so
+    * the two engines count the identical character set. Precomposed
+    * Hangul syllables only (jamo normalize to syllables under NFC —
+    * [[TextNormalize]] is the upstream step); Han is the BMP unified
+    * block.
+    */
+  val scriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[\u0400-\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\u0370-\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    ("hangul", "[\uAC00-\uD7AF]", "[\\x{AC00}-\\x{D7AF}]"),
+    ("han", "[\u4E00-\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"))
+
+  /** Per-script character counts — `length(text) − length(text with
+    * the class removed)`, one codegen'd regexp per script (no explode,
+    * no shuffle). The writing-system profile is the script-routing
+    * stage of a multilingual pipeline (char-class LID is the standard
+    * first cut before any model-based identifier).
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptClasses.map { case (name, javaCls, _) =>
+      name -> (length(text) -
+        length(regexp_replace(text, javaCls, ""))).cast("long")
+    }
+
+  /** Dominant script by character count — argmax over [[scriptCounts]]
+    * with ties to the fixed [[scriptClasses]] order, `und` when no
+    * class matches at all (the [[langId]] vote shape applied to
+    * characters instead of marker tokens).
+    */
+  def scriptId(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = counts.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (name, c)) => acc.when(c === best, lit(name))
+    }
+    chain.otherwise(lit("und"))
+  }
+
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set. Two documents with the same bag of words (any order,
     * any duplication) collide — the cheap first stage of near-dup

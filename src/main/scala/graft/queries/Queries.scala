@@ -2786,6 +2786,61 @@ object Queries {
       index, 100L, ws(0), ws(1), window = 4L)
   }
 
+  /** The multilingual token fixture for q126: 16 nibble-indexed tokens
+    * across seven languages and five scripts (Latin en/fr/de/es words,
+    * Cyrillic, Greek, precomposed Hangul, Han) plus one marker-free
+    * filler. Interpolated VERBATIM into the oracle SQL (the q124
+    * pattern) so the two engines vote over the identical text.
+    */
+  private val langTokens126: Seq[String] = Seq(
+    "the", "and", "le", "les", "der", "das", "el", "que",
+    "\u0438", "\u043d\u0435", "\u03ba\u03b1\u03b9", "\u03c4\u03bf",
+    "\uc774", "\ub294", "\u7684", "zzz")
+
+  /** The multilingual marker set: two (one for zh) marker tokens per
+    * language, drawn from [[langTokens126]]; vote ties break to this
+    * order (the [[graft.functions.TextAnalytics.langId]] contract).
+    */
+  private val langMarkers126: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and"),
+    "fr" -> Seq("le", "les"),
+    "de" -> Seq("der", "das"),
+    "es" -> Seq("el", "que"),
+    "ru" -> Seq("\u0438", "\u043d\u0435"),
+    "el" -> Seq("\u03ba\u03b1\u03b9", "\u03c4\u03bf"),
+    "ko" -> Seq("\uc774", "\ub294"),
+    "zh" -> Seq("\u7684"))
+
+  /** Language ID + script routing re-gated on a MULTILINGUAL mix
+    * ([[graft.functions.TextAnalytics.langId]] /
+    * [[graft.functions.TextAnalytics.scriptId]]): q20 gates the
+    * stopword vote on ASCII-dominant synthetic text (the r15 verdict's
+    * other half of item 8, next to q124's NFC); here an 8-token
+    * seven-language mix derives deterministically from md5(doc_id)
+    * nibbles, so the vote (including cross-language ties, broken by
+    * marker order) and the per-SCRIPT character profile — the
+    * writing-system routing stage of a multilingual pipeline — are
+    * exercised end-to-end across Latin, Cyrillic, Greek, Hangul and
+    * Han. Both kernels are pure per-row codegen (no shuffle); the
+    * oracle rebuilds the identical text and replays vote and regexp
+    * counts through RE2's form of the same character classes.
+    */
+  val q126LangMultilingual: Q = (s, d) => {
+    import graft.functions.TextAnalytics
+    val fx = array(langTokens126.map(lit): _*)
+    val h = md5(col("doc_id").cast("string"))
+    val raw = concat_ws(" ", (1 to 8).map(i =>
+      element_at(fx,
+        conv(substring(h, i, 1), 16, 10).cast("int") + 1)): _*)
+    val counts = TextAnalytics.scriptCounts(raw)
+      .map { case (name, c) => c.as(s"n_$name") }
+    Tables.documents(s, d).select(
+      (col("doc_id") +:
+        TextAnalytics.langId(raw, langMarkers126).as("lang_pred") +:
+        TextAnalytics.scriptId(raw).as("script_pred") +:
+        counts): _*)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2920,7 +2975,8 @@ object Queries {
     "q122_phrase_wide" -> q122PhraseWide,
     "q123_proximity_wide" -> q123ProximityWide,
     "q124_normalize_multilingual" -> q124NormalizeMultilingual,
-    "q125_phrase_dictionary" -> q125PhraseDictionary)
+    "q125_phrase_dictionary" -> q125PhraseDictionary,
+    "q126_lang_multilingual" -> q126LangMultilingual)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -5157,6 +5213,46 @@ object Queries {
            length(nfc_normalize(t))::BIGINT AS n_after,
            md5(nfc_normalize(t)) AS norm_md5
          FROM r""",
+    "q126_lang_multilingual" -> {
+      // generated from the SAME fixture/marker/class vals the engine
+      // uses (langTokens126 / langMarkers126 / scriptClasses), so the
+      // vote and the per-script regexp counts cannot drift
+      val fixture = langTokens126.map(t => s"'$t'").mkString("[", ", ", "]")
+      val markerCnts = langMarkers126.map { case (lang, vocab) =>
+        val pred = vocab.map(w => s"x = '$w'").mkString(" or ")
+        s"len(list_filter(l, x -> $pred)) AS c_$lang"
+      }
+      val bestL =
+        s"greatest(${langMarkers126.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+      val langChain = langMarkers126
+        .map { case (l, _) => s"WHEN c_$l = $bestL THEN '$l'" }.mkString(" ")
+      val scriptCnts = TextAnalytics.scriptClasses.map { case (n, _, re2) =>
+        s"(length(t) - length(regexp_replace(t, '$re2', '', 'g')))::BIGINT AS n_$n"
+      }
+      val sNames = TextAnalytics.scriptClasses.map(_._1)
+      val bestS = s"greatest(${sNames.map(n => s"n_$n").mkString(", ")})"
+      val scriptChain =
+        sNames.map(n => s"WHEN n_$n = $bestS THEN '$n'").mkString(" ")
+      s"""WITH r AS (SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, 8),
+             i -> ($fixture)
+                    [('0x' || substr(md5(doc_id::VARCHAR), i, 1))::INT + 1]),
+             ' ') AS t
+         FROM documents),
+         c AS (SELECT doc_id, t,
+             list_filter(string_split(t, ' '), x -> x <> '') AS l
+           FROM r),
+         m AS (SELECT doc_id, ${markerCnts.mkString(",\n             ")},
+             ${scriptCnts.mkString(",\n             ")}
+           FROM c)
+         SELECT doc_id,
+           CASE WHEN $bestL = 0 THEN 'und' $langChain ELSE 'und' END
+             AS lang_pred,
+           CASE WHEN $bestS = 0 THEN 'und' $scriptChain ELSE 'und' END
+             AS script_pred,
+           ${sNames.map(n => s"n_$n").mkString(", ")}
+         FROM m"""
+    },
     "q116_lm_perplexity" ->
       // add-one bigram LM replay: c2/c1/V from the %10 train split,
       // per-bigram nll through the integer-log CTE chain, positive
