@@ -120,7 +120,8 @@ object Bench {
     "q123_proximity_wide",
     "q124_normalize_multilingual",
     "q125_phrase_dictionary",
-    "q126_lang_multilingual")
+    "q126_lang_multilingual",
+    "q127_incremental_bm25")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -2841,6 +2841,44 @@ object Queries {
         counts): _*)
   }
 
+  /** The nightly index pipeline END-TO-END: snapshot diff → patch only
+    * churn-touched (term, shard) groups of the stored LEB128 artifact
+    * ([[graft.ops.InvertedIndex.incrementalShardsBinary]], q118's
+    * kernel on the WIDE corpus) → serve BM25 from the maintained
+    * artifact alone ([[graft.ops.Bm25.buildIndexFromTf]] over the
+    * decoded postings — corpus text never touched at query time). The
+    * ORACLE IS THE EQUIVALENCE PROOF twice over: it replays the
+    * from-scratch BM25 build over all of v2, so the gate proves
+    * (incremental patch ∘ artifact-served scoring) ≡ (full rebuild ∘
+    * corpus scoring) down to the exact integer scores. This is the
+    * production loop a 100 TB corpus runs every refresh: churn-
+    * proportional maintenance, then serving without the documents.
+    */
+  val q127IncrementalBm25: Q = (s, d) => {
+    val wide = Tables.documentsWide(s, d)
+    val v1 = wide.where(col("doc_id") % 7 =!= 0)
+    val v2 = wide.where(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    // the v1 artifact (in production: read back, not recomputed)
+    val prior = graft.ops.InvertedIndex
+      .postingShardsBinary(v1, "text", "doc_id", shardSpan = 100L)
+    val artifact = graft.ops.InvertedIndex.incrementalShardsBinary(
+      prior, v1, v2, "text", "doc_id", shardSpan = 100L)
+    val queries = wide.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalytics.tokens(col("text")), 1, 5).as("terms"))
+    val tf = artifact.select(col("term"),
+        explode(graft.functions.Varint.postingsDecode(
+          col("bin"), col("shard") * lit(100L))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("term"),
+        size(col("e.ps")).cast("long").as("tf"))
+    graft.ops.Bm25.scoreTopK(
+      graft.ops.Bm25.buildIndexFromTf(tf), queries, "query_id", "terms",
+      k = 10)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -2976,7 +3014,8 @@ object Queries {
     "q123_proximity_wide" -> q123ProximityWide,
     "q124_normalize_multilingual" -> q124NormalizeMultilingual,
     "q125_phrase_dictionary" -> q125PhraseDictionary,
-    "q126_lang_multilingual" -> q126LangMultilingual)
+    "q126_lang_multilingual" -> q126LangMultilingual,
+    "q127_incremental_bm25" -> q127IncrementalBm25)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -3090,6 +3129,46 @@ object Queries {
          SELECT term, shard, df_shard, tf_shard, md5(hx) AS varint_md5,
            (length(hx) // 2)::BIGINT AS varint_bytes, raw_bytes
          FROM hx"""
+
+  /** The full BM25 replay (q103/q112/q114/q127), parametrized by the
+    * corpus relation (`doc_id, l` token lists — q127 points it at the
+    * v2 snapshot so the from-scratch replay IS the equivalence proof
+    * for scoring from the incrementally-maintained artifact) and the
+    * query relation (`query_id, term` — may reference `wd`): tf/dl/df
+    * from the token lists, idf through the integer-log CTE chain,
+    * exact scaled-rational saturation, top-10 per query.
+    */
+  private def bm25OracleOver(corpusRel: String, queryRel: String): String =
+    s"""WITH RECURSIVE wd AS ($corpusRel),
+         tok AS (SELECT doc_id, unnest(l) AS term FROM wd),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM dl),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         ms AS (SELECT DISTINCT 2 * df + 1 AS m FROM dfreq
+                UNION SELECT 2 * n + 2 FROM st),
+         $ilnCtes,
+         idf AS (SELECT dfreq.term,
+             (SELECT v FROM iln JOIN st ON iln.m = 2 * st.n + 2) - iln.v
+               AS idf_1m
+           FROM dfreq JOIN iln ON iln.m = 2 * dfreq.df + 1),
+         qd AS ($queryRel),
+         sc AS (SELECT qd.query_id, tf.doc_id,
+             sum(idf.idf_1m * ((2200000 * tf.tf * 1000000) //
+               (1000000 * tf.tf + 300000 +
+                (9 * ((1000000 * dl.dl * st.n) // st.tot)) // 10)))::BIGINT
+               AS score
+           FROM qd JOIN tf USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             JOIN idf ON idf.term = qd.term
+             CROSS JOIN st
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+           FROM sc) WHERE rank <= 10"""
 
   /** Shared by q70b (batch) and q73b (streaming): full MinHash+LSH
     * replay — md5-60-bit permutation hashes (15 hex chars parse as
@@ -4968,37 +5047,24 @@ object Queries {
       // full BM25 replay on the wide corpus: tf/dl/df from the
       // reconstructed token lists, idf through the integer-log CTE
       // chain, exact scaled-rational saturation, top-10 per query
-      s"""WITH RECURSIVE wd AS (SELECT doc_id, $wideToks AS l FROM documents),
-         tok AS (SELECT doc_id, unnest(l) AS term FROM wd),
-         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-                FROM tok GROUP BY 1, 2),
-         dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
-         st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM dl),
-         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-         ms AS (SELECT DISTINCT 2 * df + 1 AS m FROM dfreq
-                UNION SELECT 2 * n + 2 FROM st),
-         $ilnCtes,
-         idf AS (SELECT dfreq.term,
-             (SELECT v FROM iln JOIN st ON iln.m = 2 * st.n + 2) - iln.v
-               AS idf_1m
-           FROM dfreq JOIN iln ON iln.m = 2 * dfreq.df + 1),
-         qd AS (SELECT DISTINCT doc_id AS query_id, unnest(l[1:5]) AS term
-                FROM wd WHERE doc_id < 8),
-         sc AS (SELECT qd.query_id, tf.doc_id,
-             sum(idf.idf_1m * ((2200000 * tf.tf * 1000000) //
-               (1000000 * tf.tf + 300000 +
-                (9 * ((1000000 * dl.dl * st.n) // st.tot)) // 10)))::BIGINT
-               AS score
-           FROM qd JOIN tf USING (term)
-             JOIN dl ON dl.doc_id = tf.doc_id
-             JOIN idf ON idf.term = qd.term
-             CROSS JOIN st
-           GROUP BY 1, 2)
-         SELECT query_id, rank, doc_id, score FROM (
-           SELECT query_id, doc_id, score,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id) AS rank
-           FROM sc) WHERE rank <= 10""",
+      bm25OracleOver(
+        s"SELECT doc_id, $wideToks AS l FROM documents",
+        """SELECT DISTINCT doc_id AS query_id, unnest(l[1:5]) AS term
+                FROM wd WHERE doc_id < 8"""),
+    "q127_incremental_bm25" ->
+      // THE EQUIVALENCE PROOF for the maintained artifact's SERVING
+      // path: the from-scratch BM25 replay over all of v2 — scoring
+      // from the incrementally-patched LEB128 artifact must produce
+      // the identical top-10 per query
+      bm25OracleOver(
+        s"""SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN list_append(l0, 'v2')
+                   ELSE l0 END AS l
+            FROM (SELECT doc_id, $wideToks AS l0 FROM documents
+                  WHERE doc_id % 5 <> 0)""",
+        s"""SELECT DISTINCT doc_id AS query_id, unnest(l0[1:5]) AS term
+            FROM (SELECT doc_id, $wideToks AS l0 FROM documents)
+            WHERE doc_id < 8"""),
     "q105_incremental_neardup" ->
       // THE EQUIVALENCE PROOF: the full portable MinHash+LSH+verify
       // screen replayed over ALL of v2 — the engine's carry-unchanged
