@@ -121,7 +121,8 @@ object Bench {
     "q124_normalize_multilingual",
     "q125_phrase_dictionary",
     "q126_lang_multilingual",
-    "q127_incremental_bm25")
+    "q127_incremental_bm25",
+    "q128_bpe_roundtrip")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -2646,7 +2646,8 @@ object Queries {
     * identical-symbol runs where naive replays double-merge).
     */
   val q119BpeLearn: Q = (s, d) =>
-    graft.ops.BpeLearn.learnMerges(Tables.documents(s, d), "text", rounds = 6)
+    graft.ops.BpeLearn.learnMerges(
+      Tables.documents(s, d), "text", rounds = bpeGateRounds)
 
   /** The multilingual NFC fixture: 16 nibble-indexed strings covering
     * the normalizer's non-trivial branches end-to-end — composition
@@ -2879,6 +2880,34 @@ object Queries {
       k = 10)
   }
 
+  /** The tokenizer pipeline END-TO-END ([[graft.ops.BpeLearn]] then
+    * [[graft.functions.BpeMerge]]): learn the merge table from the
+    * corpus (q119's kernel — the table is the artifact a tokenizer
+    * ships), then APPLY the learned merges in round order to every
+    * document (a bounded ≤-rounds-row collect of the table, then one
+    * narrow map with the per-round merge kernels composed — q52 gates
+    * the apply kernel against a FIXED table; this gates the
+    * composition against a LEARNED one). The oracle's chained round
+    * CTEs compute the post-merge corpus state as a byproduct of
+    * learning, so one replay gates train-then-tokenize end-to-end:
+    * per-doc symbol count + md5 over the merged sequence.
+    */
+  val q128BpeRoundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ops.BpeLearn
+      .learnMerges(docs, "text", rounds = bpeGateRounds)
+      .orderBy("round").collect() // bounded: at most bpeGateRounds rows
+    val base = docs.select(
+      col("doc_id"), TextAnalytics.tokens(col("text")).as("syms"))
+    val applied = merges.foldLeft(base) { (df, m) =>
+      df.withColumn("syms", graft.functions.BpeMerge.mergePair(
+        col("syms"), lit(m.getString(1)), lit(m.getString(2))))
+    }
+    applied.select(col("doc_id"),
+      size(col("syms")).cast("long").as("n_syms"),
+      md5(concat_ws(" ", col("syms"))).as("syms_md5"))
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3015,7 +3044,8 @@ object Queries {
     "q124_normalize_multilingual" -> q124NormalizeMultilingual,
     "q125_phrase_dictionary" -> q125PhraseDictionary,
     "q126_lang_multilingual" -> q126LangMultilingual,
-    "q127_incremental_bm25" -> q127IncrementalBm25)
+    "q127_incremental_bm25" -> q127IncrementalBm25,
+    "q128_bpe_roundtrip" -> q128BpeRoundtrip)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -4878,6 +4908,7 @@ object Queries {
                FROM g)""",
     "q95_neardup_pagerank" -> q95OracleSql,
     "q119_bpe_learn" -> q119OracleSql,
+    "q128_bpe_roundtrip" -> q128OracleSql,
     "q121_incremental_heavy_hitters" ->
       // THE EQUIVALENCE PROOF: q92's exact-recount oracle over ALL of
       // v2 — the engine's carry + churn-delta must hash-match it
@@ -5374,22 +5405,31 @@ object Queries {
              AS fps_md5
          FROM w""")
 
-  /** The q119 oracle replays the six BPE learning rounds as chained
-    * CTE stages (the q95 unrolling pattern — each round's counts
-    * depend on the previous round's merge, and standard SQL forbids
-    * aggregates in recursive terms). Per round: count adjacent pairs,
-    * argmax with the pinned tie-break, then the leftmost-
-    * non-overlapping re-pair expressed as RUN PARITY over the match
-    * flags: a match at position i is a merge start iff the number of
-    * consecutive matches immediately before it is even (chained
-    * matches only arise in runs of identical symbols — for a ≠ b a
-    * match at i and i+1 would need l[i+1] = b = a). Prototyped 4/4
-    * against an independent replay before wiring, including
-    * identical-symbol runs.
+  /** Rounds for the BPE gates — q119 (merge table) and q128 (applied
+    * corpus) share it so the engine loop and the oracle CTE chain
+    * cannot disagree on depth.
     */
-  private lazy val q119OracleSql: String = {
-    val rounds = 6
-    val chain = (1 to rounds).map { r =>
+  // `final` without a type ascription = a compile-time constant, so
+  // it is inlined at use sites — immune to object-initialization
+  // order (oraclesBase evaluates before this line's runtime init)
+  private[queries] final val bpeGateRounds = 6
+
+  /** The BPE learning rounds replayed as chained CTE stages (the q95
+    * unrolling pattern — each round's counts depend on the previous
+    * round's merge, and standard SQL forbids aggregates in recursive
+    * terms), over a caller-provided `s0(doc_id, l)`: per round r,
+    * `p$r` counts adjacent pairs, `b$r` argmaxes with the pinned
+    * tie-break, then `st$r`/`s$r` apply the leftmost-non-overlapping
+    * re-pair expressed as RUN PARITY over the match flags — a match at
+    * position i is a merge start iff the number of consecutive matches
+    * immediately before it is even (chained matches only arise in runs
+    * of identical symbols — for a ≠ b a match at i and i+1 would need
+    * l[i+1] = b = a). Prototyped 4/4 against an independent replay
+    * before wiring, including identical-symbol runs. Shared by the
+    * q119 merge-table select and q128's final-state select.
+    */
+  private def bpeChainCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
       s"""p$r AS (SELECT l[i] AS lft, l[i+1] AS rgt, count(*)::BIGINT AS c
          FROM s${r - 1}, unnest(generate_series(1, len(l) - 1)) AS u$r(i)
          WHERE len(l) >= 2 GROUP BY 1, 2),
@@ -5409,12 +5449,31 @@ object Queries {
                   ELSE l[i] END), x -> x IS NOT NULL) AS l
          FROM st$r)"""
     }.mkString(",\n       ")
+
+  private lazy val q119OracleSql: String = {
+    val rounds = bpeGateRounds
     val sel = (1 to rounds).map(r =>
       s"SELECT ${r}::BIGINT AS round, lft, rgt, c AS pair_count FROM b$r")
       .mkString("\n       UNION ALL ")
     s"""WITH s0 AS (SELECT doc_id, $toks AS l FROM documents),
-       $chain
+       ${bpeChainCtes(rounds)}
        $sel"""
+  }
+
+  /** The q128 oracle: the same chained replay, selecting the CORPUS
+    * STATE after the final round's merge (`s$rounds` — the chain's
+    * st/s stages already apply round r's winning pair) instead of the
+    * merge table: per-doc symbol count + md5 over the merged
+    * sequence. Learning and applying share every CTE, so the gate
+    * proves the engine's learn-then-apply composition end-to-end.
+    */
+  private lazy val q128OracleSql: String = {
+    val rounds = bpeGateRounds
+    s"""WITH s0 AS (SELECT doc_id, $toks AS l FROM documents),
+       ${bpeChainCtes(rounds)}
+       SELECT doc_id, len(l)::BIGINT AS n_syms,
+         md5(array_to_string(l, ' ')) AS syms_md5
+       FROM s$rounds"""
   }
 
   /** The q95 oracle replays the integer PageRank by UNROLLING the
