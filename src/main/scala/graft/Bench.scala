@@ -122,7 +122,8 @@ object Bench {
     "q125_phrase_dictionary",
     "q126_lang_multilingual",
     "q127_incremental_bm25",
-    "q128_bpe_roundtrip")
+    "q128_bpe_roundtrip",
+    "q129_index_append")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`
@@ -144,6 +145,7 @@ object Bench {
       "q98_window_stream" -> streaming,
       "q104_heavy_hitters_stream" -> streaming,
       "q112_bm25_stream" -> streaming,
+      "q130_index_ingest_stream" -> streaming,
       "q04_semi_join" -> subsec,
       "q05_anti_join" -> subsec,
       "q08_first_order" -> subsec,

@@ -385,28 +385,47 @@ object InvertedIndex {
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
     maxDocFreq.foreach(m => require(m >= 1, s"maxDocFreq must be >= 1, got $m"))
-    val rawId = col(idCol).cast("long")
-    val checkedId = when(rawId >= 0L && rawId < MaxDocId, rawId)
-      .otherwise(raise_error(concat(
-        lit("postingShards: doc id out of the zero-pad range [0, 1e12): "),
-        rawId.cast("string"))).cast("long"))
-    val tp = docs.select(
-      checkedId.as("doc_id"),
-      posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
     val scoped = maxDocFreq match {
-      case None => tp
+      case None => perDocEntries(docs, textCol, idCol)
       case Some(m) =>
-        val df = tp.select("term", "doc_id").distinct()
+        val tp = perDocEntries(docs, textCol, idCol)
+        val df = tp.select("term", "doc_id")
           .groupBy("term").agg(count(lit(1)).as("__df"))
           .where(col("__df") <= m)
           .select("term")
         tp.join(df, Seq("term"), "left_semi")
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("term", "shard").orderBy("doc_id")
-    val perDoc = scoped
+    encodeShards(scoped, shardSpan)
+  }
+
+  /** One tokenize pass → the canonical per-(term, doc) posting
+    * entries `(term, doc_id, ps)` (positions sorted ascending) — the
+    * input contract of [[encodeShards]].
+    */
+  private def perDocEntries(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val rawId = col(idCol).cast("long")
+    val checkedId = when(rawId >= 0L && rawId < MaxDocId, rawId)
+      .otherwise(raise_error(concat(
+        lit("postingShards: doc id out of the zero-pad range [0, 1e12): "),
+        rawId.cast("string"))).cast("long"))
+    docs.select(
+        checkedId.as("doc_id"),
+        posexplode(TextAnalytics.tokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+  }
+
+  /** The canonical LEB128 shard encode over a `(term, doc_id, ps)`
+    * entry table — extracted so the from-scratch build and the
+    * artifact-only append ([[appendToShardsBinary]]) produce
+    * byte-identical groups from the same entries, whatever the
+    * entries' provenance (fresh tokenize or decoded payload).
+    */
+  private def encodeShards(entries: DataFrame, shardSpan: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term", "shard").orderBy("doc_id")
+    val perDoc = entries
       .withColumn("shard", expr(s"doc_id div ${shardSpan}L"))
       .withColumn("prev", lag("doc_id", 1).over(w))
       .withColumn("chunk", expr(
@@ -430,6 +449,69 @@ object InvertedIndex {
         // ';' separators between docs in the ASCII form: df_shard - 1
         (sum(col("raw_len").cast("long")) + count(lit(1)) - 1L)
           .as("raw_bytes"))
+  }
+
+  /** APPEND-ONLY maintenance from the artifact ALONE — the streaming-
+    * ingest shape: fold a batch of NEW documents into the stored index
+    * without ever touching the already-indexed corpus. Where
+    * [[incrementalShardsBinary]] re-tokenizes the dirty shards' v2
+    * documents (and so needs the document store), this path DECODES
+    * the dirty groups' existing payloads back to posting entries
+    * ([[graft.functions.Varint.postingsDecode]]), unions the new
+    * batch's entries, and re-encodes through the same
+    * [[encodeShards]] kernel — so an ingest pipeline carries only the
+    * index artifact between batches, never the accumulated corpus.
+    *
+    * Cost is churn-proportional: the batch tokenizes once; only
+    * (term, shard) groups the batch touches decode and re-encode
+    * (keyed semi/anti joins on the index's own key); every other row
+    * carries byte-identical.
+    *
+    * Append-only is a CONTRACT, refused in-plan when violated: a
+    * batch doc already present in a decoded group (same doc_id under
+    * the same (term, shard)) raises by name instead of silently
+    * double-counting — re-ingesting an edited document is an
+    * incremental-maintenance job ([[incrementalShardsBinary]]), not
+    * an append. (A re-ingested doc shares at least one term with its
+    * old version — byte-identical text certainly — so the collision
+    * is detectable inside dirty groups; a doc with WHOLLY new terms
+    * is indistinguishable from a new doc at the artifact level.)
+    */
+  def appendToShardsBinary(
+      priorIndex: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shardSpan: Long): DataFrame = {
+    require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
+    val newEntries = perDocEntries(newDocs, textCol, idCol)
+      .withColumn("shard", expr(s"doc_id div ${shardSpan}L"))
+    val dirty = newEntries.select("term", "shard").distinct()
+      .join(priorIndex.select("term", "shard"), Seq("term", "shard"),
+        "left_semi")
+    val priorDirtyEntries = priorIndex
+      .join(dirty, Seq("term", "shard"), "left_semi")
+      .select(col("term"), col("shard"),
+        explode(graft.functions.Varint.postingsDecode(
+          col("bin"), col("shard") * lit(shardSpan))).as("e"))
+      .select(col("term"), col("shard"),
+        col("e.doc_id").as("doc_id"), col("e.ps").as("ps"))
+    // each side carries one row per (term, doc): two rows in a group
+    // mean the batch re-ingested an already-indexed doc — refuse
+    val merged = priorDirtyEntries
+      .unionByName(newEntries.select("term", "shard", "doc_id", "ps"))
+      .groupBy("term", "shard", "doc_id")
+      .agg(count(lit(1)).as("__n"), first(col("ps")).as("__ps"))
+      .select(col("term"), col("doc_id"),
+        when(col("__n") === 1, col("__ps"))
+          .otherwise(raise_error(concat(
+            lit("appendToShards: doc "), col("doc_id").cast("string"),
+            lit(" is already indexed for term '"), col("term"),
+            lit("' — append-only ingest cannot re-ingest; use " +
+              "incrementalShardsBinary"))).cast("array<bigint>"))
+          .as("ps"))
+    val carried = priorIndex.join(dirty, Seq("term", "shard"), "left_anti")
+    carried.unionByName(encodeShards(merged, shardSpan))
   }
 
   /** Phrase search SERVED FROM THE COMPRESSED INDEX — the read-side

@@ -2908,6 +2908,38 @@ object Queries {
       md5(concat_ws(" ", col("syms"))).as("syms_md5"))
   }
 
+  /** Append-only index maintenance FROM THE ARTIFACT ALONE
+    * ([[graft.ops.InvertedIndex.appendToShardsBinary]]): a third of
+    * the corpus arrives as new documents and folds into the stored
+    * LEB128 artifact by decode-merge-re-encode of only the touched
+    * (term, shard) groups — the already-indexed corpus is never read
+    * (the contrast with q118, which re-tokenizes dirty shards from the
+    * document store). THE ORACLE IS THE EQUIVALENCE PROOF: q109's
+    * full-build replay over ALL documents, so the gate proves
+    * append ≡ from-scratch down to the payload bytes.
+    */
+  val q129IndexAppend: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.where(col("doc_id") % 3 =!= 0)
+    val added = docs.where(col("doc_id") % 3 === 0)
+    // the prior artifact (in production: read back, not recomputed)
+    val prior = graft.ops.InvertedIndex
+      .postingShardsBinary(v1, "text", "doc_id", shardSpan = 100L)
+    graft.ops.InvertedIndex.compressedView(
+      graft.ops.InvertedIndex.appendToShardsBinary(
+        prior, added, "text", "doc_id", shardSpan = 100L))
+  }
+
+  /** Streaming index INGEST ([[graft.streaming.StreamIndexIngest]]):
+    * the corpus arrives as hash-sliced micro-batches and folds
+    * batch-by-batch into an initially-empty artifact via the q129
+    * append kernel — the artifact is the only state carried between
+    * batches. Gated against q109's oracle VERBATIM: the streamed fold
+    * must reproduce the one-shot build byte-for-byte.
+    */
+  val q130IndexIngestStream: Q = (s, d) =>
+    graft.streaming.StreamIndexIngest.ingestAvailableNow(s, d)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3045,7 +3077,9 @@ object Queries {
     "q125_phrase_dictionary" -> q125PhraseDictionary,
     "q126_lang_multilingual" -> q126LangMultilingual,
     "q127_incremental_bm25" -> q127IncrementalBm25,
-    "q128_bpe_roundtrip" -> q128BpeRoundtrip)
+    "q128_bpe_roundtrip" -> q128BpeRoundtrip,
+    "q129_index_append" -> q129IndexAppend,
+    "q130_index_ingest_stream" -> q130IndexIngestStream)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -3059,7 +3093,8 @@ object Queries {
   val streamingQueries: Set[String] = Set(
     "q59_sessionize_stream", "q60_asof_stream", "q61_components_stream",
     "q66_decorate_stream", "q73_decontaminate_stream", "q98_window_stream",
-    "q104_heavy_hitters_stream", "q112_bm25_stream")
+    "q104_heavy_hitters_stream", "q112_bm25_stream",
+    "q130_index_ingest_stream")
 
   /** Queries whose plan is an INTENDED bounded cross product: q21 is
     * the brute-force exact-cosine BASELINE (a bounded query set
@@ -5537,6 +5572,10 @@ object Queries {
     // index-served proximity == the corpus-scan proximity: the
     // round-trip proof twin of q111, one oracle gates both forms
     "q120_proximity_from_index" -> oraclesBase("q115_proximity_search"),
+    // artifact-only append / streamed batch-by-batch fold == the
+    // one-shot build: q109's full replay is the equivalence proof
+    "q129_index_append" -> oraclesBase("q109_postings_compressed"),
+    "q130_index_ingest_stream" -> oraclesBase("q109_postings_compressed"),
     "q66_decorate_stream" ->
       // stateless stream-static decorate == the batch left join
       """SELECT e.event_id, e.user_id, e.event_type,

@@ -180,6 +180,43 @@ class InvertedIndexSpec extends SparkSpec {
       artifactRows(InvertedIndex.postingShardsBinary(v2, "text", "doc_id", 10L)))
   }
 
+  test("append from the artifact alone == the from-scratch build " +
+      "(randomized splits, incl. empty prior)") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"w${i % 5} w${(i * 7) % 11} w${i % 5} z${i % 3}"))
+      .toDF("doc_id", "text")
+    for (m <- Seq(2L, 3L, 7L)) {
+      val base = docs.where(col("doc_id") % m =!= 0)
+      val added = docs.where(col("doc_id") % m === 0)
+      val prior = InvertedIndex.postingShardsBinary(base, "text", "doc_id", 10L)
+      val appended = InvertedIndex.appendToShardsBinary(
+        prior, added, "text", "doc_id", 10L)
+      val full = InvertedIndex.postingShardsBinary(docs, "text", "doc_id", 10L)
+      assert(artifactRows(appended) === artifactRows(full), s"mod=$m")
+    }
+    // empty prior: everything encodes fresh
+    val empty = InvertedIndex.postingShardsBinary(
+      docs.limit(0), "text", "doc_id", 10L)
+    assert(artifactRows(InvertedIndex.appendToShardsBinary(
+      empty, docs, "text", "doc_id", 10L)) ===
+      artifactRows(InvertedIndex.postingShardsBinary(
+        docs, "text", "doc_id", 10L)))
+  }
+
+  test("append refuses re-ingesting an already-indexed doc by name") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val prior = InvertedIndex.postingShardsBinary(docs, "text", "doc_id", 10L)
+    val e = intercept[Throwable] {
+      InvertedIndex.appendToShardsBinary(
+        prior, Seq((2L, "b edited")).toDF("doc_id", "text"),
+        "text", "doc_id", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("already indexed")),
+      msgs(e).mkString(" | "))
+  }
+
   test("phraseTableMatches (one pass, keyed dictionary join) == the " +
       "per-phrase phraseMatches loop; empty phrases refuse in-plan") {
     val docs = (0L until 120L).map(i =>
