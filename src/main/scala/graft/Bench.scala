@@ -123,7 +123,8 @@ object Bench {
     "q126_lang_multilingual",
     "q127_incremental_bm25",
     "q128_bpe_roundtrip",
-    "q129_index_append")
+    "q129_index_append",
+    "q131_pmi_collocations")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

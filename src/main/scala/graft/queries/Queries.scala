@@ -2940,6 +2940,18 @@ object Queries {
   val q130IndexIngestStream: Q = (s, d) =>
     graft.streaming.StreamIndexIngest.ingestAvailableNow(s, d)
 
+  /** Collocation mining by PMI ([[graft.ops.Collocations]], Church &
+    * Hanks 1990) over the wide Zipfian corpus: top-50 bigrams with
+    * support ≥ 5 by integer fixed-point PMI — the phrase-discovery /
+    * tokenizer-vocabulary-candidate stage. The additive log
+    * decomposition keeps every log argument a plain count, so the
+    * score is overflow-free at any corpus size and the oracle replays
+    * it exactly through the same integer-log CTE chain.
+    */
+  val q131PmiCollocations: Q = (s, d) =>
+    graft.ops.Collocations.pmiTopK(
+      Tables.documentsWide(s, d), "text", minCount = 5L, k = 50)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3079,7 +3091,8 @@ object Queries {
     "q127_incremental_bm25" -> q127IncrementalBm25,
     "q128_bpe_roundtrip" -> q128BpeRoundtrip,
     "q129_index_append" -> q129IndexAppend,
-    "q130_index_ingest_stream" -> q130IndexIngestStream)
+    "q130_index_ingest_stream" -> q130IndexIngestStream,
+    "q131_pmi_collocations" -> q131PmiCollocations)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -5345,6 +5358,34 @@ object Queries {
            length(nfc_normalize(t))::BIGINT AS n_after,
            md5(nfc_normalize(t)) AS norm_md5
          FROM r""",
+    "q131_pmi_collocations" ->
+      // integer PMI replay: bigram counts and their marginals from the
+      // reconstructed wide corpus, all four logs through the
+      // integer-log CTE chain, additive decomposition, top-50 with
+      // pinned ties
+      s"""WITH RECURSIVE tl AS (SELECT $wideToks AS l FROM documents),
+         tg AS (SELECT l[i] AS a, l[i+1] AS b
+                FROM tl, unnest(generate_series(1, len(l) - 1)) AS u(i)
+                WHERE len(l) >= 2),
+         cab AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM tg GROUP BY 1, 2),
+         ca AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM cab GROUP BY 1),
+         cb AS (SELECT b, sum(c_ab)::BIGINT AS c_b FROM cab GROUP BY 1),
+         nt AS (SELECT sum(c_ab)::BIGINT AS n FROM cab),
+         ms AS (SELECT DISTINCT c_ab AS m FROM cab WHERE c_ab >= 5
+                UNION SELECT DISTINCT c_a FROM ca
+                UNION SELECT DISTINCT c_b FROM cb
+                UNION SELECT n FROM nt),
+         $ilnCtes,
+         sc AS (SELECT cab.a, cab.b, cab.c_ab,
+             (i1.v + i4.v - i2.v - i3.v) AS pmi_1m
+           FROM cab JOIN ca USING (a) JOIN cb USING (b)
+             JOIN iln i1 ON i1.m = cab.c_ab
+             JOIN iln i2 ON i2.m = ca.c_a
+             JOIN iln i3 ON i3.m = cb.c_b
+             CROSS JOIN nt JOIN iln i4 ON i4.m = nt.n
+           WHERE cab.c_ab >= 5)
+         SELECT a, b, c_ab, pmi_1m FROM sc
+         ORDER BY pmi_1m DESC, a, b LIMIT 50""",
     "q126_lang_multilingual" -> {
       // generated from the SAME fixture/marker/class vals the engine
       // uses (langTokens126 / langMarkers126 / scriptClasses), so the
