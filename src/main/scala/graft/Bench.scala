@@ -124,7 +124,8 @@ object Bench {
     "q127_incremental_bm25",
     "q128_bpe_roundtrip",
     "q129_index_append",
-    "q131_pmi_collocations")
+    "q131_pmi_collocations",
+    "q132_winnowing_pairs")
 
   /** Catalog queries deliberately NOT in the headline sweep, each with
     * its reason. LintSpec pins `headline ∪ exempt == catalog`

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalytics
 
@@ -490,6 +491,83 @@ object Dedup {
   /** 64-bit SimHash fingerprint per document over the engine-native
     * token hash (xxhash64 — cheapest, not portable across engines).
     */
+  /** Winnowing-fingerprint near-dup pair screen — the JOIN consumer of
+    * the MOSS fingerprints (Schleimer et al. SIGMOD 2003; the per-row
+    * set form is [[graft.functions.TextAnalytics
+    * .winnowedFingerprints]], q117): pairs of documents sharing ≥
+    * `minShared` fingerprints, i.e. candidate shared passages of
+    * length ≥ k+w−1 tokens.
+    *
+    * The fingerprints here are computed RELATIONALLY, not with the
+    * per-row nested-HOF kernel: posexplode tokenizes each document
+    * exactly ONCE, gram hashes come from `lead` windows and window
+    * minima from a `rowsBetween` frame — because nested array lambdas
+    * re-evaluate their free expressions per element, and when the text
+    * column is itself an expression (a synthesized corpus, a concat)
+    * projection collapse turns the HOF form into O(len³) hashing per
+    * document (measured: it hung the gate). The window form is one
+    * keyed shuffle on the doc id and scales linearly.
+    *
+    * Then the standard posting screen: ELIDE fingerprints with
+    * document frequency > `maxDf` (the stop-gram move — a ubiquitous
+    * passage fingerprint would contribute df² candidate pairs for
+    * near-zero signal; the [[InvertedIndex]] df-cap precedent), keyed
+    * self-join on the fingerprint, pair count. Candidate volume is
+    * bounded by Σ df² over kept fingerprints ≤ maxDf · Σ df — linear
+    * in corpus size for fixed maxDf, never all-pairs.
+    */
+  def winnowingPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int,
+      maxDf: Long,
+      minShared: Long): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    require(maxDf >= 2, s"maxDf must be >= 2 (pairs need df >= 2), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val tp = docs.select(
+      col(idCol).cast("long").as("id"),
+      posexplode(graft.functions.TextAnalytics.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    // k-gram md5-60 hash at each start position (rows with fewer than
+    // k-1 followers drop — their trailing leads are null)
+    val gramParts = col("term") +:
+      (1 until k).map(j => lead(col("term"), j).over(byPos))
+    val grams = tp
+      .withColumn("h",
+        when(gramParts.map(_.isNotNull).reduce(_ && _),
+          conv(substring(md5(concat_ws(" ", gramParts: _*)), 1, 15), 16, 10)
+            .cast("long")))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("pos"), col("h"))
+    // window-min over each run of w consecutive gram hashes; starts
+    // with fewer than w hashes left have no window (the short-doc
+    // guard falls out: a doc with < k+w-1 tokens emits nothing)
+    val fps = grams
+      .withColumn("__nfollow", count(lit(1)).over(
+        byPos.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("fp", min(col("h")).over(
+        byPos.rowsBetween(Window.currentRow, w - 1)))
+      .where(col("__nfollow") >= w)
+      .select(col("id"), col("fp"))
+      .distinct()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    val l = kept.select(col("fp"), col("id").as("id_a"))
+    val r = kept.select(col("fp"), col("id").as("id_b"))
+    l.join(r, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     simHashOf(docs, textCol, idCol, t => xxhash64(t), 64)
 

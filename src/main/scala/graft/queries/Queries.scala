@@ -2952,6 +2952,27 @@ object Queries {
     graft.ops.Collocations.pmiTopK(
       Tables.documentsWide(s, d), "text", minCount = 5L, k = 50)
 
+  /** Winnowing-fingerprint near-dup pair screen ([[graft.ops.Dedup
+    * .winnowingPairs]]) — the JOIN consumer of q117's fingerprints
+    * (MOSS's second half): every tenth wide doc gets a planted
+    * near-copy (id + 10⁶, one appended token), and pairs sharing ≥ 3
+    * kept fingerprints are exactly the planted twins — chance overlap
+    * on this corpus maxes at 1 shared fingerprint (measured), so the
+    * gate proves the screen finds every planted copy and nothing
+    * else. Fingerprints with df > 50 elide (the stop-gram move;
+    * df-bounded candidate volume), though no fingerprint comes close
+    * here (max df 7 + the planted duplication).
+    */
+  val q132WinnowingPairs: Q = (s, d) => {
+    val wide = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+    val planted = wide.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    graft.ops.Dedup.winnowingPairs(
+      wide.unionByName(planted), "text", "doc_id",
+      k = 3, w = 4, maxDf = 50L, minShared = 3L)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -3092,7 +3113,8 @@ object Queries {
     "q128_bpe_roundtrip" -> q128BpeRoundtrip,
     "q129_index_append" -> q129IndexAppend,
     "q130_index_ingest_stream" -> q130IndexIngestStream,
-    "q131_pmi_collocations" -> q131PmiCollocations)
+    "q131_pmi_collocations" -> q131PmiCollocations,
+    "q132_winnowing_pairs" -> q132WinnowingPairs)
 
   /** Streaming micro-batch queries with no single auditable batch
     * plan — PlanAudit skips them (each has a batch twin that IS
@@ -5462,6 +5484,30 @@ object Queries {
          SELECT doc_id, n_bigrams, nll_scaled,
            nll_scaled // n_bigrams AS avg_nll
          FROM sc""",
+    "q132_winnowing_pairs" ->
+      // the q117 winnowing replay over wide ∪ planted copies, then the
+      // df-elided fingerprint self-join with the shared-count floor
+      s"""WITH t AS (SELECT doc_id, $wideToks AS l FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, list_append($wideToks, 'zq')
+             FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT doc_id,
+             list_transform(generate_series(1, len(l) - 2),
+               i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' ||
+                     l[i+2]), 1, 15))::BIGINT) AS hs
+           FROM t WHERE len(l) >= 3),
+         w AS (SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               generate_series(1, len(hs) - 3),
+               i -> list_min(hs[i:i+3])))) AS fps
+           FROM g WHERE len(hs) >= 4),
+         e AS (SELECT doc_id AS id, unnest(fps) AS fp FROM w),
+         df AS (SELECT fp, count(*)::BIGINT AS c FROM e GROUP BY fp),
+         kept AS (SELECT e.id, e.fp FROM e JOIN df USING (fp)
+                  WHERE df.c <= 50)
+         SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     "q117_winnowing" ->
       // gram-hash, window-4 minima, sorted distinct, canonical join —
       // replayed with list lambdas over the reconstructed wide corpus

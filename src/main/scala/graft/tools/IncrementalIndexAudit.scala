@@ -84,6 +84,26 @@ object IncrementalIndexAudit {
       .where((shardMod === 0 || shardMod === 3 || shardMod === 6) && inBand)
       .select(expr(s"doc_id div ${span}L")).distinct().count()
     println(f"[incaudit] dirty shards: $dirtyShards/$totalShards (${100.0 * dirtyShards / totalShards}%.1f%%)")
+
+    // APPEND path (q129's kernel): fold the pure-add band into the
+    // stored artifact from the artifact ALONE (decode-merge-encode,
+    // no document store) vs the from-scratch rebuild of the union —
+    // digest equality required before the timing is reported
+    val addBand = docs.where(shardMod === 6 && inBand)
+    val nAdd = addBand.count()
+    val priorV1 = prior // v1 excludes exactly the add band
+    val app = timed(s"append-only fold ($nAdd docs, artifact-only)") {
+      digestOf(graft.ops.InvertedIndex.appendToShardsBinary(
+        priorV1, addBand, "text", "doc_id", span))
+    }
+    // v1 ∪ addBand is exactly the unedited corpus
+    val fullUnion = timed("full from-scratch v1+added rebuild") {
+      digestOf(graft.ops.InvertedIndex.postingShardsBinary(
+        docs, "text", "doc_id", span))
+    }
+    if (app != fullUnion)
+      sys.error(s"APPEND DIGEST MISMATCH: append=$app full=$fullUnion")
+    println(s"[incaudit] append digest-equal: ${app._1} rows, md5 ${app._2}")
     spark.stop()
   }
 }
