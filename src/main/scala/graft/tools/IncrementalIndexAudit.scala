@@ -35,7 +35,11 @@ object IncrementalIndexAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = graft.core.Tables.documents(spark, sfDir)
-    val shardMod = (expr(s"doc_id div ${span}L") % 10).as("sm")
+    // churn lands in 3 shards of every `block` (arg 3, default 10):
+    // block 10 → 30% dirty shards, block 100 → 3% — the knob that
+    // sweeps the refresh regime from heavy to sparse churn
+    val block = args.lift(2).map(_.toInt).getOrElse(10)
+    val shardMod = (expr(s"doc_id div ${span}L") % block).as("sm")
     val inBand = pmod(col("doc_id"), lit(span)) < 10
     val v1 = docs.where(!(shardMod === 6 && inBand))
     val v2 = docs.where(!(shardMod === 3 && inBand))
