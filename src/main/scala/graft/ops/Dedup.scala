@@ -516,18 +516,28 @@ object Dedup {
     * bounded by Σ df² over kept fingerprints ≤ maxDf · Σ df — linear
     * in corpus size for fixed maxDf, never all-pairs.
     */
-  def winnowingPairs(
+  /** The winnowed fingerprint TABLE `(id, fp)` — distinct window
+    * minima per document, computed relationally (one posexplode
+    * tokenize, `lead`-window gram hashes, `rowsBetween` window
+    * minima): one keyed shuffle on the doc id, linear whatever the
+    * text column's provenance. Semantically identical to the per-row
+    * [[graft.functions.TextAnalytics.winnowedFingerprints]] set
+    * (docs shorter than k+w−1 tokens emit nothing — the null guard
+    * falls out of the window frame) — q117 gates the equivalence
+    * through the unchanged oracle. This is the form to use whenever
+    * the text column is an EXPRESSION (synthesized corpora, concat):
+    * nested array lambdas re-evaluate free expressions per element,
+    * and projection collapse makes the HOF kernel O(len³) per doc
+    * there (measured: 870 s vs ~60 s at 100×).
+    */
+  def winnowedFingerprintTable(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       k: Int,
-      w: Int,
-      maxDf: Long,
-      minShared: Long): DataFrame = {
+      w: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
     require(w >= 2, s"w must be >= 2, got $w")
-    require(maxDf >= 2, s"maxDf must be >= 2 (pairs need df >= 2), got $maxDf")
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val tp = docs.select(
       col(idCol).cast("long").as("id"),
       posexplode(graft.functions.TextAnalytics.tokens(col(textCol)))
@@ -547,7 +557,7 @@ object Dedup {
     // window-min over each run of w consecutive gram hashes; starts
     // with fewer than w hashes left have no window (the short-doc
     // guard falls out: a doc with < k+w-1 tokens emits nothing)
-    val fps = grams
+    grams
       .withColumn("__nfollow", count(lit(1)).over(
         byPos.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       .withColumn("fp", min(col("h")).over(
@@ -555,6 +565,19 @@ object Dedup {
       .where(col("__nfollow") >= w)
       .select(col("id"), col("fp"))
       .distinct()
+  }
+
+  def winnowingPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      w: Int,
+      maxDf: Long,
+      minShared: Long): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (pairs need df >= 2), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnowedFingerprintTable(docs, textCol, idCol, k, w)
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= maxDf).select("fp"),
