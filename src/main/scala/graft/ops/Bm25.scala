@@ -51,9 +51,10 @@ object Bm25 {
   val MaxQueryTerms = 128
 
   /** The prepared scoring tables: per-(doc, term) tf with the doc
-    * length attached, and per-term integer idf. Both frames are
-    * lazy plans — callers serving many batches should checkpoint
-    * them (they ARE the stored index).
+    * length attached, and per-term integer idf. Both frames read from
+    * a lazily-checkpointed tf table (materialized once, index-sized),
+    * so serving many batches replays index-sized state, never the
+    * corpus lineage.
     */
   final case class Index(tfDl: DataFrame, idf: DataFrame)
 
@@ -78,7 +79,17 @@ object Bm25 {
     * text is never touched) as well as from a fresh tokenize pass.
     */
   def buildIndexFromTf(tf: DataFrame): Index = {
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // The tf table feeds FOUR consumers (the stats job below, both
+    // sides of the length-normalization join, and the df aggregation);
+    // without a cut point each consumer replays tf's whole upstream
+    // lineage — for q127 that lineage is the full incremental-index
+    // maintenance DAG, and the un-checkpointed plan re-executed it per
+    // consumer (122 parquet scans in one plan). The checkpoint IS the
+    // stored index being materialized once; everything downstream is
+    // index-sized.
+    val tfC = tf.localCheckpoint(false)
+    val dl = tfC.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(false)
 
     val st = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
       coalesce(max("dl"), lit(0L))).head()
@@ -92,13 +103,13 @@ object Bm25 {
     require(maxDl <= Long.MaxValue / 2200000L / 1000000L,
       s"bm25: max(dl)=$maxDl overflows the tf-saturation numerator")
 
-    val tfDl = tf.join(dl, Seq("doc_id"))
+    val tfDl = tfC.join(dl, Seq("doc_id"))
       .withColumn("l_ppm", expr(s"(1000000L * dl * ${n}L) div ${totTok}L"))
       .withColumn("tfpart_ppm", expr(
         "(2200000L * tf * 1000000L) div " +
           "(1000000L * tf + 300000L + (9L * l_ppm) div 10L)"))
       .select("doc_id", "term", "tfpart_ppm")
-    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = tfC.groupBy("term").agg(count(lit(1)).as("df"))
       .select(col("term"),
         (lit(FixedLog.iln1mImpl(2L * n + 2L)) -
           FixedLog.iln1m(lit(2L) * col("df") + lit(1L))).as("idf_1m"))

@@ -577,7 +577,12 @@ object Dedup {
       minShared: Long): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (pairs need df >= 2), got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // fingerprint-table-sized (~|positions|/w rows per doc); THREE
+    // consumers below (the df aggregation and both join sides) — the
+    // un-checkpointed form replayed the tokenize + gram-hash + two-
+    // window winnowing kernel per consumer
     val fps = winnowedFingerprintTable(docs, textCol, idCol, k, w)
+      .localCheckpoint(false)
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= maxDf).select("fp"),

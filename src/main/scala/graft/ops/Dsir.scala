@@ -23,11 +23,11 @@ import graft.functions.{FixedLog, TextAnalytics}
   *  - per doc, llr_scaled = Σ over token positions of its bucket's
   *    llr — an exact integer sum, order- and partition-independent.
   *
-  * Plan shape: one token pass per corpus for the bucket tables (≤ B
-  * rows each — broadcast), one raw-corpus token pass for the scoring
-  * join (bucket-keyed against the broadcast llr table), one per-doc
-  * aggregation. Nothing vocabulary-sized ever shuffles; B bounds
-  * every broadcast. The llr magnitude is bounded by ~2·iln(2⁶³) <
+  * Plan shape: ONE token pass per corpus — the raw corpus folds to a
+  * (doc, bucket, cnt) table (materialized once; every downstream
+  * consumer, including the scoring join, reads it), the target to its
+  * ≤ B-row bucket table (broadcast). Nothing vocabulary-sized ever
+  * shuffles; B bounds every broadcast. The llr magnitude is bounded by ~2·iln(2⁶³) <
   * 10⁸, so a doc would need ~10¹¹ tokens to overflow the Long sum —
   * far past any real document.
   *
@@ -49,14 +49,25 @@ object Dsir {
       pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
         lit(buckets.toLong))
 
-    val rawTok = raw.select(col(idCol).cast("long").as("doc_id"),
-      explode(TextAnalytics.tokens(col(textCol))).as("tok"))
-    val rb = rawTok.groupBy(bucket(col("tok")).as("b"))
-      .agg(count(lit(1)).as("cr"))
+    // ONE raw tokenize pass: fold the corpus to (doc_id, bucket, cnt)
+    // — at most min(B, dl) rows per doc — and derive everything else
+    // from it (the per-doc scoring sum distributes over equal-bucket
+    // tokens: Σ_positions llr(b) = Σ_buckets cnt·llr(b), exact integer
+    // either way). The un-checkpointed form re-tokenized the raw
+    // corpus three times (bucket table, scalar total, scoring join).
+    val rawBuckets = raw.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalytics.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), bucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val rb = rawBuckets.groupBy("b").agg(sum("cnt").as("cr"))
+    // ≤ B rows; feeds the scalar total AND the llr table — one target
+    // tokenize pass instead of two
     val tb = target
       .select(explode(TextAnalytics.tokens(col(textCol))).as("tok"))
       .groupBy(bucket(col("tok")).as("b"))
       .agg(count(lit(1)).as("ct"))
+      .localCheckpoint(false)
 
     // two scalar totals off the (≤ B)-row bucket tables
     val tr = rb.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)
@@ -71,10 +82,10 @@ object Dsir {
         ((FixedLog.iln1m(coalesce(col("ct"), lit(0L)) + lit(1L)) - lit(kT)) -
           (FixedLog.iln1m(col("cr") + lit(1L)) - lit(kR))).as("llr"))
 
-    rawTok
-      .select(col("doc_id"), bucket(col("tok")).as("b"))
+    rawBuckets
       .join(broadcast(llr), Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("llr_scaled"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("llr")).as("llr_scaled"))
   }
 }

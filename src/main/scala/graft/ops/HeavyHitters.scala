@@ -314,7 +314,10 @@ object HeavyHitters {
       idCol: String,
       contentCols: Seq[String],
       termsOf: DataFrame => DataFrame): DataFrame = {
+    // churn-sized; both status slices below consume it — one diff scan
+    // of the two corpus versions instead of two
     val delta = SnapshotDiff.diff(oldDocs, newDocs, idCol, contentCols)
+      .localCheckpoint(false)
     def slice(docs: DataFrame, statuses: Seq[String], sign: Long) = {
       val churn = delta.where(col("status").isin(statuses: _*)).select("id")
       termsOf(docs.join(churn, docs(idCol) === churn("id"), "left_semi"))
@@ -345,9 +348,13 @@ object HeavyHitters {
     */
   def heavyHittersFromCounts(counts: DataFrame, denom: Long): DataFrame = {
     require(denom >= 1, s"denom must be >= 1, got $denom")
-    val n = counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    // the count table is the artifact; the scalar-N job and the final
+    // filter both read it — materialize its (possibly expensive)
+    // lineage once, term-vocabulary-sized
+    val countsC = counts.localCheckpoint(false)
+    val n = countsC.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     val threshold = if (n == 0L) 1L else (n + denom - 1L) / denom
-    counts.select(col("term"), col("cnt").cast("long").as("cnt"))
+    countsC.select(col("term"), col("cnt").cast("long").as("cnt"))
       .where(col("cnt") >= threshold)
   }
 }

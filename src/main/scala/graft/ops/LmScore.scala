@@ -41,12 +41,17 @@ object LmScore {
       .select(TextAnalytics.tokens(col(textCol)).as("l"))
     val tg = trainToks.where(size(col("l")) >= 2)
       .select(explode(Shingling.orderedShingles(col("l"), 2)).as("bg"))
+    // the LM artifact: materialized once (bigram-table-sized), read by
+    // the scoring join AND the c1 derivation below
     val c2 = tg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
     // c1(prev) = bigrams starting at prev = occurrences of prev in
-    // non-final positions
-    val c1 = trainToks.where(size(col("l")) >= 2)
-      .select(explode(expr("slice(l, 1, size(l) - 1)")).as("prev"))
-      .groupBy("prev").agg(count(lit(1)).as("c1"))
+    // non-final positions = Σ c2 over bigrams whose first token is
+    // prev — re-aggregated from the bigram table, never a second
+    // train-corpus tokenize pass
+    val c1 = c2
+      .groupBy(expr("split(bg, ' ')[0]").as("prev"))
+      .agg(sum("c2").as("c1"))
     val v = trainToks.select(explode(col("l")).as("tok"))
       .agg(countDistinct(col("tok"))).head().getLong(0) + 1L
     require(v >= 2, "lm: empty training corpus")

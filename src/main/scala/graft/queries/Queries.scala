@@ -2139,10 +2139,14 @@ object Queries {
     */
   val q95NearDupPageRank: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // pair-sized; the symmetrizing union reads it twice and PageRank's
+    // degree + edge tables read the union twice more — materialize the
+    // PPJoin verify DAG once instead of up to four times
     val pairs = Dedup.ngramJaccardPairs(
       docs, "text", "doc_id",
       blockCol = "lang", shingleN = 2, threshold = 0.5)
       .select("id_a", "id_b")
+      .localCheckpoint(false)
     val edges = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     graft.ops.PageRank.pageRank(
@@ -2247,8 +2251,11 @@ object Queries {
     // recomputed — recomputed here so the query is self-contained)
     val prior = graft.ops.Decontaminate.ngramOverlap(
       v1, bench, "text", "doc_id", n = 4)
+    // churn-sized; both the carry semi-join and the re-screen slice
+    // consume it — one diff scan of the two versions instead of two
     val delta = graft.ops.SnapshotDiff.diff(
       v1, v2, "doc_id", Seq("text")).withColumnRenamed("id", "doc_id")
+      .localCheckpoint(false)
     val carried = prior.withColumnRenamed("id", "doc_id")
       .join(delta.where(col("status") === "unchanged").select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -2365,8 +2372,11 @@ object Queries {
     // the previous round's artifact (in production: read back, not
     // recomputed — recomputed here so the query is self-contained)
     val prior = screen(v1)
+    // churn-sized; both the carry semi-join and the re-screen slice
+    // consume it — one diff scan of the two versions instead of two
     val delta = graft.ops.SnapshotDiff.diff(
       v1, v2, "doc_id", Seq("text")).withColumnRenamed("id", "doc_id")
+      .localCheckpoint(false)
     val carried = prior.join(
       delta.where(col("status") === "unchanged").select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -2464,10 +2474,12 @@ object Queries {
     val phrases: Seq[(Long, Seq[String])] =
       (0L -> heads(1L).take(3)) +:
         (1L to 5L).map(i => i -> heads(i).take(2))
-    phrases.map { case (pid, p) =>
-      graft.ops.InvertedIndex.phraseMatches(docs, "text", "doc_id", p)
-        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
-    }.reduce(_ unionByName _)
+    // one corpus tokenize pass for ALL six phrases (the dictionary
+    // kernel computes the identical per-phrase offset certificates);
+    // the per-phrase union re-tokenized the corpus once per phrase
+    import s.implicits._
+    graft.ops.InvertedIndex.phraseTableMatches(
+      docs, "text", "doc_id", phrases.toDF("phrase_id", "terms"))
   }
 
   /** Phrase search SERVED FROM THE COMPRESSED INDEX ([[graft.ops
@@ -2710,10 +2722,11 @@ object Queries {
     val phrases: Seq[(Long, Seq[String])] = Seq(
       0L -> Seq("w1", "w2"), 1L -> Seq("w2", "w1"),
       2L -> Seq("w1", "w1"), 3L -> Seq("w1", "w2", "w1"))
-    phrases.map { case (pid, p) =>
-      graft.ops.InvertedIndex.phraseMatches(docs, "text", "doc_id", p)
-        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
-    }.reduce(_ unionByName _)
+    // one corpus tokenize pass for all four phrases (the dictionary
+    // kernel computes the identical per-phrase offset certificates)
+    import s.implicits._
+    graft.ops.InvertedIndex.phraseTableMatches(
+      docs, "text", "doc_id", phrases.toDF("phrase_id", "terms"))
   }
 
   /** Proximity search re-gated on the WIDE corpus: `w1 NEAR/4 w2`
@@ -2927,9 +2940,13 @@ object Queries {
     val docs = Tables.documents(s, d)
     val v1 = docs.where(col("doc_id") % 3 =!= 0)
     val added = docs.where(col("doc_id") % 3 === 0)
-    // the prior artifact (in production: read back, not recomputed)
+    // the prior artifact (in production: read back, not recomputed);
+    // the append kernel consumes it three times (dirty-group semi,
+    // decode semi, carry anti) — materialize the build once, like the
+    // stored artifact it stands in for
     val prior = graft.ops.InvertedIndex
       .postingShardsBinary(v1, "text", "doc_id", shardSpan = 100L)
+      .localCheckpoint(false)
     graft.ops.InvertedIndex.compressedView(
       graft.ops.InvertedIndex.appendToShardsBinary(
         prior, added, "text", "doc_id", shardSpan = 100L))
