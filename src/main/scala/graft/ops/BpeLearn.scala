@@ -58,10 +58,14 @@ object BpeLearn {
     // sequences with < 2 symbols can never contribute a pair — drop
     // them up front and re-drop as merges shrink sequences (pure
     // optimization: their pair contribution is zero either way)
+    // eager like every later round's state: round 1's count pass AND
+    // its merge pass both read this — un-checkpointed, the corpus
+    // tokenize ran twice before round 2 even started
     var seqs = docs
       .select(TextAnalytics.tokens(col(textCol)).as("syms"))
       .where(size(col("syms")) >= 2)
-    var pinned: Option[DataFrame] = None
+      .localCheckpoint()
+    var pinned: Option[DataFrame] = Some(seqs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var dry = false

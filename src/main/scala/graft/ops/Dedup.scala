@@ -638,6 +638,10 @@ object Dedup {
         struct(lit(c).as("chunk"),
           col("simhash").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))
       }: _*)).as("ck"))
+      // narrow (4 rows per doc); THREE consumers below (the bucket
+      // sizing and both join sides) — the un-checkpointed form
+      // replayed the upstream fingerprint kernel per consumer
+      .localCheckpoint(false)
     val groups = chunks.groupBy("ck").agg(
       ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
     val sized = chunks.join(groups, Seq("ck"))
@@ -734,7 +738,11 @@ object Dedup {
       "portable planes need explicit bitsPerTable (a static SQL oracle " +
         "can't replay corpus-derived bits)")
     val v = col(vecCol).cast("array<double>")
+    // read by the sizing count, the bucket fan-out, and both verify
+    // attach joins — materialize the scan+cast once (the minHashLsh
+    // shingle-table precedent: the verify joins shuffle it anyway)
     val base = corpus.select(col(idCol).as("id"), v.as("v"))
+      .localCheckpoint(false)
     lazy val nVecs = math.max(1L, base.count())
     // bitsPerTable <= 0 → size the buckets from the corpus: expected
     // occupancy n/2^bits drives candidate volume QUADRATICALLY (each
@@ -764,6 +772,10 @@ object Dedup {
       explode(array(tables.map { case (t, planes) =>
         struct(lit(t).as("tbl"), Similarity.srpBucket(col("v"), planes).as("bucket"))
       }: _*)).as("tb"))
+      // narrow (numTables rows per vector, ids only); THREE consumers
+      // (the volume guard and both self-join sides) would otherwise
+      // each replay the numTables × bits dot-product signature kernel
+      .localCheckpoint(false)
     // PRE-FLIGHT GUARD: bucket occupancy n/2^bits drives the self-join
     // volume QUADRATICALLY, so a FIXED bits choice (the portable twin's
     // static-SQL constraint, or a caller pin) that is right at one SF
