@@ -694,9 +694,12 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       numBlocks: Int = 8): DataFrame = {
+    // both triangle-join sides read this; materialize the scan+cast
+    // once (vector-table-sized — the join shuffles it anyway)
     val v = corpus.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("blk"))
+      .localCheckpoint(false)
     val left = v.select(
       explode(sequence(col("blk"), lit(numBlocks - 1))).as("cj"),
       col("blk").as("ci"), col("id").as("id_l"), col("v").as("vl"))

@@ -36,6 +36,20 @@ run_bench() { # $1 = checkout dir, $2 = tag
     SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES=1 \
     SPARK_GRAFT_BENCH_ONLY="q35_media_meta,q36_media_features,q56_media_decode,q58_audio_decode" \
       sbt -batch "runMain graft.Bench" >/dev/null 2>&1) || true
+  # SYMMETRIC drain: the warm-up pass itself leaves a ~1.4 one-minute
+  # loadavg, under graft.Bench's 1.5 refuse threshold but enough to
+  # tax the sweep's opening queries. The two sides used to see it
+  # ASYMMETRICALLY — head sweeps right after its warm-up, while base's
+  # sbt compile of the fresh worktree acts as a multi-minute cool-down
+  # (r16 measured head loadavg_start 1.38 vs base 0.61, a ~9% median
+  # inflation on head's early sub-second queries). Wait both sides
+  # down to the same near-idle start.
+  for _ in $(seq 1 20); do
+    LOAD1="$(cut -d' ' -f1 /proc/loadavg)"
+    awk "BEGIN{exit !($LOAD1 < 0.5)}" && break
+    echo "# draining load $LOAD1 before $2 sweep..." >&2
+    sleep 30
+  done
   echo "# sweeping $2 ($1)..." >&2
   (cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES="$PASSES" \
