@@ -249,6 +249,7 @@ object Bench {
       .filter(sweep.contains).foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+          graft.core.StagingScope.drain()
         }
       }
     // per-pass telemetry: loadavg at every pass boundary plus the
@@ -283,8 +284,14 @@ object Bench {
                 false
             }
           val dt = (System.nanoTime() - t0) / 1e9
-          // release accumulated broadcast/codegen state so later queries
-          // aren't taxed by earlier ones' GC debt
+          // QUERY BOUNDARY (outside the timed region): release the
+          // query's staged one-shot checkpoints deterministically —
+          // without the drain every staged block of every past query
+          // stays pinned until driver GC reaches it (r16 measured
+          // 28-31 s GC per pass from exactly that debt), then release
+          // accumulated broadcast/codegen state so later queries
+          // aren't taxed by earlier ones' garbage
+          graft.core.StagingScope.drain()
           System.gc()
           (name, dt, ok)
         }
@@ -357,7 +364,13 @@ object Bench {
         if (s.startsWith("{") && s.endsWith("}")) s else "null"
       } else "null"
     } catch { case _: Throwable => "null" }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_passes":$qsPasses,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_passes":$passLoadsJson,"gc_ms_passes":$passGcJson,"load_warning":$loadWarning,"ab":$ab}"""
+    // provenance label: the ab block is BUILDER-measured (the committed
+    // tools/bench_ab.sh writes tools/ab_headline.json), not a driver
+    // measurement — the artifact must say so itself
+    val abSource =
+      if (ab == "null") "null"
+      else "\"builder-committed tools/ab_headline.json (tools/bench_ab.sh)\""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_passes":$qsPasses,"errors":$errs,"sf":"$sfDir","passes":$passes,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_passes":$passLoadsJson,"gc_ms_passes":$passGcJson,"load_warning":$loadWarning,"ab":$ab,"ab_source":$abSource}"""
     // sidecar copy: a fixed-size stdout tail capture can truncate the
     // line's head (BENCH_r09 shipped with parsed:null that way); the
     // file version survives regardless of window size. The sf tag in
@@ -371,6 +384,8 @@ object Bench {
         java.nio.file.Paths.get(s"bench_last_$sfTag.json"), line + "\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      System.err.println(
+        s"[bench] sidecar JSON written: bench_last_$sfTag.json, bench_last.json")
     }
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed (non-fatal): ${e.getMessage}") }

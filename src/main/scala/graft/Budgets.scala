@@ -32,6 +32,18 @@ package graft
   *   rank table `percentileRanks` pins (localCheckpoint) for the
   *   returned plan's lifetime; over-budget domains are refused by
   *   name with this key as the escape hatch. |
+  * | `graft.staging.mode` (`local`,
+  *   [[graft.core.StagingScope]]) | how one-shot staged intermediates
+  *   cut lineage: `local` (localCheckpoint — fastest, query-retry
+  *   fault semantics), `reliable` (Dataset.checkpoint into
+  *   `graft.staging.dir` — survives executor loss; the production
+  *   setting for multi-hour cluster runs), `off` (no cut — debugging).
+  *   Results are bit-identical under all three; only wall-clock and
+  *   fault semantics move. |
+  * | `graft.staging.dir` (temp dir,
+  *   [[graft.core.StagingScope]]) | checkpoint directory for
+  *   `reliable` staging mode — must be distributed storage on a
+  *   cluster. |
   * | `graft.heavyHitters.pinBytes` (1 GiB,
   *   [[graft.ops.HeavyHitters]]) | refusal bound on the auto-pin
   *   localCheckpoint `heavyHitters` takes when its input plan is
@@ -55,5 +67,7 @@ object Budgets {
     graft.ops.Decontaminate.BenchDelegateBytesKey,
     graft.functions.Bloom.BloomBytesKey,
     graft.ops.Quantiles.RankTableBytesKey,
-    graft.ops.HeavyHitters.PinBytesKey)
+    graft.ops.HeavyHitters.PinBytesKey,
+    graft.core.StagingScope.ModeKey,
+    graft.core.StagingScope.DirKey)
 }

@@ -67,6 +67,9 @@ object Verify {
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query boundary: release the query's staged one-shot checkpoints
+      // so a 139-query gate run doesn't accumulate pinned blocks
+      graft.core.StagingScope.drain()
     }
     // completeness footer: the evidence file must account for every
     // catalog entry — run + skipped-existing + excluded-by-name must

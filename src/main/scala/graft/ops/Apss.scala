@@ -454,7 +454,8 @@ object Apss {
         // candidates — lazily they'd pin MEMORY_AND_DISK blocks until
         // driver GC + ContextCleaner, the starvation pattern
         // unpersistLocalCheckpoint exists to prevent
-        val out = verify(staged, left, right, threshold).localCheckpoint()
+        val out = graft.core.StagingScope.register(
+          verify(staged, left, right, threshold).localCheckpoint())
         org.apache.spark.sql.classic.GraftColumnBridge
           .unpersistLocalCheckpoint(staged)
         out
@@ -473,11 +474,11 @@ object Apss {
         val dimType = dimTypeOf(left)
         val parts = (0 until k).map { shard =>
           val cond = pmod(xxhash64(col("id_a")), lit(k)) === shard
-          verifyShaped(
+          graft.core.StagingScope.register(verifyShaped(
             staged.where(cond),
             left.where(pmod(xxhash64(col("id")), lit(k)) === shard),
             rightShaped, dimType, threshold)
-            .localCheckpoint()
+            .localCheckpoint())
         }
         // every pass's output is materialized — the shared right-side
         // checkpoint and the candidate staging are dead weight now
@@ -650,7 +651,7 @@ object Apss {
               greatest(col("id_a"), col("id_b")).as("id_b"),
               col("sim"))
           else raw
-        val out = oriented.localCheckpoint()
+        val out = graft.core.StagingScope.register(oriented.localCheckpoint())
         // the pass's shuffle dependencies are unreachable once its
         // output is checkpointed; a driver GC queues their cleanup so
         // the files are reaped before the next pass writes (otherwise
@@ -699,7 +700,7 @@ object Apss {
       perVecClosedOf(vecs, idCol, termsCol, half, maxBroadcastDims)
     val staged =
       if (scratch) graft.core.Staging.scratchParquet(pv)
-      else pv.localCheckpoint(false)
+      else graft.core.StagingScope.stage(pv)
     // the count materializes the checkpoint (the parquet write already
     // did, but the count there is one cheap metadata-ish scan); the
     // keyed path's inner staging is dead lineage from here — release
@@ -777,10 +778,10 @@ object Apss {
       threshold: Double,
       maxCandidates: Long = SimilarityGuard.Auto): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
-    val c = perVecOf(corpus, idCol, termsCol, threshold / 2, mw = None)
-      .localCheckpoint(false)
-    val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
-      .localCheckpoint(false)
+    val c = graft.core.StagingScope.stage(
+      perVecOf(corpus, idCol, termsCol, threshold / 2, mw = None))
+    val q = graft.core.StagingScope.stage(
+      perVecOf(queries, idCol, termsCol, threshold / 2, mw = None))
     pairsAuto(postingsOf(q), postingsOf(c), q, c, ordered = false,
       dimCap = 4096, threshold, q.count(), maxCandidates)
       .withColumnRenamed("id_a", "query_id")
@@ -855,8 +856,8 @@ object Apss {
         "probe needs an open-world index: buildIndex(..., openWorld = true)")
       // query-side index feeds both the candidate join and the verify —
       // materialize once (same reasoning as cosinePairs)
-      val q = perVecOf(queries, idCol, termsCol, threshold / 2, mw = None)
-        .localCheckpoint(false)
+      val q = graft.core.StagingScope.stage(
+        perVecOf(queries, idCol, termsCol, threshold / 2, mw = None))
       pairsAuto(postingsOf(q), postingsOf(perVec), q, perVec,
         ordered = false, dimCap = 4096, threshold, q.count(), maxCandidates)
         .withColumnRenamed("id_a", "query_id")

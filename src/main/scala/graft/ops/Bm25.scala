@@ -52,11 +52,22 @@ object Bm25 {
 
   /** The prepared scoring tables: per-(doc, term) tf with the doc
     * length attached, and per-term integer idf. Both frames read from
-    * a lazily-checkpointed tf table (materialized once, index-sized),
-    * so serving many batches replays index-sized state, never the
-    * corpus lineage.
+    * a lazily-staged tf table (materialized once, index-sized), so
+    * serving many batches replays index-sized state, never the corpus
+    * lineage. `staged` exposes the internal cut points (tf, dl) so a
+    * caller that pins the DERIVED frames itself (the streaming gate
+    * eagerly checkpoints tfDl/idf for the stream's lifetime) can
+    * release the inner two instead of holding four index-sized copies.
     */
-  final case class Index(tfDl: DataFrame, idf: DataFrame)
+  final case class Index(
+      tfDl: DataFrame, idf: DataFrame, staged: Seq[DataFrame] = Nil) {
+    /** Release the internal staged tables. Call only once tfDl/idf are
+      * themselves materialized (or no longer needed): the staged
+      * lineage is truncated and cannot recompute.
+      */
+    def releaseStaged(): Unit = staged.foreach(
+      org.apache.spark.sql.classic.GraftColumnBridge.unpersistLocalCheckpoint)
+  }
 
   /** One corpus pass + one small stats job → the scoring tables,
     * overflow-guarded by name.
@@ -84,12 +95,13 @@ object Bm25 {
     // without a cut point each consumer replays tf's whole upstream
     // lineage — for q127 that lineage is the full incremental-index
     // maintenance DAG, and the un-checkpointed plan re-executed it per
-    // consumer (122 parquet scans in one plan). The checkpoint IS the
+    // consumer (122 parquet scans in one plan). The staged cut IS the
     // stored index being materialized once; everything downstream is
-    // index-sized.
-    val tfC = tf.localCheckpoint(false)
-    val dl = tfC.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint(false)
+    // index-sized. Released at the query boundary by the harness's
+    // StagingScope.drain (or early by Index.releaseStaged).
+    val tfC = graft.core.StagingScope.stage(tf)
+    val dl = graft.core.StagingScope.stage(
+      tfC.groupBy("doc_id").agg(sum("tf").as("dl")))
 
     val st = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)),
       coalesce(max("dl"), lit(0L))).head()
@@ -113,7 +125,7 @@ object Bm25 {
       .select(col("term"),
         (lit(FixedLog.iln1mImpl(2L * n + 2L)) -
           FixedLog.iln1m(lit(2L) * col("df") + lit(1L))).as("idf_1m"))
-    Index(tfDl, idf)
+    Index(tfDl, idf, Seq(tfC, dl))
   }
 
   /** Score a query batch against a prepared index: top-k docs per

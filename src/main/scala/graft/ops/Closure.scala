@@ -60,7 +60,9 @@ object Closure {
         prev = cnt
       }
     }
-    paths
+    // the FINAL round's checkpoint serves the caller; registered so the
+    // harness's query-boundary drain frees it instead of driver GC
+    graft.core.StagingScope.register(paths)
   }
 
   /** Closure-table rollup (reference: `num_genes` summed up taxonomy

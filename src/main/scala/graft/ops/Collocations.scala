@@ -52,14 +52,13 @@ object Collocations {
     // bigram-vocabulary-sized; FOUR consumers below (both marginals,
     // the scalar N, the scored output) — materialize the single
     // tokenize+aggregate pass instead of replaying it per consumer
-    val cab = toks
+    val cab = graft.core.StagingScope.stage(toks
       .select(explode(Shingling.orderedShingles(col("l"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
       .select(
         element_at(split(col("bg"), " "), 1).as("a"),
         element_at(split(col("bg"), " "), 2).as("b"),
-        col("c_ab"))
-      .localCheckpoint(false)
+        col("c_ab")))
     val ca = cab.groupBy("a").agg(sum("c_ab").as("c_a"))
     val cb = cab.groupBy("b").agg(sum("c_ab").as("c_b"))
     // one bounded stats job for the scalar N (the Bm25.buildIndex

@@ -121,26 +121,35 @@ object Components {
     // every round where the edge count still moves.
     var stable = edges.isEmpty
     var curCount = if (stable) 0L else edges.count()
+    // Dataset.unpersist only touches the CacheManager — it never
+    // releases a localCheckpoint's RDD blocks (the bridge exists for
+    // exactly that), so every release below goes through the bridge;
+    // plain .unpersist() here silently pinned every round until GC.
+    import org.apache.spark.sql.classic.GraftColumnBridge.unpersistLocalCheckpoint
     if (!stable && curCount <= localSolveMaxEdges) {
       val local = componentsLocal(spark,
         edges.as[(Long, Long)].collect())
-      edges.unpersist()
+      unpersistLocalCheckpoint(edges)
       return local
     }
-    val allNodes = bidir(edges).select(col("u").as("id")).distinct().localCheckpoint()
+    val allNodes = graft.core.StagingScope.register(
+      bidir(edges).select(col("u").as("id")).distinct().localCheckpoint())
     while (!stable) {
       // checkpoint the large-star intermediate too: small-star's
       // bidir unions + minNbr join would otherwise replay the
       // large-star lineage ~4x within the round
       val ls = largeStar(edges).localCheckpoint()
       val next = smallStar(ls).localCheckpoint()
-      ls.unpersist()
+      unpersistLocalCheckpoint(ls)
       val nextCount = next.count()
       stable = nextCount == curCount && next.except(edges).isEmpty
-      edges.unpersist() // previous round's checkpoint blocks released
+      unpersistLocalCheckpoint(edges) // previous round's blocks released
       edges = next
       curCount = nextCount
     }
+    // the FINAL round's checkpoint serves the returned plan; registered
+    // so the harness's query-boundary drain frees it
+    graft.core.StagingScope.register(edges)
 
     // fixpoint is a forest of stars (u → root). Roots map to themselves.
     allNodes

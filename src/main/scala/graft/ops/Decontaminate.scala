@@ -440,8 +440,10 @@ object Decontaminate {
       s"verifyStrategy must be one of ${Dedup.VerifyStrategies}, got $verifyStrategy")
     // both shingle tables feed the freq union, a prefix derivation, and
     // a verify side — materialize each once
-    val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
-    val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
+    val shT = graft.core.StagingScope.stage(
+      shingleTable(train, textCol, idCol, shingleN))
+    val shB = graft.core.StagingScope.stage(
+      shingleTable(bench, textCol, idCol, shingleN))
 
     def exploded(sh: DataFrame, side: Int) = sh.select(
       lit(side).as("side"), col("id"), size(col("sh")).as("sz"),
@@ -463,23 +465,27 @@ object Decontaminate {
       .where(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
       .select(col("side"), col("id"), col("sz"),
         xxhash64(col("tok")).as("htok"), col("rn"))
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     // PRE-FLIGHT GUARD: predict the train×bench candidate join's row
     // volume (Σ over gram of df_train·df_bench) from the prefix tables
     // and refuse a closed-vocabulary blow-up before launching — see
     // [[SimilarityGuard]].
-    def sideStats(sh: DataFrame) = {
-      val st = sh
-        .agg(count(lit(1)), coalesce(sum(size(col("sh"))), lit(0L))).head()
-      (st.getLong(0), st.getLong(1))
-    }
-    val (nTrain, totalGramsT) = sideStats(shT)
-    val (nBench, totalGramsB) = sideStats(shB)
+    // ONE fused pre-flight job (cross-join of single-row aggregates
+    // over the three staged tables) — previously three sequential
+    // driver round trips: train stats, bench stats, volume prediction
+    def sideStats(sh: DataFrame, nd: String, tg: String) = sh
+      .agg(count(lit(1)).as(nd), coalesce(sum(size(col("sh"))), lit(0L)).as(tg))
+    val preflight = sideStats(shT, "ndT", "tgT")
+      .crossJoin(sideStats(shB, "ndB", "tgB"))
+      .crossJoin(SimilarityGuard.crossJoinVolumeAgg(
+        prefixes.where(col("side") === 0), prefixes.where(col("side") === 1),
+        Seq("htok")))
+      .head()
+    val (nTrain, totalGramsT) = (preflight.getLong(0), preflight.getLong(1))
+    val (nBench, totalGramsB) = (preflight.getLong(2), preflight.getLong(3))
     val avgT = totalGramsT.toDouble / math.max(nTrain, 1L)
     val avgB = totalGramsB.toDouble / math.max(nBench, 1L)
-    val predictedCandidates = SimilarityGuard.crossJoinVolume(
-      prefixes.where(col("side") === 0), prefixes.where(col("side") === 1),
-      Seq("htok"))
+    val predictedCandidates = SimilarityGuard.volumeOf(preflight, 4)
     SimilarityGuard.check(
       predictedCandidates,
       SimilarityGuard.resolveCap(maxCandidates, nTrain),
@@ -513,7 +519,8 @@ object Decontaminate {
     val needDecision = verifyStrategy == Dedup.VerifyAuto &&
       predictedCandidates * (avgT + avgB) > Dedup.VerifyDecisionMinElements
     val candidates =
-      if (needDecision) candidatesRaw.localCheckpoint(false) else candidatesRaw
+      if (needDecision) graft.core.StagingScope.stage(candidatesRaw)
+      else candidatesRaw
 
     // VERIFY-STRATEGY DECISION — the cross-set form of the
     // [[graft.ops.Dedup.ngramJaccardPairs]] decision: array verify
@@ -528,9 +535,14 @@ object Decontaminate {
       case Dedup.VerifyArray => false
       case _ if !needDecision => false
       case _ =>
-        val nCand = candidates.count()
-        val gramVolume =
-          SimilarityGuard.crossJoinVolume(posts(shT), posts(shB), Seq("tok"))
+        // one fused job: exact candidate count (off the staged pair
+        // table) + gram-join volume, instead of two round trips
+        val decision = candidates.agg(count(lit(1)).as("nc"))
+          .crossJoin(SimilarityGuard.crossJoinVolumeAgg(
+            posts(shT), posts(shB), Seq("tok")))
+          .head()
+        val nCand = decision.getLong(0)
+        val gramVolume = SimilarityGuard.volumeOf(decision, 1)
         val arrayElems = nCand * (avgT + avgB)
         val chooseCount = gramVolume < arrayElems
         log.warn(s"jaccardScreen verify decision: $nCand candidates x " +
@@ -634,8 +646,10 @@ object Decontaminate {
       bucketCap: Int = 4096,
       portable: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shT = shingleTable(train, textCol, idCol, shingleN).localCheckpoint(false)
-    val shB = shingleTable(bench, textCol, idCol, shingleN).localCheckpoint(false)
+    val shT = graft.core.StagingScope.stage(
+      shingleTable(train, textCol, idCol, shingleN))
+    val shB = graft.core.StagingScope.stage(
+      shingleTable(bench, textCol, idCol, shingleN))
     // `portable = true` is the ORACLE-TWIN configuration (q70b): the
     // md5-based signature a SQL oracle can replay bit-for-bit, and the
     // band's RAW value slice as the bucket key (exact collision
@@ -662,7 +676,7 @@ object Decontaminate {
     // groups (train keeps its own salt, the small bench side fans out
     // to all g): per-task work drops to (dfT/g)·dfB, the pair set is
     // unchanged.
-    val bT = buckets(shT).localCheckpoint(false)
+    val bT = graft.core.StagingScope.stage(buckets(shT))
     val groups = bT.groupBy("bb")
       .agg(ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
     val candidates = bT.join(groups, Seq("bb"))

@@ -130,7 +130,7 @@ object Dedup {
       // (signatures, both verify sides, and the bucket fan-out);
       // materialize it once — storage is the shingle table, which the
       // verify joins shuffle anyway
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     // `portable = true` is the oracle-twin configuration (q26b):
     // md5-based signatures a SQL oracle replays bit-for-bit, band
     // buckets on the raw value tuple (exact collision semantics) —
@@ -154,7 +154,7 @@ object Dedup {
       }: _*)).as("bb"))
       // both self-join sides replay the k-hash signature otherwise;
       // bucket rows are narrow (bucket key + id), so this is cheap
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
 
     // SKEW GUARD (the [[simHashPairs]] pattern): a hot bucket — e.g.
     // mass-duplicated boilerplate hashing every band identically —
@@ -246,7 +246,7 @@ object Dedup {
       .where(size(col("sh")) > 0)
       // the shingle table feeds the prefix derivation AND both verify
       // sides; materialize once instead of re-tokenizing per consumer
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     // Prefix length L = |S| - ceil(t*|S|) + 1, under ascending GLOBAL
     // FREQUENCY order (rarest shingles first) — the PPJoin ordering: any
     // common total order is correct, but frequency order makes prefixes
@@ -273,17 +273,23 @@ object Dedup {
         xxhash64(col("tok")).as("htok"), col("rn"))
       // both sides of the candidate self-join read this table; without
       // materialization the freq window + rarity window run twice
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     // PRE-FLIGHT GUARD (the engine-behavior form of the data-regime
     // precondition above): predict the candidate join's row volume
     // from the prefix dfs and refuse the launch past the cap instead
-    // of shuffling a quadratic blow-up to disk.
-    val corpusStats = sh
-      .agg(count(lit(1)), coalesce(sum(size(col("sh"))), lit(0L))).head()
-    val (nDocs, totalGrams) = (corpusStats.getLong(0), corpusStats.getLong(1))
+    // of shuffling a quadratic blow-up to disk. The corpus stats and
+    // the volume prediction FUSE into one driver job (cross-join of
+    // single-row aggregates over the two staged tables) — previously
+    // two sequential driver round trips per launch.
+    val preflight = sh
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum(size(col("sh"))), lit(0L)).as("tg"))
+      .crossJoin(SimilarityGuard.selfJoinVolumeAgg(
+        prefixes, Seq("block", "htok")))
+      .head()
+    val (nDocs, totalGrams) = (preflight.getLong(0), preflight.getLong(1))
     val avgSz = totalGrams.toDouble / math.max(nDocs, 1L)
-    val predictedCandidates =
-      SimilarityGuard.selfJoinVolume(prefixes, Seq("block", "htok"))
+    val predictedCandidates = SimilarityGuard.volumeOf(preflight, 2)
     SimilarityGuard.check(
       predictedCandidates,
       SimilarityGuard.resolveCap(maxCandidates, nDocs),
@@ -328,7 +334,8 @@ object Dedup {
     val needDecision = verifyStrategy == VerifyAuto &&
       predictedCandidates * 2.0 * avgSz > VerifyDecisionMinElements
     val candidates =
-      if (needDecision) candidatesRaw.localCheckpoint(false) else candidatesRaw
+      if (needDecision) graft.core.StagingScope.stage(candidatesRaw)
+      else candidatesRaw
 
     // VERIFY-STRATEGY DECISION. The array verify ships each candidate
     // pair's two full shingle arrays through a shuffle — candidates ×
@@ -357,9 +364,14 @@ object Dedup {
       // decision runs only where the stake is real
       case _ if !needDecision => false
       case _ =>
-        val nCand = candidates.count()
-        val gramVolume =
-          SimilarityGuard.selfJoinVolume(exploded, Seq("block", "tok"))
+        // one fused job: the exact candidate count (off the staged pair
+        // table) and the gram-join volume, instead of two round trips
+        val decision = candidates.agg(count(lit(1)).as("nc"))
+          .crossJoin(SimilarityGuard.selfJoinVolumeAgg(
+            exploded, Seq("block", "tok")))
+          .head()
+        val nCand = decision.getLong(0)
+        val gramVolume = SimilarityGuard.volumeOf(decision, 1)
         val arrayElems = nCand * 2.0 * avgSz
         val chooseCount = gramVolume < arrayElems
         log.warn(s"ngramJaccardPairs verify decision: $nCand candidates × " +
@@ -581,8 +593,8 @@ object Dedup {
     // consumers below (the df aggregation and both join sides) — the
     // un-checkpointed form replayed the tokenize + gram-hash + two-
     // window winnowing kernel per consumer
-    val fps = winnowedFingerprintTable(docs, textCol, idCol, k, w)
-      .localCheckpoint(false)
+    val fps = graft.core.StagingScope.stage(
+      winnowedFingerprintTable(docs, textCol, idCol, k, w))
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .where(col("__df") <= maxDf).select("fp"),
@@ -639,9 +651,9 @@ object Dedup {
           col("simhash").bitwiseAND(lit(0xFFFFL << (c * 16))).as("val"))
       }: _*)).as("ck"))
       // narrow (4 rows per doc); THREE consumers below (the bucket
-      // sizing and both join sides) — the un-checkpointed form
-      // replayed the upstream fingerprint kernel per consumer
-      .localCheckpoint(false)
+      // sizing and both join sides) — the un-staged form replayed the
+      // upstream fingerprint kernel per consumer
+      .transform(graft.core.StagingScope.stage(_))
     val groups = chunks.groupBy("ck").agg(
       ceil(count(lit(1)) / lit(bucketCap)).cast("int").as("g"))
     val sized = chunks.join(groups, Seq("ck"))
@@ -696,10 +708,9 @@ object Dedup {
       numBlocks: Int = 8): DataFrame = {
     // both triangle-join sides read this; materialize the scan+cast
     // once (vector-table-sized — the join shuffles it anyway)
-    val v = corpus.select(
+    val v = graft.core.StagingScope.stage(corpus.select(
       col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
-      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("blk"))
-      .localCheckpoint(false)
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("blk")))
     val left = v.select(
       explode(sequence(col("blk"), lit(numBlocks - 1))).as("cj"),
       col("blk").as("ci"), col("id").as("id_l"), col("v").as("vl"))
@@ -744,8 +755,8 @@ object Dedup {
     // read by the sizing count, the bucket fan-out, and both verify
     // attach joins — materialize the scan+cast once (the minHashLsh
     // shingle-table precedent: the verify joins shuffle it anyway)
-    val base = corpus.select(col(idCol).as("id"), v.as("v"))
-      .localCheckpoint(false)
+    val base = graft.core.StagingScope.stage(
+      corpus.select(col(idCol).as("id"), v.as("v")))
     lazy val nVecs = math.max(1L, base.count())
     // bitsPerTable <= 0 → size the buckets from the corpus: expected
     // occupancy n/2^bits drives candidate volume QUADRATICALLY (each
@@ -778,7 +789,7 @@ object Dedup {
       // narrow (numTables rows per vector, ids only); THREE consumers
       // (the volume guard and both self-join sides) would otherwise
       // each replay the numTables × bits dot-product signature kernel
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     // PRE-FLIGHT GUARD: bucket occupancy n/2^bits drives the self-join
     // volume QUADRATICALLY, so a FIXED bits choice (the portable twin's
     // static-SQL constraint, or a caller pin) that is right at one SF
@@ -991,7 +1002,7 @@ object Dedup {
       // MEMORY_AND_DISK vector rows until driver GC across every
       // audit pairsOf call, the exact starvation pattern the k<=1
       // verify branch was written to avoid
-      val out = pairs.localCheckpoint()
+      val out = graft.core.StagingScope.register(pairs.localCheckpoint())
       org.apache.spark.sql.classic.GraftColumnBridge
         .unpersistLocalCheckpoint(assigned)
       out

@@ -55,19 +55,18 @@ object Dsir {
     // tokens: Σ_positions llr(b) = Σ_buckets cnt·llr(b), exact integer
     // either way). The un-checkpointed form re-tokenized the raw
     // corpus three times (bucket table, scalar total, scoring join).
-    val rawBuckets = raw.select(col(idCol).cast("long").as("doc_id"),
+    val rawBuckets = graft.core.StagingScope.stage(
+      raw.select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalytics.tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), bucket(col("tok")).as("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("cnt")))
     val rb = rawBuckets.groupBy("b").agg(sum("cnt").as("cr"))
     // ≤ B rows; feeds the scalar total AND the llr table — one target
     // tokenize pass instead of two
-    val tb = target
+    val tb = graft.core.StagingScope.stage(target
       .select(explode(TextAnalytics.tokens(col(textCol))).as("tok"))
       .groupBy(bucket(col("tok")).as("b"))
-      .agg(count(lit(1)).as("ct"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("ct")))
 
     // two scalar totals off the (≤ B)-row bucket tables
     val tr = rb.agg(coalesce(sum("cr"), lit(0L))).head().getLong(0)

@@ -238,7 +238,10 @@ object HeavyHitters {
     val terms =
       if (terms0.queryExecution.analyzed.exists(
           _.expressions.exists(e => e.exists(!_.deterministic)))) {
-        val pinned = terms0.localCheckpoint()
+        // a correctness pin (the two passes must see the same rows), so
+        // it stays a direct eager localCheckpoint — but registered, so
+        // the harness's query-boundary drain releases it
+        val pinned = graft.core.StagingScope.register(terms0.localCheckpoint())
         val budget = terms0.sparkSession.conf.getOption(PinBytesKey)
           .map(_.toLong).getOrElse(1L << 30)
         val bytes = GraftColumnBridge.localCheckpointStorageBytes(pinned)
@@ -316,8 +319,8 @@ object HeavyHitters {
       termsOf: DataFrame => DataFrame): DataFrame = {
     // churn-sized; both status slices below consume it — one diff scan
     // of the two corpus versions instead of two
-    val delta = SnapshotDiff.diff(oldDocs, newDocs, idCol, contentCols)
-      .localCheckpoint(false)
+    val delta = graft.core.StagingScope.stage(
+      SnapshotDiff.diff(oldDocs, newDocs, idCol, contentCols))
     def slice(docs: DataFrame, statuses: Seq[String], sign: Long) = {
       val churn = delta.where(col("status").isin(statuses: _*)).select("id")
       termsOf(docs.join(churn, docs(idCol) === churn("id"), "left_semi"))
@@ -350,8 +353,14 @@ object HeavyHitters {
     require(denom >= 1, s"denom must be >= 1, got $denom")
     // the count table is the artifact; the scalar-N job and the final
     // filter both read it — materialize its (possibly expensive)
-    // lineage once, term-vocabulary-sized
-    val countsC = counts.localCheckpoint(false)
+    // lineage once, term-vocabulary-sized. An input that is ALREADY a
+    // checkpoint root (a caller passing the materialized artifact —
+    // the documented "counts IS the artifact" contract) skips the
+    // redundant vocabulary-sized copy.
+    val countsC = counts.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => counts
+      case _ => graft.core.StagingScope.stage(counts)
+    }
     val n = countsC.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     val threshold = if (n == 0L) 1L else (n + denom - 1L) / denom
     countsC.select(col("term"), col("cnt").cast("long").as("cnt"))

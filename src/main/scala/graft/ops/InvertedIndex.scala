@@ -348,8 +348,8 @@ object InvertedIndex {
     // churn-sized; four consumers below (two status filters, and the
     // dirty table feeds three joins) would otherwise each replay the
     // full two-corpus diff lineage
-    val delta = SnapshotDiff.diff(oldDocs, newDocs, idCol, Seq(textCol))
-      .localCheckpoint(false)
+    val delta = graft.core.StagingScope.stage(
+      SnapshotDiff.diff(oldDocs, newDocs, idCol, Seq(textCol)))
     def termShards(docs: DataFrame, statuses: Seq[String]) = {
       val churn = delta.where(col("status").isin(statuses: _*)).select("id")
       docs.join(churn, docs(idCol) === churn("id"), "left_semi")
@@ -360,11 +360,11 @@ object InvertedIndex {
     // dirty pairs: terms of the old versions of removed∪changed docs
     // (postings that must shrink or vanish) ∪ terms of the new
     // versions of added∪changed docs (postings that must grow)
-    val dirty = termShards(oldDocs, Seq("removed", "changed"))
+    val dirty = graft.core.StagingScope.stage(
+      termShards(oldDocs, Seq("removed", "changed"))
       .unionByName(termShards(newDocs, Seq("added", "changed")))
-      .distinct()
+      .distinct())
       // (term, shard)-pair-sized; consumed by three joins below
-      .localCheckpoint(false)
     val dirtyShards = dirty.select("shard").distinct()
     val rebuilt = postingShardsBinary(
       newDocs.join(dirtyShards,
@@ -492,15 +492,15 @@ object InvertedIndex {
     require(shardSpan >= 1, s"shardSpan must be >= 1, got $shardSpan")
     // batch-sized; feeds both the dirty-group derivation and the merge
     // union — one tokenize pass of the batch instead of two
-    val newEntries = perDocEntries(newDocs, textCol, idCol)
-      .withColumn("shard", expr(s"doc_id div ${shardSpan}L"))
-      .localCheckpoint(false)
-    val dirty = newEntries.select("term", "shard").distinct()
+    val newEntries = graft.core.StagingScope.stage(
+      perDocEntries(newDocs, textCol, idCol)
+      .withColumn("shard", expr(s"doc_id div ${shardSpan}L")))
+    val dirty = graft.core.StagingScope.stage(
+      newEntries.select("term", "shard").distinct()
       .join(priorIndex.select("term", "shard"), Seq("term", "shard"),
-        "left_semi")
+        "left_semi"))
       // (term, shard)-pair-sized; consumed by the decode semi-join AND
       // the carry anti-join
-      .localCheckpoint(false)
     val priorDirtyEntries = priorIndex
       .join(dirty, Seq("term", "shard"), "left_semi")
       .select(col("term"), col("shard"),

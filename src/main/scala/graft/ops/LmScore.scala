@@ -43,8 +43,8 @@ object LmScore {
       .select(explode(Shingling.orderedShingles(col("l"), 2)).as("bg"))
     // the LM artifact: materialized once (bigram-table-sized), read by
     // the scoring join AND the c1 derivation below
-    val c2 = tg.groupBy("bg").agg(count(lit(1)).as("c2"))
-      .localCheckpoint(false)
+    val c2 = graft.core.StagingScope.stage(
+      tg.groupBy("bg").agg(count(lit(1)).as("c2")))
     // c1(prev) = bigrams starting at prev = occurrences of prev in
     // non-final positions = Σ c2 over bigrams whose first token is
     // prev — re-aggregated from the bigram table, never a second

@@ -112,9 +112,10 @@ object PageRank {
         i += 1
       }
       // the final checkpoint stays alive for the caller; only the
-      // superseded round is released
+      // superseded round is released — the final is registered so the
+      // harness's query-boundary drain frees it
       prev.foreach(GraftColumnBridge.unpersistLocalCheckpoint)
-      ranks
+      graft.core.StagingScope.register(ranks)
     } finally {
       // every round's checkpoint is eager, so by the time we return
       // the final frame's blocks are independent of these two —

@@ -159,21 +159,44 @@ object SimilarityGuard {
     if (d >= Long.MaxValue.toDouble) Long.MaxValue else d.toLong
 
   def selfJoinVolume(prefixes: DataFrame, keys: Seq[String]): Long =
-    toVolume(prefixes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    volumeOf(selfJoinVolumeAgg(prefixes, keys).head(), 0)
+
+  /** [[selfJoinVolume]]'s aggregation as a SINGLE-ROW FRAME (one double
+    * column) instead of an immediate action — the seam that lets a
+    * caller FUSE the guard's pre-flight with its other single-row stats
+    * aggregates into ONE driver job (cross-join of 1-row aggregates,
+    * then one `head()`), instead of 2–3 sequential driver round trips
+    * per guarded launch. Decode the column with [[volumeOf]].
+    */
+  def selfJoinVolumeAgg(prefixes: DataFrame, keys: Seq[String]): DataFrame =
+    prefixes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
       // double arithmetic: df ~1e9 makes df² overflow Long per-key
-      .agg(coalesce(sum(expr("CAST(df AS DOUBLE) * (df - 1) / 2")), lit(0.0)))
-      .head().getDouble(0))
+      .agg(coalesce(sum(expr("CAST(df AS DOUBLE) * (df - 1) / 2")), lit(0.0))
+        .as("__predicted_volume"))
 
   /** Predicted candidate volume of a CROSS equi-join on `keys`:
     * Σ over key of df_a·df_b.
     */
-  def crossJoinVolume(a: DataFrame, b: DataFrame, keys: Seq[String]): Long = {
+  def crossJoinVolume(a: DataFrame, b: DataFrame, keys: Seq[String]): Long =
+    volumeOf(crossJoinVolumeAgg(a, b, keys).head(), 0)
+
+  /** [[crossJoinVolume]] as a single-row frame — see
+    * [[selfJoinVolumeAgg]] for the fusion contract.
+    */
+  def crossJoinVolumeAgg(
+      a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     def dfs(t: DataFrame, name: String) =
       t.groupBy(keys.map(col): _*).agg(count(lit(1)).as(name))
-    toVolume(dfs(a, "dfa").join(dfs(b, "dfb"), keys)
-      .agg(coalesce(sum(col("dfa").cast("double") * col("dfb")), lit(0.0)))
-      .head().getDouble(0))
+    dfs(a, "dfa").join(dfs(b, "dfb"), keys)
+      .agg(coalesce(sum(col("dfa").cast("double") * col("dfb")), lit(0.0))
+        .as("__predicted_volume"))
   }
+
+  /** Decode a fused pre-flight row's volume column (saturating — see
+    * [[toVolume]]).
+    */
+  def volumeOf(row: org.apache.spark.sql.Row, idx: Int): Long =
+    toVolume(row.getDouble(idx))
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 

@@ -993,7 +993,7 @@ object Queries {
           g => graft.functions.Shingling.gramKey(g, wideGramKeys)).as("sh"))
       .where(size(col("sh")) > 0)
       // feeds the N count, the df table, and the terms regroup
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val n = sh.count() // corpus size for idf — one count job at any scale
     val e = sh.select(col("doc_id"), explode(col("sh")).as("dim"))
     val dfreq = e.groupBy("dim").agg(count(lit(1)).as("df"))
@@ -1174,7 +1174,7 @@ object Queries {
     // replay per consumer (the same materialize-once rule every
     // composed op in this engine follows)
     val survivors = train.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val spans = graft.ops.Decontaminate.ngramHitSpans(
         survivors, bench, "text", "doc_id", n = 4)
       .withColumnRenamed("id", "doc_id")
@@ -1187,7 +1187,7 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .withColumn("seg_id",
         col("doc_id") * lit(4294967296L) + col("seg_start"))
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val canon = Dedup.exact(segs, "seg_text", "seg_id")
     canon
       .join(segs, canon("canonical_id") === segs("seg_id"))
@@ -1734,7 +1734,7 @@ object Queries {
         TextAnalytics.fingerprint(col("text")).as("fp"),
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
       // feeds BOTH the dedup aggregation and the canonical re-join
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val canon = Dedup.exact(kept, "fp", "doc_id")
     kept.join(canon, kept("doc_id") === canon("canonical_id"))
       .withColumn("split", graft.ops.Splits.splitLabel(
@@ -1901,7 +1901,7 @@ object Queries {
       .select(col("doc_id"), col("lang"),
         TextAnalytics.fingerprint(col("text")).as("fp"),
         TextAnalytics.tokenCount(col("text")).cast("long").as("n_toks"))
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val canon = Dedup.exact(kept, "fp", "doc_id")
     val deduped = kept
       .join(canon, kept("doc_id") === canon("canonical_id"))
@@ -1913,7 +1913,7 @@ object Queries {
       // aggregate, then the prefix sum itself; staged so the dedup
       // join+groupBy runs once, not once per job. Narrow (5 scalar
       // cols), so the pinned blocks are small at any audit scale.
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     graft.ops.Packing
       .packByOffsetAuto(deduped, "stratum", "doc_id", "n_toks",
         budget = 512L)
@@ -2146,7 +2146,7 @@ object Queries {
       docs, "text", "doc_id",
       blockCol = "lang", shingleN = 2, threshold = 0.5)
       .select("id_a", "id_b")
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val edges = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     graft.ops.PageRank.pageRank(
@@ -2255,7 +2255,7 @@ object Queries {
     // consume it — one diff scan of the two versions instead of two
     val delta = graft.ops.SnapshotDiff.diff(
       v1, v2, "doc_id", Seq("text")).withColumnRenamed("id", "doc_id")
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val carried = prior.withColumnRenamed("id", "doc_id")
       .join(delta.where(col("status") === "unchanged").select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -2376,7 +2376,7 @@ object Queries {
     // consume it — one diff scan of the two versions instead of two
     val delta = graft.ops.SnapshotDiff.diff(
       v1, v2, "doc_id", Seq("text")).withColumnRenamed("id", "doc_id")
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     val carried = prior.join(
       delta.where(col("status") === "unchanged").select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -2504,7 +2504,7 @@ object Queries {
         (1L to 5L).map(i => i -> heads(i).take(2))
     val index = graft.ops.InvertedIndex
       .postingShardsBinary(docs, "text", "doc_id", shardSpan = 100L)
-      .localCheckpoint()
+      .transform(graft.core.StagingScope.stage(_, eager = true))
     phrases.map { case (pid, p) =>
       graft.ops.InvertedIndex.phraseMatchesFromPostings(index, 100L, p)
         .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
@@ -2946,7 +2946,7 @@ object Queries {
     // stored artifact it stands in for
     val prior = graft.ops.InvertedIndex
       .postingShardsBinary(v1, "text", "doc_id", shardSpan = 100L)
-      .localCheckpoint(false)
+      .transform(graft.core.StagingScope.stage(_))
     graft.ops.InvertedIndex.compressedView(
       graft.ops.InvertedIndex.appendToShardsBinary(
         prior, added, "text", "doc_id", shardSpan = 100L))

@@ -34,7 +34,11 @@ object StreamBm25 {
     }
     def append(batch: DataFrame): Unit = synchronized {
       val next = state.unionByName(batch).localCheckpoint()
-      state.unpersist()
+      // release through the bridge: Dataset.unpersist only touches the
+      // CacheManager and silently leaves a localCheckpoint's RDD blocks
+      // pinned until driver GC
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(state)
       state = next
     }
     def snapshot: DataFrame = synchronized(state)
@@ -55,11 +59,22 @@ object StreamBm25 {
         slice(TextAnalytics.tokens(col("text")), 1, 5).as("terms"))
       .localCheckpoint()
     val dir = StreamGate.stageSlices(queries, col("query_id"), slices, "bm25q")
+    // the staged slice files are written; nothing reads the query
+    // checkpoint again
+    org.apache.spark.sql.classic.GraftColumnBridge
+      .unpersistLocalCheckpoint(queries)
 
-    // build once, pin: these frames ARE the stored serving index
+    // build once, pin: these frames ARE the stored serving index —
+    // registered so the harness's query-boundary drain frees them
     val built = Bm25.buildIndex(wide, "text", "doc_id")
     val index = Bm25.Index(
-      built.tfDl.localCheckpoint(), built.idf.localCheckpoint())
+      graft.core.StagingScope.register(built.tfDl.localCheckpoint()),
+      graft.core.StagingScope.register(built.idf.localCheckpoint()))
+    // the EAGER tfDl/idf checkpoints above just materialized; the
+    // build's internal staged tf/dl tables are dead lineage now —
+    // release the inner two instead of holding four index-sized copies
+    // for the stream's lifetime
+    built.releaseStaged()
 
     val schema = {
       import scala.jdk.CollectionConverters._
@@ -88,6 +103,6 @@ object StreamBm25 {
       }
       .start()
     q.awaitTermination()
-    acc.snapshot
+    graft.core.StagingScope.register(acc.snapshot)
   }
 }

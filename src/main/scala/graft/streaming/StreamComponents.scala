@@ -60,7 +60,11 @@ object StreamComponents {
       val carried = state
         .join(merged.select(col("id")), Seq("id"), "left_anti")
       val next = merged.unionByName(carried).localCheckpoint()
-      state.unpersist()
+      // release through the bridge: Dataset.unpersist only touches the
+      // CacheManager and silently leaves a localCheckpoint's RDD blocks
+      // pinned until driver GC
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(state)
       state = next
       next
     }

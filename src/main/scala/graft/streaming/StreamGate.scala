@@ -183,7 +183,11 @@ object StreamGate {
     val typed = pairs.select(
         col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
       .localCheckpoint()
-    stageSlices(typed, col("id_a"), slices, "pairs")
+    val dir = stageSlices(typed, col("id_a"), slices, "pairs")
+    // slices written; nothing reads the pair checkpoint again
+    org.apache.spark.sql.classic.GraftColumnBridge
+      .unpersistLocalCheckpoint(typed)
+    dir
   }
 
   /** Stage `df` as up to `slices` hash-sliced parquet files (slice =
@@ -247,10 +251,15 @@ object StreamGate {
       .withColumn("ts", timestamp_micros(col("doc_id")))
       .localCheckpoint(false)
     val dir = stageSlices(train, col("doc_id"), slices, "docs")
-    val index = DocStreams
+    // slices written; nothing reads the train checkpoint again
+    org.apache.spark.sql.classic.GraftColumnBridge
+      .unpersistLocalCheckpoint(train)
+    // per-batch static side for the stream's lifetime — registered so
+    // the harness's query-boundary drain frees it
+    val index = graft.core.StagingScope.register(DocStreams
       .minHashIndex(bench, "text", "doc_id", shingleN = 2,
         bands = 8, rowsPerBand = 4, portable = portable)
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     // probe any staged slice for the schema (slice 0 may be empty and
     // therefore unstaged — slice membership is content-hashed)
     val schema = {
@@ -293,6 +302,6 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    acc.snapshot
+    graft.core.StagingScope.register(acc.snapshot)
   }
 }

@@ -35,7 +35,11 @@ object StreamIndexIngest {
       val next = InvertedIndex
         .appendToShardsBinary(index, batch, "text", "doc_id", shardSpan)
         .localCheckpoint()
-      index.unpersist()
+      // release through the bridge: Dataset.unpersist only touches the
+      // CacheManager and silently leaves a localCheckpoint's RDD blocks
+      // pinned until driver GC
+      org.apache.spark.sql.classic.GraftColumnBridge
+        .unpersistLocalCheckpoint(index)
       index = next
     }
     def snapshot: DataFrame = synchronized(index)
@@ -84,6 +88,7 @@ object StreamIndexIngest {
       }
       .start()
     q.awaitTermination()
-    InvertedIndex.compressedView(state.snapshot)
+    InvertedIndex.compressedView(
+      graft.core.StagingScope.register(state.snapshot))
   }
 }

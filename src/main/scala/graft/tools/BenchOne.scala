@@ -31,6 +31,10 @@ object BenchOne {
       println(f"rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n " +
         f"gc=${(gcMillis - g0) / 1000.0}%.1fs cachedRdds=${spark.sparkContext.getPersistentRDDs.size} " +
         f"storage=${storageBytes / 1e6}%.0fMB")
+      // query boundary, mirroring graft.Bench: release staged one-shot
+      // checkpoints deterministically (the storage print above shows
+      // the PRE-drain footprint the query accumulated)
+      graft.core.StagingScope.drain()
     }
     spark.stop()
   }

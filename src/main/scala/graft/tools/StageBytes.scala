@@ -22,7 +22,12 @@ object StageBytes {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
         def gb(b: Long) = f"${b / 1e9}%.2f"
-        println(s"stage ${s.stageInfo.stageId} tasks=${s.stageInfo.numTasks} " +
+        val durMs = (for {
+          sub <- s.stageInfo.submissionTime
+          done <- s.stageInfo.completionTime
+        } yield done - sub).getOrElse(-1L)
+        println(f"stage ${s.stageInfo.stageId} ${durMs / 1000.0}%.2fs " +
+          s"tasks=${s.stageInfo.numTasks} " +
           s"write=${gb(m.shuffleWriteMetrics.bytesWritten)}GB/" +
           s"${m.shuffleWriteMetrics.recordsWritten / 1000000}M " +
           s"read=${gb(m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead)}GB/" +

@@ -44,6 +44,19 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** The checkpoint RDD behind a ROOT LogicalRDD plan, or None for any
+    * other plan shape — the handle [[graft.core.StagingScope]] registers
+    * (weakly) so a query-boundary drain can release the blocks without
+    * holding the Dataset itself alive. Same root-only rule as
+    * [[unpersistLocalCheckpoint]].
+    */
+  def checkpointRootRdd(
+      df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Measured storage footprint (memory + disk bytes) of an EAGER
     * local checkpoint's cached blocks — the post-materialization
     * number a pin budget must gate on (pre-flight row×width estimates
