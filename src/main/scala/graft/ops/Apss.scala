@@ -253,9 +253,17 @@ object Apss {
       ordered: Boolean,
       dimCap: Int,
       threshold: Double,
-      predicted: Long): DataFrame = {
-    val groups = buildSide.groupBy("dim")
-      .agg(ceil(count(lit(1)) / lit(dimCap)).cast("int").as("g"))
+      predicted: Long,
+      meetDims: Option[DataFrame] = None): DataFrame = {
+    // `meetDims` is the caller's pre-computed (dim, g) salt-group table
+    // — [[pairsAuto]]'s one-pass path derives it from the SAME df
+    // aggregation the pre-flight guard already ran, restricted to dims
+    // that can produce a meeting, so the posting set is aggregated once
+    // instead of twice and both join inputs shrink before the exchange.
+    // Grid cells pass None: their per-cell build slice needs its own
+    // counts for the salt sizing.
+    val groups = meetDims.getOrElse(buildSide.groupBy("dim")
+      .agg(ceil(count(lit(1)) / lit(dimCap)).cast("int").as("g")))
     val a = probeSide.join(groups, Seq("dim"))
       .select(col("dim"),
         pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
@@ -519,6 +527,17 @@ object Apss {
     sys.env.get("GRAFT_APSS_POSTING_SHARD_ROWS").map(_.toLong)
       .getOrElse(256L * 1000 * 1000)
 
+  /** Byte bound for broadcasting the candidate join's (dim, g)
+    * salt-group table ([[pairsAuto]]'s fused `meetDims`): within it the
+    * posting attach is a broadcast hash join (postings never shuffle
+    * for the attach), beyond it a keyed join (the old plan's shape at
+    * vocabulary scale). 64 MiB ≈ 8M numeric dims — well inside guide
+    * §3.1's "a few hundred MB is usually fine" and far past any gate
+    * corpus; sized from the EXACT dim count the guard job measures,
+    * not an estimate.
+    */
+  val MeetDimsBroadcastBytes: Long = 64L << 20
+
   /** Grid-side cap: ~k²/2 sequential passes is the price of bounded
     * scratch, and past this k the pass count stops being a sensible
     * single-box trade — a corpus that still out-spills at the cap
@@ -590,9 +609,44 @@ object Apss {
     // change it) and refuse a high-df-regime launch up front (cap
     // auto-scales with the probe-side vector count). See
     // [[SimilarityGuard]].
-    val predicted =
-      if (ordered) SimilarityGuard.selfJoinVolume(buildSide, Seq("dim"))
-      else SimilarityGuard.crossJoinVolume(probeSide, buildSide, Seq("dim"))
+    // ONE df aggregation serves both the guard's volume prediction and
+    // the candidate join's salt-group table (previously two independent
+    // full-posting-set shuffles computing the same groupBy), and it
+    // PRUNES postings that cannot produce a meeting before the candidate
+    // exchange (guide §2.3/§3.2 — shuffle fewer bytes into the join):
+    // a self-join dim posted by exactly one vector only ever meets
+    // itself (dropped by id_a < id_b), and a cross-join dim missing
+    // from either side never meets at all — both exact, no qualifying
+    // pair can lose a meeting. Vocabulary-sized (≤ distinct posted
+    // dims), staged once, released at the query boundary.
+    val dimDf = graft.core.StagingScope.stage(
+      if (ordered) buildSide.groupBy("dim").agg(count(lit(1)).as("df"))
+      else buildSide.groupBy("dim").agg(count(lit(1)).as("df"))
+        .join(probeSide.groupBy("dim").agg(count(lit(1)).as("dfp")),
+          Seq("dim")))
+    // ... the volume AND the dim count come out of the one head() that
+    // materializes the staged table (no second driver job)
+    val volRow = dimDf.agg(
+      coalesce(sum(
+        if (ordered) expr("CAST(df AS DOUBLE) * (df - 1) / 2")
+        else col("df").cast("double") * col("dfp")), lit(0.0)),
+      count(lit(1))).head()
+    val predicted = SimilarityGuard.volumeOf(volRow, 0)
+    val nDims = volRow.getLong(1)
+    val meetDims0 = dimDf
+      .where(if (ordered) col("df") >= 2 else lit(true))
+      .select(col("dim"), ceil(col("df") / lit(dimCap)).cast("int").as("g"))
+    // a checkpoint root carries no size statistics, so without the hint
+    // the planner sort-merges the posting⋈groups attach — a full
+    // posting exchange by dim where the pre-fusion plan's AQE broadcast
+    // the (post-exchange, measured-small) groups aggregate. The dim
+    // count is exact (just measured), so the hint is safe: broadcast
+    // within [[MeetDimsBroadcastBytes]], keyed join beyond it (the
+    // 10⁹-key vocabulary regime, where the old plan sort-merged too).
+    val meetDims =
+      if (nDims * (dimKeyBytes(probeSide.schema("dim").dataType) + 16L)
+          <= MeetDimsBroadcastBytes) broadcast(meetDims0)
+      else meetDims0
     SimilarityGuard.check(
       predicted,
       SimilarityGuard.resolveCap(maxCandidates, nVecs),
@@ -602,7 +656,7 @@ object Apss {
     if (predicted <= meetingsPerShard)
       verifyAuto(
         candidatesOf(probeSide, buildSide, ordered, dimCap, threshold,
-          predicted),
+          predicted, Some(meetDims)),
         predicted, left, right, threshold, verifyShardPairs)
     else {
       // the guard df aggregate just shuffled the full posting set; reap
