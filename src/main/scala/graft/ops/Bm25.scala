@@ -145,8 +145,6 @@ object Bm25 {
       qTermsCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = queries.sparkSession
-    import spark.implicits._
     // width guard before the explode: size() of the de-duplicated term
     // array is per-row (no window/shuffle over the batch needed)
     val qt = queries.select(col(qidCol).cast("long").as("query_id"),
@@ -161,20 +159,23 @@ object Bm25 {
             .cast("array<string>")))
       .select(col("query_id"), explode(col("__terms")).as("term"))
 
+    // the bounded top-k runs as the NATIVE [[TopK.TopKScoredAgg]]
+    // expression (same at-most-k-rows-per-(map partition, query)
+    // transport; Double scores stay exact under the [[MaxQueryTerms]]
+    // 2^53 guard) — the previous typed-Aggregator form walled the
+    // serving plan with DeserializeToObject/SerializeFromObject pairs
+    // that block whole-stage codegen and rebuild every scored row as a
+    // Scala tuple
     qt.join(index.tfDl, Seq("term"))
       .join(index.idf, Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("idf_1m") * col("tfpart_ppm")).as("score"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, docId, s) => TopK.Scored(docId, s.toDouble) }
-      .agg(TopK.topK(k).toColumn.name("top"))
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case (t, i) =>
-          (qid, (i + 1).toLong, t.id, t.score.toLong)
-        }
-      }
-      .toDF("query_id", "rank", "doc_id", "score")
+      .groupBy("query_id")
+      .agg(TopK.topKScored(
+        col("doc_id"), col("score").cast("double"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("score"))
   }
 
   /** One-shot compose: build the index and answer one query batch. */
