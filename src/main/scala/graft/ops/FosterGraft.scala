@@ -40,17 +40,26 @@ import org.apache.spark.sql.functions._
 object FosterGraft {
 
   def graft(taxonomy: DataFrame, desired: DataFrame): DataFrame = {
-    val tax = broadcast(taxonomy)
+    // the dimension feeds FOUR broadcast sides below, and each
+    // broadcast build is a distinct projection (no exchange reuse), so
+    // an un-staged taxonomy replays its scan + lineage-array build per
+    // side — materialize it once, dimension-sized. The desired side is
+    // the one that streams at scale and is deliberately NOT staged.
+    val tax = broadcast(_root_.graft.core.StagingScope.stage(taxonomy))
     val present = desired.join(tax, Seq("id"))
       .select(col("id"), col("parent").as("is_a"), col("ancestors"),
         col("name"), lit(false).as("fostered"), col("n_genes"))
 
     // missing ids: derive the sibling, hop to its parent, clone lineage
-    val missing = desired.join(tax.select(col("id")), Seq("id"), "left_anti")
+    // — consumed TWICE below (the fostered rows and the lineage
+    // rollup); staged so the anti-join + two sibling hops run once.
+    // Size is the fostered-genome set: a repair queue, not a corpus.
+    val missing = _root_.graft.core.StagingScope.stage(
+      desired.join(tax.select(col("id")), Seq("id"), "left_anti")
       .withColumn("sib",
         when(expr("(id div 100) % 10") === 0, expr("id div 1000")))
       .join(tax.select(col("id").as("sib"), col("parent").as("fp")), Seq("sib"))
-      .join(tax.select(col("id").as("fp"), col("ancestors").as("fp_ancestors")), Seq("fp"))
+      .join(tax.select(col("id").as("fp"), col("ancestors").as("fp_ancestors")), Seq("fp")))
     val fostered = missing.select(
       col("id"), col("fp").as("is_a"),
       concat(col("fp_ancestors"), array(col("id"))).as("ancestors"),
