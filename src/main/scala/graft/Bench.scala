@@ -182,6 +182,24 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** The builder-committed A/B headline (tools/bench_ab.sh writes
+    * tools/ab_headline.json) as a ONE-LINE JSON object, or "null".
+    * Newlines are collapsed to spaces: the bench artifact is a
+    * one-line contract (the driver tail-greps it), and a pretty-
+    * printed ab_headline.json must not be able to break the line —
+    * LintSpec pins this.
+    */
+  private[graft] def abBlock(
+      path: java.nio.file.Path =
+        java.nio.file.Paths.get("tools/ab_headline.json")): String =
+    try {
+      if (java.nio.file.Files.exists(path)) {
+        val s = java.nio.file.Files.readString(path)
+          .replace("\r", " ").replace("\n", " ").trim
+        if (s.startsWith("{") && s.endsWith("}")) s else "null"
+      } else "null"
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -306,6 +324,8 @@ object Bench {
       val s = xs.sorted
       s((s.length - 1) / 2)
     }
+    // (abBlock is defined at object level so its one-line guarantee is
+    // testable without a sweep)
     // a query failing ANY pass reports -1.0 and is excluded from the
     // total; failures are listed explicitly
     val results = sweep.flatMap { name =>
@@ -357,13 +377,7 @@ object Bench {
     // sweep instead of having to acquit a cross-round artifact ratio
     // measured under different machine windows (the r13 lesson: the
     // sweep read 1.16x while the controlled A/B proved 0.921x).
-    val ab = try {
-      val p = java.nio.file.Paths.get("tools/ab_headline.json")
-      if (java.nio.file.Files.exists(p)) {
-        val s = java.nio.file.Files.readString(p).trim
-        if (s.startsWith("{") && s.endsWith("}")) s else "null"
-      } else "null"
-    } catch { case _: Throwable => "null" }
+    val ab = abBlock()
     // provenance label: the ab block is BUILDER-measured (the committed
     // tools/bench_ab.sh writes tools/ab_headline.json), not a driver
     // measurement — the artifact must say so itself

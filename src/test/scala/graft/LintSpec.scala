@@ -109,4 +109,20 @@ class LintSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"Budgets.keys entries with no source site: ${stale.mkString(", ")}")
   }
+
+  test("bench one-line contract: the embedded ab block can never carry " +
+      "a raw newline (the only free-form field in the JSON line — a " +
+      "pretty-printed ab_headline.json must not break tail-grep parsing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ab-lint")
+    val pretty = dir.resolve("ab.json")
+    java.nio.file.Files.writeString(pretty,
+      "{\r\n  \"base_ref\": \"abc\",\n  \"ratio\": 0.8\n}\n")
+    val s = Bench.abBlock(pretty)
+    assert(!s.contains("\n") && !s.contains("\r"),
+      s"abBlock leaked a raw newline: ${s.take(120)}")
+    assert(s.startsWith("{") && s.endsWith("}"))
+    assert(Bench.abBlock(dir.resolve("missing.json")) == "null")
+    java.nio.file.Files.writeString(pretty, "not json at all\n")
+    assert(Bench.abBlock(pretty) == "null")
+  }
 }
