@@ -254,7 +254,8 @@ object Apss {
       dimCap: Int,
       threshold: Double,
       predicted: Long,
-      meetDims: Option[DataFrame] = None): DataFrame = {
+      meetDims: Option[DataFrame] = None,
+      broadcastBuild: Boolean = false): DataFrame = {
     // `meetDims` is the caller's pre-computed (dim, g) salt-group table
     // — [[pairsAuto]]'s one-pass path derives it from the SAME df
     // aggregation the pre-flight guard already ran, restricted to dims
@@ -269,11 +270,28 @@ object Apss {
         pmod(xxhash64(col("id")), col("g")).cast("int").as("salt"),
         col("id").as("id_a"), col("rem").as("rem_a"), col("wn").as("wn_a"),
         col("dropped").as("da"))
-    val b = buildSide.join(groups, Seq("dim"))
+    val bSalted = buildSide.join(groups, Seq("dim"))
       .select(col("dim"),
         explode(sequence(lit(0), col("g") - 1)).as("salt"),
         col("id").as("id_b"), col("rem").as("rem_b"), col("wn").as("wn_b"),
         col("dropped").as("db"))
+    // JOIN STRATEGY, picked deliberately (guide §3.1) when the caller
+    // measured the sides (one-pass path). A checkpoint-backed posting
+    // scan carries no usable size statistics, so left to the planner
+    // this join sort-merges: both posting sides exchange by (dim, salt)
+    // AND SORT — the sort of the salted build stream measured ~1.3×
+    // on q57. Within [[CandBroadcastBytes]] (exact salted-row count
+    // from the guard job, not an estimate) the salted build side
+    // BROADCASTS — the probe stream then never exchanges at all;
+    // beyond it, shuffle-hash (the [[verifyShaped]] rationale: hash-
+    // building a partition slice beats re-sorting the whole stream,
+    // and the dimCap salt bounds the per-dim build lists). Grid cells
+    // (meetDims == None) keep planner choice — their per-cell sizes
+    // are unmeasured and sort-merge's spill grace is the safe default.
+    val b =
+      if (broadcastBuild) broadcast(bSalted)
+      else if (meetDims.isDefined) bSalted.hint("shuffle_hash")
+      else bSalted
     // TWO aggregated prunes, both provably exact:
     //
     // RESIDUAL BOUND (Bayardo's remscore, symmetric): the shared
@@ -538,6 +556,25 @@ object Apss {
     */
   val MeetDimsBroadcastBytes: Long = 64L << 20
 
+  /** Byte bound for broadcasting the candidate join's SALTED BUILD
+    * SIDE in the one-pass path, sized from the guard job's exact
+    * Σ df·ceil(df/dimCap) (never an estimate): within it the probe
+    * posting stream joins broadcast-side — no exchange, no sort — the
+    * plan the pre-r17 planner happened to pick from (luckily small)
+    * size estimates at gate scales; beyond it the join is hinted
+    * shuffle-hash so the (dim, salt) exchange never re-SORTS either
+    * posting stream. ~128 MiB ≈ 2M posting rows at
+    * [[CandBroadcastBytesPerRow]] — guide §3.1's comfortable zone,
+    * far under the 8 GiB broadcast cap.
+    */
+  val CandBroadcastBytes: Long = 128L << 20
+
+  /** Conservative bytes per salted posting row for the
+    * [[CandBroadcastBytes]] decision: dim (≤8) + salt (4) + id (8) +
+    * rem/wn/dropped (24) + row overhead.
+    */
+  val CandBroadcastBytesPerRow: Long = 64L
+
   /** Grid-side cap: ~k²/2 sequential passes is the price of bounded
     * scratch, and past this k the pass count stops being a sensible
     * single-box trade — a corpus that still out-spills at the cap
@@ -624,15 +661,24 @@ object Apss {
       else buildSide.groupBy("dim").agg(count(lit(1)).as("df"))
         .join(probeSide.groupBy("dim").agg(count(lit(1)).as("dfp")),
           Seq("dim")))
-    // ... the volume AND the dim count come out of the one head() that
-    // materializes the staged table (no second driver job)
+    // ... the volume, the dim count, AND the salted build-side row
+    // count (Σ df·ceil(df/dimCap) over meeting-capable dims — exactly
+    // the rows the candidate join's build side will hold after the
+    // meetDims prune and the salt fan-out) all come out of the one
+    // head() that materializes the staged table (no second driver job)
+    val meetCapable =
+      if (ordered) col("df") >= 2 else lit(true)
     val volRow = dimDf.agg(
       coalesce(sum(
         if (ordered) expr("CAST(df AS DOUBLE) * (df - 1) / 2")
         else col("df").cast("double") * col("dfp")), lit(0.0)),
-      count(lit(1))).head()
+      count(lit(1)),
+      coalesce(sum(when(meetCapable,
+        col("df").cast("double") * ceil(col("df") / lit(dimCap))))
+        , lit(0.0))).head()
     val predicted = SimilarityGuard.volumeOf(volRow, 0)
     val nDims = volRow.getLong(1)
+    val saltedBuildRows = SimilarityGuard.volumeOf(volRow, 2)
     val meetDims0 = dimDf
       .where(if (ordered) col("df") >= 2 else lit(true))
       .select(col("dim"), ceil(col("df") / lit(dimCap)).cast("int").as("g"))
@@ -656,7 +702,9 @@ object Apss {
     if (predicted <= meetingsPerShard)
       verifyAuto(
         candidatesOf(probeSide, buildSide, ordered, dimCap, threshold,
-          predicted, Some(meetDims)),
+          predicted, Some(meetDims),
+          broadcastBuild =
+            saltedBuildRows * CandBroadcastBytesPerRow <= CandBroadcastBytes),
         predicted, left, right, threshold, verifyShardPairs)
     else {
       // the guard df aggregate just shuffled the full posting set; reap

@@ -38,8 +38,14 @@ object StageBytes {
       }
     })
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val n = df.count()
     println(f"done: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+    // GRAFT_STAGEBYTES_PLAN=1: print the FINAL adaptive plan (post-
+    // execution), where AQE's join rewrites and coalescing are visible
+    if (sys.env.get("GRAFT_STAGEBYTES_PLAN").contains("1"))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
