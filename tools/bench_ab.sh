@@ -50,7 +50,13 @@ run_bench() { # $1 = checkout dir, $2 = tag
     echo "# draining load $LOAD1 before $2 sweep..." >&2
     sleep 30
   done
-  echo "# sweeping $2 ($1)..." >&2
+  # the drain falling through hot would contaminate one side silently;
+  # say so LOUDLY (the sweep sidecar also records loadavg_start, so the
+  # contamination is auditable after the fact)
+  LOAD1="$(cut -d' ' -f1 /proc/loadavg)"
+  awk "BEGIN{exit !($LOAD1 >= 0.5)}" &&
+    echo "# WARNING: drain TIMED OUT at loadavg $LOAD1 — the $2 sweep starts contaminated" >&2
+  echo "# sweeping $2 ($1, sha $(git -C "$1" rev-parse --short HEAD))..." >&2
   (cd "$1" &&
     SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_PASSES="$PASSES" \
       sbt -batch "runMain graft.Bench" >"/tmp/graft_ab_$2.log" 2>&1) || {
@@ -64,6 +70,13 @@ run_bench() { # $1 = checkout dir, $2 = tag
 echo "# A/B: HEAD vs $BASE_REF on $SF_DIR, $PASSES passes each, back-to-back" >&2
 run_bench "$REPO" head
 run_bench "$WT" base
+
+# exact code identity of both sides, stamped into the headline: a
+# reader of the committed JSON must not have to guess which commits
+# the ratio compares
+HEAD_SHA="$(git -C "$REPO" rev-parse --short HEAD)"
+BASE_SHA="$(git -C "$WT" rev-parse --short HEAD)"
+export HEAD_SHA BASE_SHA
 
 python3 - "$BASE_REF" "$SF_DIR" "$REPO" <<'EOF'
 import json, sys, statistics
@@ -83,7 +96,12 @@ print(f"# TOTALS: head={th:.1f}s  base={tb:.1f}s  ratio={th/tb:.3f}  "
 # ("ab" field), so the official BENCH artifact carries the
 # load-controlled comparison instead of needing post-hoc acquittal
 with open(f"{sys.argv[3]}/tools/ab_headline.json", "w") as f:
+    import os
     json.dump({"base_ref": sys.argv[1], "sf": sys.argv[2],
+               "head_sha": os.environ.get("HEAD_SHA", "?"),
+               "base_sha": os.environ.get("BASE_SHA", "?"),
+               "head_loadavg_start": head['loadavg_start'],
+               "base_loadavg_start": base['loadavg_start'],
                "shared_queries": len(shared),
                "head_total_s": round(th, 1), "base_total_s": round(tb, 1),
                "ratio": round(th / tb, 3),
